@@ -1,0 +1,129 @@
+"""Sequence/picture parameter model: the subset of H.265 SPS/PPS state the
+framework supports, plus encoder-side configuration.
+
+Counterpart of the reference's TComSlice.h parameter-set classes (TComSPS,
+TComPPS, TComVPS — SURVEY.md §2.1 "Slice / parameter sets") and TEncCfg.h's
+encoder config surface, collapsed to plain dataclasses. Anything the encoder
+does not yet exercise defaults to its conforming 'off' value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+I_SLICE = 2
+P_SLICE = 1
+B_SLICE = 0
+
+
+@dataclass
+class SeqParams:
+    """SPS-level state (+ the profile/level we advertise)."""
+
+    width: int = 416
+    height: int = 240
+    bit_depth: int = 8
+    chroma_format: int = 1  # 420 only for now (reference Main profile anchor)
+
+    log2_ctu: int = 6           # MaxCUWidth 64
+    log2_min_cu: int = 3        # MinCUSize 8
+    log2_min_tu: int = 2        # QuadtreeTULog2MinSize 4
+    log2_max_tu: int = 5        # QuadtreeTULog2MaxSize 32
+    max_tu_depth_intra: int = 1  # max_transform_hierarchy_depth_intra
+    max_tu_depth_inter: int = 1
+
+    log2_max_poc_lsb: int = 8
+    max_dec_pic_buffering: int = 5  # minus1 coded
+    num_reorder_pics: int = 0
+
+    amp_enabled: bool = True
+    sao_enabled: bool = False
+    temporal_mvp_enabled: bool = False
+    strong_intra_smoothing: bool = True
+    scaling_list_enabled: bool = False
+    pcm_enabled: bool = False
+
+    profile_idc: int = 1  # Main
+    level_idc: int = 123  # 4.1
+    tier_flag: int = 0
+
+    # derived ------------------------------------------------------------
+    @property
+    def ctu_size(self) -> int:
+        return 1 << self.log2_ctu
+
+    @property
+    def pic_width_in_ctus(self) -> int:
+        return (self.width + self.ctu_size - 1) >> self.log2_ctu
+
+    @property
+    def pic_height_in_ctus(self) -> int:
+        return (self.height + self.ctu_size - 1) >> self.log2_ctu
+
+    @property
+    def num_ctus(self) -> int:
+        return self.pic_width_in_ctus * self.pic_height_in_ctus
+
+    @property
+    def max_cu_depth(self) -> int:
+        return self.log2_ctu - self.log2_min_cu
+
+    @property
+    def coded_width(self) -> int:
+        """pic_width_in_luma_samples: true width padded to the min-CU grid."""
+        mincu = 1 << self.log2_min_cu
+        return (self.width + mincu - 1) // mincu * mincu
+
+    @property
+    def coded_height(self) -> int:
+        mincu = 1 << self.log2_min_cu
+        return (self.height + mincu - 1) // mincu * mincu
+
+
+@dataclass
+class PicParams:
+    """PPS-level state."""
+
+    sign_data_hiding: bool = False
+    cabac_init_present: bool = False
+    num_ref_idx_l0_default: int = 1
+    num_ref_idx_l1_default: int = 1
+    init_qp: int = 26
+    constrained_intra_pred: bool = False
+    transform_skip_enabled: bool = False
+    cu_qp_delta_enabled: bool = False
+    diff_cu_qp_delta_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    weighted_pred: bool = False
+    weighted_bipred: bool = False
+    transquant_bypass_enabled: bool = False
+    loop_filter_across_slices: bool = True
+    deblocking_control_present: bool = True
+    deblocking_override_enabled: bool = False
+    deblocking_disabled: bool = True
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
+    log2_parallel_merge_level: int = 2  # minus2 coded
+
+
+@dataclass
+class EncoderConfig:
+    """Top-level encoder configuration (TEncCfg-equivalent subset)."""
+
+    sps: SeqParams = field(default_factory=SeqParams)
+    pps: PicParams = field(default_factory=PicParams)
+
+    qp: int = 32
+    frames: int = 8
+    frame_rate: int = 50
+    intra_period: int = 1        # 1 = all intra, -1 = first frame only
+    gop_size: int = 4
+    search_range: int = 64
+    hadamard_me: bool = True
+    fme_mode: str = "nn"         # nn | dctif | none (TEncSearch.cpp:4534-4590 A/B)
+    nn_weights_dir: str | None = None
+    max_num_merge_cand: int = 5
+
+    # encoder-side lambda model (TEncSlice.cpp:295-310)
+    lambda_qp_factor: float = 0.57  # intra QPfactor as in HM for I slices

@@ -1,0 +1,511 @@
+"""Parameter-set / slice-header / SEI syntax: writer and parser.
+
+Counterpart of the reference's TEncCavlc.cpp (write) and TDecCAVLC.cpp
+(parse) for the feature subset this framework emits, plus SEIwrite/SEIread
+for the decoded-picture-hash SEI (the conformance oracle, TEncGOP.cpp:1801 /
+TDecGop.cpp:180-208). Syntax per H.265 §7.3; both directions live here so
+they evolve in lockstep.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..codec.params import B_SLICE, I_SLICE, P_SLICE, PicParams, SeqParams
+from . import bitio
+from .bitio import BitReader, BitWriter
+
+
+# --- profile_tier_level ----------------------------------------------------
+
+def write_ptl(w: BitWriter, sps: SeqParams) -> None:
+    w.write(0, 2)                    # general_profile_space
+    w.write_flag(sps.tier_flag)      # general_tier_flag
+    w.write(sps.profile_idc, 5)      # general_profile_idc
+    for j in range(32):              # general_profile_compatibility_flag[j]
+        w.write_flag(1 if j == sps.profile_idc else 0)
+    w.write_flag(1)                  # general_progressive_source_flag
+    w.write_flag(0)                  # general_interlaced_source_flag
+    w.write_flag(0)                  # general_non_packed_constraint_flag
+    w.write_flag(1)                  # general_frame_only_constraint_flag
+    w.write(0, 22)                   # reserved_zero_43bits (22+21)
+    w.write(0, 21)
+    w.write(0, 1)                    # reserved / inbld
+    w.write(sps.level_idc, 8)        # general_level_idc
+
+
+def parse_ptl(r: BitReader) -> dict:
+    out = {}
+    r.read(2)
+    out["tier"] = r.read(1)
+    out["profile_idc"] = r.read(5)
+    r.read(32)
+    r.read(4)
+    r.read(22)
+    r.read(21)
+    r.read(1)
+    out["level_idc"] = r.read(8)
+    return out
+
+
+# --- VPS -------------------------------------------------------------------
+
+def write_vps(sps: SeqParams) -> bytes:
+    w = BitWriter()
+    w.write(0, 4)        # vps_video_parameter_set_id
+    w.write(3, 2)        # vps_base_layer_internal/available (reserved "11")
+    w.write(0, 6)        # vps_max_layers_minus1
+    w.write(0, 3)        # vps_max_sub_layers_minus1
+    w.write_flag(1)      # vps_temporal_id_nesting_flag
+    w.write(0xFFFF, 16)  # vps_reserved_0xffff_16bits
+    write_ptl(w, sps)
+    w.write_flag(1)      # vps_sub_layer_ordering_info_present_flag
+    w.write_ue(sps.max_dec_pic_buffering - 1)
+    w.write_ue(sps.num_reorder_pics)
+    w.write_ue(0)        # vps_max_latency_increase_plus1
+    w.write(0, 6)        # vps_max_layer_id
+    w.write_ue(0)        # vps_num_layer_sets_minus1
+    w.write_flag(0)      # vps_timing_info_present_flag
+    w.write_flag(0)      # vps_extension_flag
+    w.rbsp_trailing_bits()
+    return w.getvalue()
+
+
+# --- Short-term RPS (§7.3.7) ----------------------------------------------
+
+@dataclass
+class ShortTermRPS:
+    """One short-term reference picture set: negative (past) deltas only is
+    all LD-P needs; generic enough for RA later."""
+
+    delta_pocs: list[int] = field(default_factory=list)  # signed, sorted desc by |.|? kept as given
+    used: list[int] = field(default_factory=list)
+
+    @property
+    def num_negative(self) -> int:
+        return sum(1 for d in self.delta_pocs if d < 0)
+
+    @property
+    def num_positive(self) -> int:
+        return sum(1 for d in self.delta_pocs if d > 0)
+
+
+def write_st_rps(w: BitWriter, rps: ShortTermRPS, idx: int, first: bool) -> None:
+    if not first:
+        w.write_flag(0)  # inter_ref_pic_set_prediction_flag (explicit coding)
+    neg = sorted([d for d in rps.delta_pocs if d < 0], reverse=True)  # closest first
+    pos = sorted([d for d in rps.delta_pocs if d > 0])
+    w.write_ue(len(neg))
+    w.write_ue(len(pos))
+    prev = 0
+    for d in neg:
+        w.write_ue(prev - d - 1)  # delta_poc_s0_minus1
+        prev = d
+        w.write_flag(rps.used[rps.delta_pocs.index(d)])
+    prev = 0
+    for d in pos:
+        w.write_ue(d - prev - 1)
+        prev = d
+        w.write_flag(rps.used[rps.delta_pocs.index(d)])
+
+
+def parse_st_rps(r: BitReader, first: bool) -> ShortTermRPS:
+    if not first:
+        pred = r.read_flag()
+        assert pred == 0, "inter-RPS prediction not emitted by this encoder"
+    n_neg = r.read_ue()
+    n_pos = r.read_ue()
+    deltas, used = [], []
+    prev = 0
+    for _ in range(n_neg):
+        d = prev - (r.read_ue() + 1)
+        prev = d
+        deltas.append(d)
+        used.append(r.read_flag())
+    prev = 0
+    for _ in range(n_pos):
+        d = prev + r.read_ue() + 1
+        prev = d
+        deltas.append(d)
+        used.append(r.read_flag())
+    return ShortTermRPS(deltas, used)
+
+
+# --- SPS -------------------------------------------------------------------
+
+def write_sps(sps: SeqParams, rps_list: list[ShortTermRPS] | None = None) -> bytes:
+    w = BitWriter()
+    w.write(0, 4)    # sps_video_parameter_set_id
+    w.write(0, 3)    # sps_max_sub_layers_minus1
+    w.write_flag(1)  # sps_temporal_id_nesting_flag
+    write_ptl(w, sps)
+    w.write_ue(0)    # sps_seq_parameter_set_id
+    w.write_ue(sps.chroma_format)
+    # coded size is the true size padded up to the min-CU grid (HM behavior);
+    # partial CTUs at the right/bottom borders use implicit quadtree splits.
+    mincu = 1 << sps.log2_min_cu
+    lumaw = (sps.width + mincu - 1) // mincu * mincu
+    lumah = (sps.height + mincu - 1) // mincu * mincu
+    w.write_ue(lumaw)
+    w.write_ue(lumah)
+    crop_r, crop_b = (lumaw - sps.width) >> 1, (lumah - sps.height) >> 1
+    if crop_r or crop_b:
+        w.write_flag(1)
+        w.write_ue(0)
+        w.write_ue(crop_r)
+        w.write_ue(0)
+        w.write_ue(crop_b)
+    else:
+        w.write_flag(0)
+    w.write_ue(sps.bit_depth - 8)
+    w.write_ue(sps.bit_depth - 8)
+    w.write_ue(sps.log2_max_poc_lsb - 4)
+    w.write_flag(1)  # sps_sub_layer_ordering_info_present_flag
+    w.write_ue(sps.max_dec_pic_buffering - 1)
+    w.write_ue(sps.num_reorder_pics)
+    w.write_ue(0)    # sps_max_latency_increase_plus1
+    w.write_ue(sps.log2_min_cu - 3)
+    w.write_ue(sps.log2_ctu - sps.log2_min_cu)
+    w.write_ue(sps.log2_min_tu - 2)
+    w.write_ue(sps.log2_max_tu - sps.log2_min_tu)
+    w.write_ue(sps.max_tu_depth_inter)
+    w.write_ue(sps.max_tu_depth_intra)
+    w.write_flag(sps.scaling_list_enabled)
+    w.write_flag(sps.amp_enabled)
+    w.write_flag(sps.sao_enabled)
+    w.write_flag(sps.pcm_enabled)
+    rps_list = rps_list or []
+    w.write_ue(len(rps_list))
+    for i, rps in enumerate(rps_list):
+        write_st_rps(w, rps, i, first=(i == 0))
+    w.write_flag(0)  # long_term_ref_pics_present_flag
+    w.write_flag(sps.temporal_mvp_enabled)
+    w.write_flag(sps.strong_intra_smoothing)
+    w.write_flag(0)  # vui_parameters_present_flag
+    w.write_flag(0)  # sps_extension_present_flag
+    w.rbsp_trailing_bits()
+    return w.getvalue()
+
+
+def parse_sps(data: bytes) -> tuple[SeqParams, list[ShortTermRPS]]:
+    r = BitReader(data)
+    sps = SeqParams()
+    r.read(4)
+    r.read(3)
+    r.read(1)
+    ptl = parse_ptl(r)
+    sps.profile_idc = ptl["profile_idc"]
+    sps.level_idc = ptl["level_idc"]
+    r.read_ue()  # sps id
+    sps.chroma_format = r.read_ue()
+    lumaw = r.read_ue()
+    lumah = r.read_ue()
+    crop_r = crop_b = crop_l = crop_t = 0
+    if r.read_flag():
+        crop_l = r.read_ue()
+        crop_r = r.read_ue()
+        crop_t = r.read_ue()
+        crop_b = r.read_ue()
+    sps.bit_depth = 8 + r.read_ue()
+    r.read_ue()  # chroma bit depth
+    sps.log2_max_poc_lsb = 4 + r.read_ue()
+    sub_layer_info = r.read_flag()
+    sps.max_dec_pic_buffering = r.read_ue() + 1
+    sps.num_reorder_pics = r.read_ue()
+    r.read_ue()
+    sps.log2_min_cu = 3 + r.read_ue()
+    sps.log2_ctu = sps.log2_min_cu + r.read_ue()
+    sps.log2_min_tu = 2 + r.read_ue()
+    sps.log2_max_tu = sps.log2_min_tu + r.read_ue()
+    sps.max_tu_depth_inter = r.read_ue()
+    sps.max_tu_depth_intra = r.read_ue()
+    sps.scaling_list_enabled = bool(r.read_flag())
+    assert not sps.scaling_list_enabled
+    sps.amp_enabled = bool(r.read_flag())
+    sps.sao_enabled = bool(r.read_flag())
+    sps.pcm_enabled = bool(r.read_flag())
+    assert not sps.pcm_enabled
+    n_rps = r.read_ue()
+    rps_list = [parse_st_rps(r, first=(i == 0)) for i in range(n_rps)]
+    lt = r.read_flag()
+    assert lt == 0
+    sps.temporal_mvp_enabled = bool(r.read_flag())
+    sps.strong_intra_smoothing = bool(r.read_flag())
+    vui = r.read_flag()
+    assert vui == 0
+    r.read_flag()
+    sps.width = lumaw - 2 * (crop_l + crop_r)
+    sps.height = lumah - 2 * (crop_t + crop_b)
+    return sps, rps_list
+
+
+# --- PPS -------------------------------------------------------------------
+
+def write_pps(pps: PicParams) -> bytes:
+    w = BitWriter()
+    w.write_ue(0)    # pps_pic_parameter_set_id
+    w.write_ue(0)    # pps_seq_parameter_set_id
+    w.write_flag(0)  # dependent_slice_segments_enabled_flag
+    w.write_flag(0)  # output_flag_present_flag
+    w.write(0, 3)    # num_extra_slice_header_bits
+    w.write_flag(pps.sign_data_hiding)
+    w.write_flag(pps.cabac_init_present)
+    w.write_ue(pps.num_ref_idx_l0_default - 1)
+    w.write_ue(pps.num_ref_idx_l1_default - 1)
+    w.write_se(pps.init_qp - 26)
+    w.write_flag(pps.constrained_intra_pred)
+    w.write_flag(pps.transform_skip_enabled)
+    w.write_flag(pps.cu_qp_delta_enabled)
+    if pps.cu_qp_delta_enabled:
+        w.write_ue(pps.diff_cu_qp_delta_depth)
+    w.write_se(pps.cb_qp_offset)
+    w.write_se(pps.cr_qp_offset)
+    w.write_flag(0)  # pps_slice_chroma_qp_offsets_present_flag
+    w.write_flag(pps.weighted_pred)
+    w.write_flag(pps.weighted_bipred)
+    w.write_flag(pps.transquant_bypass_enabled)
+    w.write_flag(0)  # tiles_enabled_flag
+    w.write_flag(0)  # entropy_coding_sync_enabled_flag
+    w.write_flag(pps.loop_filter_across_slices)
+    w.write_flag(pps.deblocking_control_present)
+    if pps.deblocking_control_present:
+        w.write_flag(pps.deblocking_override_enabled)
+        w.write_flag(pps.deblocking_disabled)
+        if not pps.deblocking_disabled:
+            w.write_se(pps.beta_offset_div2)
+            w.write_se(pps.tc_offset_div2)
+    w.write_flag(0)  # pps_scaling_list_data_present_flag
+    w.write_flag(0)  # lists_modification_present_flag
+    w.write_ue(pps.log2_parallel_merge_level - 2)
+    w.write_flag(0)  # slice_segment_header_extension_present_flag
+    w.write_flag(0)  # pps_extension_present_flag
+    w.rbsp_trailing_bits()
+    return w.getvalue()
+
+
+def parse_pps(data: bytes) -> PicParams:
+    r = BitReader(data)
+    pps = PicParams()
+    r.read_ue()
+    r.read_ue()
+    assert r.read_flag() == 0  # dependent slices unsupported
+    r.read_flag()
+    r.read(3)
+    pps.sign_data_hiding = bool(r.read_flag())
+    pps.cabac_init_present = bool(r.read_flag())
+    pps.num_ref_idx_l0_default = r.read_ue() + 1
+    pps.num_ref_idx_l1_default = r.read_ue() + 1
+    pps.init_qp = 26 + r.read_se()
+    pps.constrained_intra_pred = bool(r.read_flag())
+    pps.transform_skip_enabled = bool(r.read_flag())
+    pps.cu_qp_delta_enabled = bool(r.read_flag())
+    if pps.cu_qp_delta_enabled:
+        pps.diff_cu_qp_delta_depth = r.read_ue()
+    pps.cb_qp_offset = r.read_se()
+    pps.cr_qp_offset = r.read_se()
+    assert r.read_flag() == 0
+    pps.weighted_pred = bool(r.read_flag())
+    pps.weighted_bipred = bool(r.read_flag())
+    pps.transquant_bypass_enabled = bool(r.read_flag())
+    assert r.read_flag() == 0  # tiles
+    assert r.read_flag() == 0  # wpp
+    pps.loop_filter_across_slices = bool(r.read_flag())
+    pps.deblocking_control_present = bool(r.read_flag())
+    if pps.deblocking_control_present:
+        pps.deblocking_override_enabled = bool(r.read_flag())
+        pps.deblocking_disabled = bool(r.read_flag())
+        if not pps.deblocking_disabled:
+            pps.beta_offset_div2 = r.read_se()
+            pps.tc_offset_div2 = r.read_se()
+    assert r.read_flag() == 0
+    assert r.read_flag() == 0
+    pps.log2_parallel_merge_level = 2 + r.read_ue()
+    r.read_flag()
+    r.read_flag()
+    return pps
+
+
+# --- Slice header ----------------------------------------------------------
+
+@dataclass
+class SliceHeader:
+    slice_type: int = I_SLICE
+    nal_type: int = bitio.NAL_IDR_W_RADL
+    poc: int = 0
+    qp: int = 32
+    first_slice: bool = True
+    sao_luma: bool = False
+    sao_chroma: bool = False
+    temporal_mvp: bool = False
+    # reference state (P slices)
+    rps: ShortTermRPS | None = None
+    rps_sps_idx: int | None = None   # use SPS RPS by index if set
+    num_ref_idx_l0: int = 1
+    num_ref_idx_l1: int = 0
+    five_minus_max_num_merge_cand: int = 0
+    collocated_from_l0: bool = True
+    temporal_id: int = 0
+
+
+def write_slice_header(
+    hdr: SliceHeader, sps: SeqParams, pps: PicParams,
+    num_sps_rps: int = 0,
+) -> BitWriter:
+    """Returns a BitWriter positioned after byte_alignment; CABAC slice data
+    is appended as bytes by the caller."""
+    w = BitWriter()
+    w.write_flag(1 if hdr.first_slice else 0)
+    if bitio.is_irap(hdr.nal_type):
+        w.write_flag(0)  # no_output_of_prior_pics_flag
+    w.write_ue(0)        # slice_pic_parameter_set_id
+    w.write_ue(hdr.slice_type)
+    if not bitio.is_idr(hdr.nal_type):
+        w.write(hdr.poc & ((1 << sps.log2_max_poc_lsb) - 1), sps.log2_max_poc_lsb)
+        if hdr.rps_sps_idx is not None:
+            w.write_flag(1)  # short_term_ref_pic_set_sps_flag
+            if num_sps_rps > 1:
+                nbits = max(1, (num_sps_rps - 1).bit_length())
+                w.write(hdr.rps_sps_idx, nbits)
+        else:
+            w.write_flag(0)
+            write_st_rps(w, hdr.rps, num_sps_rps, first=(num_sps_rps == 0))
+        if sps.temporal_mvp_enabled:
+            w.write_flag(hdr.temporal_mvp)
+    if sps.sao_enabled:
+        w.write_flag(hdr.sao_luma)
+        w.write_flag(hdr.sao_chroma)
+    if hdr.slice_type != I_SLICE:
+        # num_ref_idx_active_override
+        override = (
+            hdr.num_ref_idx_l0 != pps.num_ref_idx_l0_default
+            or (hdr.slice_type == B_SLICE and hdr.num_ref_idx_l1 != pps.num_ref_idx_l1_default)
+        )
+        w.write_flag(override)
+        if override:
+            w.write_ue(hdr.num_ref_idx_l0 - 1)
+            if hdr.slice_type == B_SLICE:
+                w.write_ue(hdr.num_ref_idx_l1 - 1)
+        if hdr.slice_type == B_SLICE:
+            w.write_flag(0)  # mvd_l1_zero_flag
+        if pps.cabac_init_present:
+            w.write_flag(0)
+        if hdr.temporal_mvp:
+            if hdr.slice_type == B_SLICE:
+                w.write_flag(hdr.collocated_from_l0)
+            nrefs = hdr.num_ref_idx_l0 if hdr.collocated_from_l0 else hdr.num_ref_idx_l1
+            if nrefs > 1:
+                w.write_ue(0)  # collocated_ref_idx
+        w.write_ue(hdr.five_minus_max_num_merge_cand)
+    w.write_se(hdr.qp - pps.init_qp)
+    if pps.deblocking_control_present and pps.deblocking_override_enabled:
+        w.write_flag(0)  # deblocking_filter_override_flag
+    if pps.loop_filter_across_slices and (
+        hdr.sao_luma or hdr.sao_chroma or not pps.deblocking_disabled
+    ):
+        w.write_flag(1)  # slice_loop_filter_across_slices_enabled_flag
+    # no tiles/wpp: no entry points
+    w.align_one()  # byte_alignment(): alignment_bit_equal_to_one + zeros
+    return w
+
+
+def parse_slice_header(
+    data: bytes, nal_type: int, sps: SeqParams, pps: PicParams,
+    sps_rps: list[ShortTermRPS],
+) -> tuple[SliceHeader, int]:
+    """Returns (header, offset_bytes_of_slice_data)."""
+    r = BitReader(data)
+    hdr = SliceHeader(nal_type=nal_type)
+    hdr.first_slice = bool(r.read_flag())
+    if bitio.is_irap(nal_type):
+        r.read_flag()
+    r.read_ue()
+    hdr.slice_type = r.read_ue()
+    if not bitio.is_idr(nal_type):
+        hdr.poc = r.read(sps.log2_max_poc_lsb)
+        if r.read_flag():  # from SPS
+            idx = 0
+            if len(sps_rps) > 1:
+                idx = r.read(max(1, (len(sps_rps) - 1).bit_length()))
+            hdr.rps_sps_idx = idx
+            hdr.rps = sps_rps[idx]
+        else:
+            hdr.rps = parse_st_rps(r, first=(len(sps_rps) == 0))
+        if sps.temporal_mvp_enabled:
+            hdr.temporal_mvp = bool(r.read_flag())
+    if sps.sao_enabled:
+        hdr.sao_luma = bool(r.read_flag())
+        hdr.sao_chroma = bool(r.read_flag())
+    if hdr.slice_type != I_SLICE:
+        hdr.num_ref_idx_l0 = pps.num_ref_idx_l0_default
+        hdr.num_ref_idx_l1 = pps.num_ref_idx_l1_default
+        if r.read_flag():
+            hdr.num_ref_idx_l0 = r.read_ue() + 1
+            if hdr.slice_type == B_SLICE:
+                hdr.num_ref_idx_l1 = r.read_ue() + 1
+        if hdr.slice_type == B_SLICE:
+            r.read_flag()
+        if pps.cabac_init_present:
+            r.read_flag()
+        if hdr.temporal_mvp:
+            if hdr.slice_type == B_SLICE:
+                hdr.collocated_from_l0 = bool(r.read_flag())
+            nrefs = hdr.num_ref_idx_l0 if hdr.collocated_from_l0 else hdr.num_ref_idx_l1
+            if nrefs > 1:
+                r.read_ue()
+        hdr.five_minus_max_num_merge_cand = r.read_ue()
+    hdr.qp = pps.init_qp + r.read_se()
+    if pps.deblocking_control_present and pps.deblocking_override_enabled:
+        ov = r.read_flag()
+        assert ov == 0
+    if pps.loop_filter_across_slices and (
+        hdr.sao_luma or hdr.sao_chroma or not pps.deblocking_disabled
+    ):
+        r.read_flag()
+    # byte alignment
+    one = r.read_flag()
+    assert one == 1
+    r.align()
+    return hdr, r.bit_position // 8
+
+
+# --- SEI: decoded picture hash (payloadType 132) ---------------------------
+
+def write_picture_hash_sei(md5s: list[bytes]) -> bytes:
+    """Suffix SEI carrying per-plane MD5 (hash_type 0)."""
+    payload = bytearray([0])  # hash_type = 0 (MD5)
+    for h in md5s:
+        assert len(h) == 16
+        payload += h
+    w = BitWriter()
+    w.write(132, 8)           # payload type
+    size = len(payload)
+    while size >= 255:
+        w.write(255, 8)
+        size -= 255
+    w.write(size, 8)
+    w.write_bytes(bytes(payload))
+    w.rbsp_trailing_bits()
+    return w.getvalue()
+
+
+def parse_picture_hash_sei(data: bytes) -> list[bytes] | None:
+    r = BitReader(data)
+    ptype = 0
+    while True:
+        b = r.read(8)
+        ptype += b
+        if b != 255:
+            break
+    psize = 0
+    while True:
+        b = r.read(8)
+        psize += b
+        if b != 255:
+            break
+    if ptype != 132:
+        return None
+    hash_type = r.read(8)
+    if hash_type != 0:
+        return None
+    n = (psize - 1) // 16
+    return [bytes(r.read(8) for _ in range(16)) for _ in range(n)]

@@ -1,0 +1,141 @@
+"""HEVC core transforms + quantization, batched.
+
+Forward/inverse DCT-II (4/8/16/32) and DST-VII 4x4 as dense matrix products
+over batches of blocks — the TPU-first replacement for the reference's
+per-block partial butterflies (TComTrQuant.cpp:388-985) — plus scalar
+quant/dequant (xQuant TComTrQuant.cpp:1126 / §8.6.3 scaling process).
+
+Exactness notes: inverse transform + dequant are normative; all integer.
+The numpy core uses int64 accumulation; the JAX variant uses int32 (safe:
+stage sums bound by 2^28) and is validated against the core in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.tables import (
+    DST4,
+    INV_QUANT_SCALES,
+    MAX_TR_DYNAMIC_RANGE,
+    QUANT_SCALES,
+    dct_matrix,
+)
+
+
+def _matrix(size: int, is_dst: bool) -> np.ndarray:
+    return DST4 if is_dst else dct_matrix(size)
+
+
+# --- numpy exact core ------------------------------------------------------
+
+def forward_transform_np(resi: np.ndarray, bit_depth: int = 8, is_dst: bool = False) -> np.ndarray:
+    """(N, S, S) residual -> (N, S, S) transform coefficients [y][x]."""
+    n, s, _ = resi.shape
+    log2 = s.bit_length() - 1
+    t = _matrix(s, is_dst).astype(np.int64)
+    s1 = log2 + bit_depth - 9
+    s2 = log2 + 6
+    r = resi.astype(np.int64)
+    h = (r @ t.T + (1 << (s1 - 1))) >> s1          # horizontal stage
+    c = (t @ h + (1 << (s2 - 1))) >> s2            # vertical stage
+    return c.astype(np.int32)
+
+
+def inverse_transform_np(coeff: np.ndarray, bit_depth: int = 8, is_dst: bool = False) -> np.ndarray:
+    """Normative inverse (§8.6.4.2): (N, S, S) coeffs -> residual."""
+    n, s, _ = coeff.shape
+    t = _matrix(s, is_dst).astype(np.int64)
+    c = coeff.astype(np.int64)
+    g = (t.T @ c + 64) >> 7                        # vertical inverse
+    g = np.clip(g, -32768, 32767)
+    s2 = 20 - bit_depth
+    r = (g @ t + (1 << (s2 - 1))) >> s2            # horizontal inverse
+    return np.clip(r, -32768, 32767).astype(np.int32)
+
+
+def quantize_np(
+    coeff: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8,
+    is_intra_slice: bool = True,
+) -> np.ndarray:
+    """HM's scalar quantizer with its rounding offsets (non-normative side)."""
+    per, rem = qp // 6, qp % 6
+    tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = 14 + per + tshift
+    add = (171 if is_intra_slice else 85) << (qbits - 9)
+    scale = int(QUANT_SCALES[rem])
+    c = coeff.astype(np.int64)
+    level = (np.abs(c) * scale + add) >> qbits
+    return np.clip(np.sign(c) * level, -32768, 32767).astype(np.int32)
+
+
+def dequantize_np(level: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8) -> np.ndarray:
+    """Normative scaling process (§8.6.3), flat scaling list (m=16)."""
+    per, rem = qp // 6, qp % 6
+    bdshift = bit_depth + log2_size - 5
+    scale = (16 * int(INV_QUANT_SCALES[rem])) << per
+    d = (level.astype(np.int64) * scale + (1 << (bdshift - 1))) >> bdshift
+    return np.clip(d, -32768, 32767).astype(np.int32)
+
+
+# --- JAX batched variants --------------------------------------------------
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def forward_transform(resi, bit_depth: int = 8, is_dst: bool = False):
+    """JAX: (..., S, S) int32 residual -> coefficients."""
+    jnp = _jnp()
+    s = resi.shape[-1]
+    log2 = s.bit_length() - 1
+    t = jnp.asarray(_matrix(s, is_dst), dtype=jnp.int32)
+    s1 = log2 + bit_depth - 9
+    s2 = log2 + 6
+    r = resi.astype(jnp.int32)
+    h = (r @ t.T + (1 << (s1 - 1))) >> s1
+    c = (t @ h + (1 << (s2 - 1))) >> s2
+    return c
+
+
+def inverse_transform(coeff, bit_depth: int = 8, is_dst: bool = False):
+    jnp = _jnp()
+    s = coeff.shape[-1]
+    t = jnp.asarray(_matrix(s, is_dst), dtype=jnp.int32)
+    c = coeff.astype(jnp.int32)
+    g = (t.T @ c + 64) >> 7
+    g = jnp.clip(g, -32768, 32767)
+    s2 = 20 - bit_depth
+    r = (g @ t + (1 << (s2 - 1))) >> s2
+    return jnp.clip(r, -32768, 32767)
+
+
+def quantize(coeff, qp: int, log2_size: int, bit_depth: int = 8, is_intra_slice: bool = True):
+    # int32-safe: |coeff| <= 2^15, scale <= 26214 -> product < 2^30
+    jnp = _jnp()
+    per, rem = qp // 6, qp % 6
+    tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = 14 + per + tshift
+    add = (171 if is_intra_slice else 85) << (qbits - 9)
+    scale = int(QUANT_SCALES[rem])
+    c = coeff.astype(jnp.int32)
+    level = (jnp.abs(c) * scale + add) >> qbits
+    return jnp.clip(jnp.sign(c) * level, -32768, 32767).astype(jnp.int32)
+
+
+def dequantize(level, qp: int, log2_size: int, bit_depth: int = 8):
+    # int32-safe reformulation of §8.6.3: fold the <<(qp/6) into the final
+    # shift (exact; see test_transforms golden check vs the int64 core)
+    jnp = _jnp()
+    per, rem = qp // 6, qp % 6
+    bdshift = bit_depth + log2_size - 5
+    scale = 16 * int(INV_QUANT_SCALES[rem])
+    x = level.astype(jnp.int32) * scale
+    if per < bdshift:
+        sh = bdshift - per
+        d = (x + (1 << (sh - 1))) >> sh
+    else:
+        d = x << (per - bdshift)
+    return jnp.clip(d, -32768, 32767).astype(jnp.int32)
