@@ -1,0 +1,78 @@
+"""Conforming decoder for the subset this framework emits.
+
+Counterpart of the reference's TDecTop/TDecSlice/TDecCu stack
+(TDecTop.cpp:592, TDecSlice.cpp:69, TDecCu.cpp:135 — SURVEY.md §3.4):
+Annex-B demux -> parameter sets -> slice header -> CABAC slice data ->
+reconstruction -> decoded-picture-hash verification. Used as the in-repo
+oracle; full conformance is cross-checked against the reference TAppDecoder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..entropy import bitio, headers
+from ..entropy.cabac import CabacDecoder, ContextSet
+from ..entropy.syntax import decode_slice_data
+from ..utils.yuv import picture_md5
+from .params import B_SLICE, I_SLICE, P_SLICE
+from .recon import reconstruct_frame
+
+
+@dataclass
+class DecodedFrame:
+    poc: int
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    md5_ok: bool | None = None  # None = no hash SEI seen
+
+
+def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFrame]:
+    nals = bitio.read_annexb(data)
+    sps = None
+    pps = None
+    sps_rps: list = []
+    frames: list[DecodedFrame] = []
+    pending = None  # last decoded picture awaiting its suffix SEI
+    for nal in nals:
+        nal_type = (nal[0] >> 1) & 0x3F
+        rbsp = bitio.ebsp_to_rbsp(nal[2:])
+        if nal_type == bitio.NAL_VPS:
+            continue
+        if nal_type == bitio.NAL_SPS:
+            sps, sps_rps = headers.parse_sps(rbsp)
+            continue
+        if nal_type == bitio.NAL_PPS:
+            pps = headers.parse_pps(rbsp)
+            continue
+        if nal_type in (bitio.NAL_PREFIX_SEI, bitio.NAL_SUFFIX_SEI):
+            md5s = headers.parse_picture_hash_sei(rbsp)
+            if md5s is not None and pending is not None and with_hash_check:
+                got = picture_md5(pending.y, pending.u, pending.v, sps.bit_depth)
+                pending.md5_ok = got == md5s
+            continue
+        if nal_type <= 31:  # VCL
+            assert sps is not None and pps is not None
+            hdr, off = headers.parse_slice_header(rbsp, nal_type, sps, pps, sps_rps)
+            assert hdr.slice_type == I_SLICE, "inter decoding lands with the GOP engine"
+            ctx = ContextSet(2, hdr.qp)
+            dec = CabacDecoder(rbsp[off:], ctx)
+            fs = decode_slice_data(dec, sps, pps, sps.coded_width, sps.coded_height)
+            y, u, v = reconstruct_frame(fs, sps, hdr.qp)
+            pending = DecodedFrame(poc=hdr.poc, y=y, u=u, v=v)
+            frames.append(pending)
+    return frames
+
+
+def cropped_output(frames: list[DecodedFrame], width: int, height: int):
+    """Apply the conformance window (HM decoder output semantics)."""
+    out = []
+    for f in frames:
+        out.append(
+            (f.y[:height, :width], f.u[: height // 2, : width // 2],
+             f.v[: height // 2, : width // 2])
+        )
+    return out

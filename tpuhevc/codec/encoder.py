@@ -1,0 +1,118 @@
+"""Top-level encoder: frame loop, headers, CABAC serialization, Annex-B.
+
+Counterpart of the reference's TEncTop/TEncGOP/TEncSlice pipeline
+(TEncTop.cpp:323, TEncGOP.cpp:1077, TEncSlice.cpp:641 — SURVEY.md §3.1)
+for the all-intra path; the GOP/inter machinery extends this in
+codec/inter_enc.py. Per frame: device/batched analysis+recon, then host
+serialization, MD5 SEI, NAL packing.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..entropy import bitio, headers
+from ..entropy.cabac import CabacEncoder, ContextSet
+from ..entropy.syntax import encode_slice_data
+from ..utils.yuv import picture_md5, psnr
+from .params import I_SLICE, EncoderConfig
+from .recon import encode_frame_intra
+
+
+@dataclass
+class FrameResult:
+    poc: int
+    bits: int
+    psnr_y: float
+    psnr_u: float
+    psnr_v: float
+    md5: list = field(default_factory=list)
+    seconds: float = 0.0
+
+
+class Encoder:
+    """All-intra HEVC encoder (round-1 scope: IDR every frame)."""
+
+    def __init__(self, cfg: EncoderConfig, frame_encoder=None):
+        self.cfg = cfg
+        cfg.pps.init_qp = cfg.qp
+        self.nals: list[bytes] = []
+        self.first_of_au: list[bool] = []
+        self.results: list[FrameResult] = []
+        self._wrote_ps = False
+        self._frame_encoder = frame_encoder or encode_frame_intra
+
+    def _emit(self, nal: bytes, first_of_au: bool = False) -> None:
+        self.nals.append(nal)
+        self.first_of_au.append(first_of_au)
+
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     poc: int) -> FrameResult:
+        cfg, sps, pps = self.cfg, self.cfg.sps, self.cfg.pps
+        t0 = time.time()
+        if not self._wrote_ps:
+            self._emit(bitio.make_nal(bitio.NAL_VPS, headers.write_vps(sps)))
+            self._emit(bitio.make_nal(bitio.NAL_SPS, headers.write_sps(sps)))
+            self._emit(bitio.make_nal(bitio.NAL_PPS, headers.write_pps(pps)))
+            self._wrote_ps = True
+
+        fs, (ry, ru, rv) = self._frame_encoder(y, u, v, cfg)
+
+        # slice NAL: header + CABAC slice data
+        hdr = headers.SliceHeader(
+            slice_type=I_SLICE, nal_type=bitio.NAL_IDR_W_RADL, poc=poc,
+            qp=cfg.qp,
+        )
+        w = headers.write_slice_header(hdr, sps, pps)
+        ctx = ContextSet(2, cfg.qp)  # I-slice init table row
+        cab = CabacEncoder(ctx)
+        encode_slice_data(cab, fs, sps, pps)
+        cab.finish()
+        w.write_bytes(bytes(cab.out))
+        val, nbits = cab.pending_bits
+        w.write(val, nbits)
+        w.rbsp_trailing_bits()
+        self._emit(bitio.make_nal(hdr.nal_type, w.getvalue()), first_of_au=True)
+
+        # decoded-picture-hash SEI (suffix)
+        md5s = picture_md5(ry, ru, rv, sps.bit_depth)
+        self._emit(bitio.make_nal(bitio.NAL_SUFFIX_SEI,
+                                  headers.write_picture_hash_sei(md5s)))
+
+        bits = (len(self.nals[-2]) + 4) * 8
+        res = FrameResult(
+            poc=poc, bits=bits,
+            psnr_y=psnr(y, ry[: y.shape[0], : y.shape[1]], sps.bit_depth),
+            psnr_u=psnr(u, ru[: u.shape[0], : u.shape[1]], sps.bit_depth),
+            psnr_v=psnr(v, rv[: v.shape[0], : v.shape[1]], sps.bit_depth),
+            md5=md5s, seconds=time.time() - t0,
+        )
+        self.results.append(res)
+        self._recon = (ry, ru, rv)
+        return res
+
+    def bitstream(self) -> bytes:
+        return bitio.write_annexb(self.nals, self.first_of_au)
+
+
+def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
+                    frame_encoder=None, verbose: bool = False):
+    enc = Encoder(cfg, frame_encoder=frame_encoder)
+    n = max_frames if max_frames is not None else cfg.frames
+    recons = []
+    for i in range(n):
+        fr = reader.read_frame(i)
+        if fr is None:
+            break
+        res = enc.encode_frame(*fr, poc=i)
+        recons.append(enc._recon)
+        if verbose:
+            print(
+                f"POC {res.poc:4d} I-SLICE QP {cfg.qp} {res.bits:8d} bits "
+                f"[Y {res.psnr_y:.4f} U {res.psnr_u:.4f} V {res.psnr_v:.4f}] "
+                f"{res.seconds:.2f}s"
+            )
+    return enc, recons

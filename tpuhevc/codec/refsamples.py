@@ -1,0 +1,134 @@
+"""Intra reference-sample gathering with availability + substitution.
+
+Counterpart of TComPattern::fillReferenceSamples (TComPattern.cpp:51),
+implementing H.265 §8.4.4.2.2. Availability follows decode order (CTU
+raster, z-order of 8x8 cells within a CTU) — shared by the encoder's
+closed-loop reconstruction and the decoder so the two cannot diverge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def morton(cx: int, cy: int, bits: int = 3) -> int:
+    """Z-order index of an 8x8 cell within a 64x64 CTU."""
+    m = 0
+    for b in range(bits - 1, -1, -1):
+        m = (m << 2) | (((cy >> b) & 1) << 1) | ((cx >> b) & 1)
+    return m
+
+
+class BlockOrder:
+    """Decode-order indexing of the 8x8 cell grid of a frame."""
+
+    def __init__(self, width: int, height: int, log2_ctu: int = 6):
+        self.w8 = width // 8
+        self.h8 = height // 8
+        self.log2_ctu = log2_ctu
+        self.cells_per_ctu_side = 1 << (log2_ctu - 3)
+        self.wctu = (width + (1 << log2_ctu) - 1) >> log2_ctu
+        order = np.empty((self.h8, self.w8), dtype=np.int64)
+        per_ctu = self.cells_per_ctu_side ** 2
+        for y8 in range(self.h8):
+            for x8 in range(self.w8):
+                ctu = (y8 // self.cells_per_ctu_side) * self.wctu + (
+                    x8 // self.cells_per_ctu_side
+                )
+                z = morton(x8 % self.cells_per_ctu_side,
+                           y8 % self.cells_per_ctu_side,
+                           self.log2_ctu - 3)
+                order[y8, x8] = ctu * per_ctu + z
+        self.order = order
+
+    def precedes(self, x8: int, y8: int, cur_x8: int, cur_y8: int) -> bool:
+        if x8 < 0 or y8 < 0 or x8 >= self.w8 or y8 >= self.h8:
+            return False
+        return bool(self.order[y8, x8] < self.order[cur_y8, cur_x8])
+
+
+def gather_refs(plane: np.ndarray, x0: int, y0: int, size: int,
+                cell: tuple[int, int], order: BlockOrder,
+                bit_depth: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Build (top, left) reference arrays of length 2S+1 (corner at index 0)
+    for a TB at (x0, y0) in `plane`, with availability + substitution.
+
+    cell = (x8, y8) of the containing 8x8 luma cell; neighbor availability is
+    evaluated in 8x8-cell decode order (the TB grid this framework emits).
+    Segment granularity: `size`-sample runs each lying in one neighbor cell.
+    """
+    s = size
+    h, w = plane.shape
+    x8, y8 = cell
+    p = plane.astype(np.int32)
+
+    # segment availability, in substitution scan order:
+    # [left-below, left, corner, top, top-right]
+    # NOTE: valid while each run lies in ONE neighbor cell (true for the
+    # 8x8-luma / 4x4-chroma TB grid); larger TBs need per-8-sample runs.
+    av_lb = order.precedes(x8 - 1, y8 + 1, x8, y8)
+    av_l = order.precedes(x8 - 1, y8, x8, y8)
+    av_c = order.precedes(x8 - 1, y8 - 1, x8, y8)
+    av_t = order.precedes(x8, y8 - 1, x8, y8)
+    av_tr = order.precedes(x8 + 1, y8 - 1, x8, y8)
+
+    # sample values (clamped reads; masked by availability afterwards)
+    def col(px, py, n):
+        py = min(py, h - 1)
+        end = min(py + n, h)
+        out = np.empty(n, dtype=np.int32)
+        m = end - py
+        out[:m] = p[py:end, px] if m > 0 else 0
+        if m < n:
+            out[m:] = out[m - 1] if m > 0 else 0
+        return out
+
+    def row(px, py, n):
+        end = min(px + n, w)
+        out = np.empty(n, dtype=np.int32)
+        m = end - px
+        out[:m] = p[py, px:end] if m > 0 else 0
+        if m < n:
+            out[m:] = out[m - 1] if m > 0 else 0
+        return out
+
+    # left-below samples beyond the picture bottom are unavailable
+    if y0 + 2 * s > h:
+        av_lb = False
+    if x0 + 2 * s > w:
+        av_tr = False
+
+    segs = []
+    segs.append((av_lb, col(x0 - 1, y0 + s, s)[::-1] if av_lb else None))   # bottom-most first
+    segs.append((av_l, col(x0 - 1, y0, s)[::-1] if av_l else None))
+    segs.append((av_c, np.array([p[y0 - 1, x0 - 1]], dtype=np.int32) if av_c else None))
+    segs.append((av_t, row(x0, y0 - 1, s) if av_t else None))
+    segs.append((av_tr, row(x0 + s, y0 - 1, s) if av_tr else None))
+
+    if not any(a for a, _ in segs):
+        fill = 1 << (bit_depth - 1)
+        top = np.full(2 * s + 1, fill, dtype=np.int32)
+        left = np.full(2 * s + 1, fill, dtype=np.int32)
+        return top, left
+
+    # substitution scan (bottom-left -> corner -> top-right)
+    lengths = [s, s, 1, s, s]
+    vals = []
+    for (a, v), ln in zip(segs, lengths):
+        vals.append(v if a else np.full(ln, -1, dtype=np.int32))
+    arr = np.concatenate(vals)
+    # forward fill; leading unavailable take first available
+    first_av = np.argmax(arr >= 0)
+    if arr[0] < 0:
+        arr[:first_av] = arr[first_av]
+    for i in range(1, len(arr)):
+        if arr[i] < 0:
+            arr[i] = arr[i - 1]
+
+    # unpack: arr = [left reversed (2s), corner, top (2s)]
+    left_rev = arr[: 2 * s]
+    corner = arr[2 * s]
+    toprow = arr[2 * s + 1 :]
+    top = np.concatenate([[corner], toprow])
+    left = np.concatenate([[corner], left_rev[::-1]])
+    return top, left

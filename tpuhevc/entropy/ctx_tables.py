@@ -139,14 +139,16 @@ INIT_VALUES: dict[str, list[list[int]]] = {
         [111, 141, CNU, CNU, CNU, 94, 138, 182, 154, 154],
     ],
     "rqt_root_cbf": [[79], [79], [CNU]],
-    # last significant position: 15 luma + 15 chroma (x and y share values)
+    # last significant position: separate x and y context banks (30 each,
+    # same init values — the reference's m_cCuCtxLastX/m_cCuCtxLastY both
+    # init from INIT_LAST). Layout: x luma 0-14, x chroma 15-29, then y.
     "last_sig_xy": [
         [125, 110, 124, 110, 95, 94, 125, 111, 111, 79, 125, 126, 111, 111, 79,
-         108, 123, 93, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU],
+         108, 123, 93, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU] * 2,
         [125, 110, 94, 110, 95, 79, 125, 111, 110, 78, 110, 111, 111, 95, 94,
-         108, 123, 108, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU],
+         108, 123, 108, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU] * 2,
         [110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111, 143, 127, 111, 79,
-         108, 123, 63, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU],
+         108, 123, 63, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU, CNU] * 2,
     ],
     # coded_sub_block_flag: 2 luma + 2 chroma
     "sig_cg_flag": [

@@ -1,0 +1,355 @@
+"""Slice-data syntax: CTU quadtree, intra CU, transform tree, per-CTU loop.
+
+Counterpart of the reference's TEncSbac/TEncEntropy syntax coding and
+TDecSbac/TDecEntropy parsing for the intra path (SURVEY.md §2.2-2.3);
+process per H.265 §7.3.8. Encoder and decoder share geometry helpers so the
+two directions cannot drift.
+
+Frame-level data interchange is dense arrays (device-friendly):
+  cu_log2[y8][x8]  : chosen CU log2 size for each 8x8 cell (>= 3)
+  luma_mode[y8][x8]: intra luma mode of the covering CU
+  chroma_mode      : chroma syntax value (4 = DM) per 8x8 cell
+  coeff_y/cb/cr    : full-res coefficient planes, TU blocks in-place
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..codec.params import I_SLICE, PicParams, SeqParams
+from ..utils.tables import intra_mpm_list, intra_scan_idx
+from .cabac import CTX_OFFSET, CabacDecoder, CabacEncoder
+from .residual import decode_residual, encode_residual
+
+DC_MODE = 1
+
+
+@dataclass
+class FrameSyntax:
+    width: int   # coded (min-CU aligned) luma size
+    height: int
+    cu_log2: np.ndarray = None
+    luma_mode: np.ndarray = None
+    chroma_mode: np.ndarray = None
+    coeff_y: np.ndarray = None
+    coeff_cb: np.ndarray = None
+    coeff_cr: np.ndarray = None
+
+    def __post_init__(self):
+        h8, w8 = self.height // 8, self.width // 8
+        if self.cu_log2 is None:
+            self.cu_log2 = np.full((h8, w8), 3, dtype=np.int32)
+        if self.luma_mode is None:
+            self.luma_mode = np.full((h8, w8), DC_MODE, dtype=np.int32)
+        if self.chroma_mode is None:
+            self.chroma_mode = np.full((h8, w8), 4, dtype=np.int32)
+        if self.coeff_y is None:
+            self.coeff_y = np.zeros((self.height, self.width), dtype=np.int32)
+        if self.coeff_cb is None:
+            self.coeff_cb = np.zeros((self.height // 2, self.width // 2), dtype=np.int32)
+        if self.coeff_cr is None:
+            self.coeff_cr = np.zeros((self.height // 2, self.width // 2), dtype=np.int32)
+
+
+class _SliceCoder:
+    """Shared geometry + context bookkeeping for encode/decode."""
+
+    def __init__(self, fs: FrameSyntax, sps: SeqParams, pps: PicParams):
+        self.fs = fs
+        self.sps = sps
+        self.pps = pps
+        self.ctu = sps.ctu_size
+        self.log2_ctu = sps.log2_ctu
+        self.w = fs.width
+        self.h = fs.height
+        self.wctu = (self.w + self.ctu - 1) >> self.log2_ctu
+        self.hctu = (self.h + self.ctu - 1) >> self.log2_ctu
+        # depth map for split_cu_flag context (depth of *decoded* CUs)
+        self.depth8 = np.full((self.h // 8, self.w // 8), -1, dtype=np.int32)
+
+    # --- context helpers ---------------------------------------------------
+    def split_ctx(self, x0: int, y0: int, depth: int) -> int:
+        c = 0
+        if x0 > 0:
+            d = self.depth8[y0 // 8, (x0 - 1) // 8]
+            c += 1 if d > depth else 0
+        if y0 > 0:
+            d = self.depth8[(y0 - 1) // 8, x0 // 8]
+            c += 1 if d > depth else 0
+        return CTX_OFFSET["split_cu_flag"] + c
+
+    def neighbor_mode(self, x0: int, y0: int, left: bool) -> int:
+        """candIntraPredModeA/B with availability rules (§8.4.2)."""
+        if left:
+            if x0 == 0:
+                return DC_MODE
+            return int(self.fs.luma_mode[y0 // 8, (x0 - 1) // 8])
+        if y0 == 0:
+            return DC_MODE
+        # above outside this CTU row -> DC
+        if (y0 - 1) < ((y0 >> self.log2_ctu) << self.log2_ctu):
+            return DC_MODE
+        return int(self.fs.luma_mode[(y0 - 1) // 8, x0 // 8])
+
+    def mark_cu(self, x0: int, y0: int, log2: int, mode: int, cmode: int):
+        s = 1 << (log2 - 3)
+        y8, x8 = y0 // 8, x0 // 8
+        self.depth8[y8 : y8 + s, x8 : x8 + s] = self.log2_ctu - log2
+        self.fs.cu_log2[y8 : y8 + s, x8 : x8 + s] = log2
+        self.fs.luma_mode[y8 : y8 + s, x8 : x8 + s] = mode
+        self.fs.chroma_mode[y8 : y8 + s, x8 : x8 + s] = cmode
+
+    def chroma_actual_mode(self, cmode_syntax: int, luma_mode: int) -> int:
+        """intra_chroma_pred_mode syntax -> actual mode (§7.4.9.6/Table 8-3)."""
+        if cmode_syntax == 4:
+            return luma_mode
+        m = (0, 26, 10, 1)[cmode_syntax]
+        return 34 if m == luma_mode else m
+
+
+# --- encoding --------------------------------------------------------------
+
+def encode_slice_data(enc: CabacEncoder, fs: FrameSyntax, sps: SeqParams,
+                      pps: PicParams) -> None:
+    sc = _SliceCoder(fs, sps, pps)
+    for cy in range(sc.hctu):
+        for cx in range(sc.wctu):
+            _enc_quadtree(enc, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
+                          sc.log2_ctu, 0)
+            last = (cy == sc.hctu - 1) and (cx == sc.wctu - 1)
+            enc.encode_bin_trm(1 if last else 0)
+
+
+def _enc_quadtree(enc, sc, x0, y0, log2, depth):
+    if x0 >= sc.w or y0 >= sc.h:
+        return  # entirely outside: nothing coded
+    size = 1 << log2
+    inside = (x0 + size <= sc.w) and (y0 + size <= sc.h)
+    want = int(sc.fs.cu_log2[y0 // 8, x0 // 8])
+    split = log2 > want
+    if inside and log2 > sc.sps.log2_min_cu:
+        enc.encode_bin(1 if split else 0, sc.split_ctx(x0, y0, depth))
+    elif not inside:
+        split = True  # implicit
+    if split:
+        half = size >> 1
+        for sy in (0, half):
+            for sx in (0, half):
+                _enc_quadtree(enc, sc, x0 + sx, y0 + sy, log2 - 1, depth + 1)
+        return
+    _enc_cu(enc, sc, x0, y0, log2)
+
+
+def _enc_cu(enc, sc, x0, y0, log2):
+    fs, sps, pps = sc.fs, sc.sps, sc.pps
+    y8, x8 = y0 // 8, x0 // 8
+    mode = int(fs.luma_mode[y8, x8])
+    cmode = int(fs.chroma_mode[y8, x8])
+    # I slice: no skip/pred_mode flags; part_mode only at min CU size
+    if log2 == sps.log2_min_cu:
+        enc.encode_bin(1, CTX_OFFSET["part_mode"])  # 2Nx2N
+    # luma mode (single PU)
+    cand = intra_mpm_list(sc.neighbor_mode(x0, y0, True),
+                          sc.neighbor_mode(x0, y0, False))
+    if mode in cand:
+        idx = cand.index(mode)
+        enc.encode_bin(1, CTX_OFFSET["prev_intra_luma_pred_flag"])
+        enc.encode_bin_ep(0 if idx == 0 else 1)
+        if idx:
+            enc.encode_bin_ep(idx - 1)
+    else:
+        enc.encode_bin(0, CTX_OFFSET["prev_intra_luma_pred_flag"])
+        rem = mode - sum(1 for c in cand if c < mode)
+        enc.encode_bins_ep(rem, 5)
+    # chroma mode
+    if cmode == 4:
+        enc.encode_bin(0, CTX_OFFSET["intra_chroma_pred_mode"])
+    else:
+        enc.encode_bin(1, CTX_OFFSET["intra_chroma_pred_mode"])
+        enc.encode_bins_ep(cmode, 2)
+    sc.mark_cu(x0, y0, log2, mode, cmode)
+    _enc_transform_tree(enc, sc, x0, y0, log2, 0, mode, cmode, True, True)
+
+
+def _tu_cbfs(sc, x0, y0, log2):
+    fs = sc.fs
+    s = 1 << log2
+    cbf_y = bool(fs.coeff_y[y0 : y0 + s, x0 : x0 + s].any())
+    cs = max(4, s >> 1)  # chroma TB size (>= 4)
+    cbf_cb = bool(fs.coeff_cb[y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs].any())
+    cbf_cr = bool(fs.coeff_cr[y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs].any())
+    return cbf_y, cbf_cb, cbf_cr
+
+
+def _enc_transform_tree(enc, sc, x0, y0, log2, depth, mode, cmode,
+                        parent_cb, parent_cr):
+    sps = sc.sps
+    split = log2 > sps.log2_max_tu  # implicit only (encoder keeps TU = CU)
+    explicit = (
+        log2 <= sps.log2_max_tu and log2 > sps.log2_min_tu
+        and depth < sps.max_tu_depth_intra
+    )
+    if explicit:
+        enc.encode_bin(1 if split else 0,
+                       CTX_OFFSET["split_transform_flag"] + (5 - log2))
+    cbf_y, cbf_cb, cbf_cr = _tu_cbfs(sc, x0, y0, log2)
+    if log2 > 2:
+        if parent_cb:
+            enc.encode_bin(1 if cbf_cb else 0, CTX_OFFSET["qt_cbf"] + 5 + depth)
+        if parent_cr:
+            enc.encode_bin(1 if cbf_cr else 0, CTX_OFFSET["qt_cbf"] + 5 + depth)
+    if split:
+        half = 1 << (log2 - 1)
+        for sy in (0, half):
+            for sx in (0, half):
+                _enc_transform_tree(enc, sc, x0 + sx, y0 + sy, log2 - 1,
+                                    depth + 1, mode, cmode, cbf_cb, cbf_cr)
+        return
+    # leaf TU: intra always codes cbf_luma (no rqt_root_cbf in intra)
+    enc.encode_bin(1 if cbf_y else 0,
+                   CTX_OFFSET["qt_cbf"] + (1 if depth == 0 else 0))
+    _enc_transform_unit(enc, sc, x0, y0, log2, depth, mode, cmode,
+                        cbf_y, cbf_cb, cbf_cr)
+
+
+def _enc_transform_unit(enc, sc, x0, y0, log2, depth, mode, cmode,
+                        cbf_y, cbf_cb, cbf_cr):
+    fs, pps = sc.fs, sc.pps
+    s = 1 << log2
+    if not (cbf_y or cbf_cb or cbf_cr):
+        return
+    if cbf_y:
+        scan = intra_scan_idx(mode, log2, True)
+        blk = fs.coeff_y[y0 : y0 + s, x0 : x0 + s]
+        encode_residual(enc, blk, log2, True, scan, pps.sign_data_hiding)
+    # chroma (4:2:0): TBs at log2-1, but never below 4x4; 4x4 luma TUs carry
+    # chroma at the parent 8x8 level (not reachable with TU=CU>=8 encoder)
+    if log2 > 2:
+        clog2 = log2 - 1
+        cs = 1 << clog2
+        cx, cy2 = x0 // 2, y0 // 2
+        actual_cmode = sc.chroma_actual_mode(cmode, mode)
+        cscan = intra_scan_idx(actual_cmode, clog2, False)
+        if cbf_cb:
+            encode_residual(enc, fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs],
+                            clog2, False, cscan, pps.sign_data_hiding)
+        if cbf_cr:
+            encode_residual(enc, fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs],
+                            clog2, False, cscan, pps.sign_data_hiding)
+
+
+# --- decoding --------------------------------------------------------------
+
+def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
+                      width: int, height: int) -> FrameSyntax:
+    fs = FrameSyntax(width, height)
+    sc = _SliceCoder(fs, sps, pps)
+    for cy in range(sc.hctu):
+        for cx in range(sc.wctu):
+            _dec_quadtree(dec, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
+                          sc.log2_ctu, 0)
+            end = dec.decode_bin_trm()
+            last = (cy == sc.hctu - 1) and (cx == sc.wctu - 1)
+            assert end == (1 if last else 0), "end_of_slice mismatch"
+    return fs
+
+
+def _dec_quadtree(dec, sc, x0, y0, log2, depth):
+    if x0 >= sc.w or y0 >= sc.h:
+        return
+    size = 1 << log2
+    inside = (x0 + size <= sc.w) and (y0 + size <= sc.h)
+    if inside and log2 > sc.sps.log2_min_cu:
+        split = dec.decode_bin(sc.split_ctx(x0, y0, depth))
+    elif not inside:
+        split = 1
+    else:
+        split = 0
+    if split:
+        half = size >> 1
+        for sy in (0, half):
+            for sx in (0, half):
+                _dec_quadtree(dec, sc, x0 + sx, y0 + sy, log2 - 1, depth + 1)
+        return
+    _dec_cu(dec, sc, x0, y0, log2)
+
+
+def _dec_cu(dec, sc, x0, y0, log2):
+    sps = sc.sps
+    if log2 == sps.log2_min_cu:
+        part = dec.decode_bin(CTX_OFFSET["part_mode"])
+        assert part == 1, "NxN partitions not yet supported"
+    cand = intra_mpm_list(sc.neighbor_mode(x0, y0, True),
+                          sc.neighbor_mode(x0, y0, False))
+    if dec.decode_bin(CTX_OFFSET["prev_intra_luma_pred_flag"]):
+        idx = 0
+        if dec.decode_bin_ep():
+            idx = 1 + dec.decode_bin_ep()
+        mode = cand[idx]
+    else:
+        rem = dec.decode_bins_ep(5)
+        for c in sorted(cand):
+            if rem >= c:
+                rem += 1
+        mode = rem
+    if dec.decode_bin(CTX_OFFSET["intra_chroma_pred_mode"]):
+        cmode = dec.decode_bins_ep(2)
+    else:
+        cmode = 4
+    sc.mark_cu(x0, y0, log2, mode, cmode)
+    _dec_transform_tree(dec, sc, x0, y0, log2, 0, mode, cmode, True, True)
+
+
+def _dec_transform_tree(dec, sc, x0, y0, log2, depth, mode, cmode,
+                        parent_cb, parent_cr):
+    sps = sc.sps
+    explicit = (
+        log2 <= sps.log2_max_tu and log2 > sps.log2_min_tu
+        and depth < sps.max_tu_depth_intra
+    )
+    if explicit:
+        split = dec.decode_bin(CTX_OFFSET["split_transform_flag"] + (5 - log2))
+    else:
+        split = 1 if log2 > sps.log2_max_tu else 0
+    cbf_cb = cbf_cr = False
+    if log2 > 2:
+        if parent_cb:
+            cbf_cb = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + 5 + depth))
+        if parent_cr:
+            cbf_cr = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + 5 + depth))
+    if split:
+        half = 1 << (log2 - 1)
+        for sy in (0, half):
+            for sx in (0, half):
+                _dec_transform_tree(dec, sc, x0 + sx, y0 + sy, log2 - 1,
+                                    depth + 1, mode, cmode, cbf_cb, cbf_cr)
+        return
+    cbf_y = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + (1 if depth == 0 else 0)))
+    _dec_transform_unit(dec, sc, x0, y0, log2, depth, mode, cmode,
+                        cbf_y, cbf_cb, cbf_cr)
+
+
+def _dec_transform_unit(dec, sc, x0, y0, log2, depth, mode, cmode,
+                        cbf_y, cbf_cb, cbf_cr):
+    fs, pps = sc.fs, sc.pps
+    s = 1 << log2
+    if not (cbf_y or cbf_cb or cbf_cr):
+        return
+    if cbf_y:
+        scan = intra_scan_idx(mode, log2, True)
+        fs.coeff_y[y0 : y0 + s, x0 : x0 + s] = decode_residual(
+            dec, log2, True, scan, pps.sign_data_hiding)
+    if log2 > 2:
+        clog2 = log2 - 1
+        cs = 1 << clog2
+        cx, cy2 = x0 // 2, y0 // 2
+        actual_cmode = sc.chroma_actual_mode(cmode, mode)
+        cscan = intra_scan_idx(actual_cmode, clog2, False)
+        if cbf_cb:
+            fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
+                dec, clog2, False, cscan, pps.sign_data_hiding)
+        if cbf_cr:
+            fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
+                dec, clog2, False, cscan, pps.sign_data_hiding)

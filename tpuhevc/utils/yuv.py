@@ -1,0 +1,82 @@
+"""Planar YUV file I/O + picture hashing + PSNR.
+
+Counterpart of TLibVideoIO/TVideoIOYuv.{h,cpp} (read/write with bit-depth
+handling) and TComPicYuvMD5.cpp (decoded-picture-hash), SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+class YuvReader:
+    """4:2:0 planar reader. Yields (y, u, v) uint8/uint16 arrays."""
+
+    def __init__(self, path: str, width: int, height: int, bit_depth: int = 8):
+        self.path = path
+        self.width = width
+        self.height = height
+        self.bit_depth = bit_depth
+        self._bpp = 1 if bit_depth <= 8 else 2
+        self._frame_bytes = width * height * 3 // 2 * self._bpp
+        self._f = open(path, "rb")
+
+    def __del__(self):
+        try:
+            self._f.close()
+        except Exception:
+            pass
+
+    @property
+    def num_frames(self) -> int:
+        import os
+
+        return os.path.getsize(self.path) // self._frame_bytes
+
+    def read_frame(self, idx: int | None = None):
+        if idx is not None:
+            self._f.seek(idx * self._frame_bytes)
+        raw = self._f.read(self._frame_bytes)
+        if len(raw) < self._frame_bytes:
+            return None
+        dt = np.uint8 if self._bpp == 1 else np.dtype("<u2")
+        w, h = self.width, self.height
+        buf = np.frombuffer(raw, dtype=dt)
+        y = buf[: w * h].reshape(h, w)
+        u = buf[w * h : w * h + w * h // 4].reshape(h // 2, w // 2)
+        v = buf[w * h + w * h // 4 :].reshape(h // 2, w // 2)
+        return y, u, v
+
+
+def write_yuv(path: str, frames, bit_depth: int = 8, append: bool = False):
+    mode = "ab" if append else "wb"
+    dt = np.uint8 if bit_depth <= 8 else np.dtype("<u2")
+    with open(path, mode) as f:
+        for y, u, v in frames:
+            f.write(np.ascontiguousarray(y, dtype=dt).tobytes())
+            f.write(np.ascontiguousarray(u, dtype=dt).tobytes())
+            f.write(np.ascontiguousarray(v, dtype=dt).tobytes())
+
+
+def plane_md5(plane: np.ndarray, bit_depth: int = 8) -> bytes:
+    """MD5 of one plane, per-sample little-endian bytes (TComPicYuvMD5
+    semantics: 1 byte/sample for 8-bit, 2 for higher)."""
+    if bit_depth <= 8:
+        data = np.ascontiguousarray(plane, dtype=np.uint8).tobytes()
+    else:
+        data = np.ascontiguousarray(plane, dtype="<u2").tobytes()
+    return hashlib.md5(data).digest()
+
+
+def picture_md5(y: np.ndarray, u: np.ndarray, v: np.ndarray, bit_depth: int = 8) -> list[bytes]:
+    return [plane_md5(p, bit_depth) for p in (y, u, v)]
+
+
+def psnr(ref: np.ndarray, rec: np.ndarray, bit_depth: int = 8) -> float:
+    maxv = (1 << bit_depth) - 1
+    mse = np.mean((ref.astype(np.float64) - rec.astype(np.float64)) ** 2)
+    if mse == 0:
+        return 999.99
+    return 10.0 * np.log10(maxv * maxv / mse)
