@@ -103,7 +103,8 @@ def encode_frame_intra(orig_y, orig_u, orig_v, cfg: EncoderConfig):
     rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
     order = BlockOrder(w, h, sps.log2_ctu)
     qpc = chroma_qp(qp)
-    sqrt_lambda = np.sqrt(qp_to_lambda(qp, cfg.lambda_qp_factor))
+    # integer fixed-point mode cost (8.8) so the JAX path matches bit-exactly
+    sqlam_fp = int(round(np.sqrt(qp_to_lambda(qp, cfg.lambda_qp_factor)) * 256))
 
     for x8, y8 in _decode_order_cells(w // 8, h // 8, order):
         x0, y0 = x8 * 8, y8 * 8
@@ -121,7 +122,7 @@ def encode_frame_intra(orig_y, orig_u, orig_v, cfg: EncoderConfig):
                                     sps.strong_intra_smoothing)
             preds[mode] = pred
             bits = (2 if mode in cand else 6)
-            cost = satd_np(oblk, pred) + sqrt_lambda * bits
+            cost = int(satd_np(oblk, pred)) + ((bits * sqlam_fp) >> 8)
             if best_cost is None or cost < best_cost:
                 best_cost, best_mode = cost, mode
         mode = best_mode
