@@ -1,0 +1,57 @@
+"""Mesh + sharded building blocks on the virtual 8-device CPU mesh:
+tile-sharded prescreen with halo exchange, DP NN-FME training step."""
+
+import numpy as np
+
+from tpuhevc.parallel.mesh import dp_shard, make_mesh, tile_prescreen
+
+
+def test_mesh_has_8_cpu_devices():
+    import jax
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+
+
+def test_tile_prescreen_runs_and_is_stripe_invariant():
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    h, w = 8 * 8 * 8, 128  # 8 stripes of 8 block-rows
+    rng = np.random.default_rng(0)
+    plane = rng.integers(0, 256, (h, w)).astype(np.int32)
+    fn = tile_prescreen(mesh, h, w)
+    modes, costs = fn(jnp.asarray(plane))
+    modes = np.asarray(modes)
+    costs = np.asarray(costs)
+    assert modes.shape == (h // 8, w // 8)
+    assert (modes >= 0).all() and (modes < 35).all()
+    assert (costs >= 0).all()
+    # interior blocks (not on stripe boundaries) must match a 1-device run
+    mesh1 = make_mesh(1)
+    fn1 = tile_prescreen(mesh1, h, w)
+    m1, c1 = (np.asarray(a) for a in fn1(jnp.asarray(plane)))
+    stripe_rows = h // 8 // 8
+    interior = np.ones(h // 8, dtype=bool)
+    # last block-row of each stripe reads below-left samples past the
+    # stripe (clamped locally) -> advisory-only boundary approximation
+    interior[stripe_rows - 1 :: stripe_rows] = False
+    assert (modes[interior] == m1[interior]).all()
+    assert (costs[interior] == c1[interior]).all()
+
+
+def test_dp_train_step_on_mesh():
+    from tpuhevc.models import nnfme
+
+    mesh = make_mesh(8, axis="data")
+    rng = np.random.default_rng(0)
+    n = 512
+    sads = rng.uniform(0, 1e5, (n, 9)).astype(np.float32)
+    labels = rng.integers(0, 49, n)
+    hs = rng.choice([8, 16], n)
+    ws = rng.choice([8, 16], n)
+    cfg = nnfme.TrainConfig(epochs=2, batch_size=256)
+    params, acc = nnfme.train_fme(sads, labels, hs, ws, cfg, mesh=mesh)
+    assert 0.0 <= acc <= 1.0
+    assert params["w1"].shape == (22, 17)

@@ -1,0 +1,103 @@
+"""Device mesh construction + sharded building blocks.
+
+- make_mesh: 1-D or 2-D logical mesh over available devices
+- dp_shard: NamedSharding for batch-leading arrays (data parallelism)
+- tile_prescreen: CTU-row-stripe-sharded intra SATD prescreen with a
+  ppermute halo exchange for the top reference row (the pattern that scales
+  the per-frame analysis across chips; deblock/SAO/ME windows use the same
+  halo machinery)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "tile"):
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def dp_shard(mesh, axis: str = "tile"):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(axis))
+
+
+def tile_prescreen(mesh, height: int, width: int, bit_depth: int = 8):
+    """Returns a jitted fn: luma plane (H, W) int32 -> (H/8, W/8) best mode
+    + cost via open-loop 35-mode SATD, row-stripe sharded over the mesh with
+    a halo exchange for each stripe's top boundary row.
+
+    H must be divisible by 8 * mesh size. This is the phase-A analysis
+    pattern (SURVEY.md §7 step 8): compute rides the stripes, the one-row
+    halo rides ICI via ppermute.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    from ..ops.cost import hadamard
+    from ..ops.intra import predict_all_modes
+
+    (axis,) = mesh.axis_names
+    n = mesh.devices.size
+    assert height % (8 * n) == 0, (height, n)
+    mid = 1 << (bit_depth - 1)
+    h8m = None
+
+    def local(plane):  # (H/n, W)
+        hl, w = plane.shape
+        nblk = (hl // 8) * (w // 8)
+        # halo: last row of the stripe above (device i-1 -> i)
+        perm = [(i, i + 1) for i in range(n - 1)]
+        halo = jax.lax.ppermute(plane[-1:, :], axis, perm)  # (1, W)
+        first = jax.lax.axis_index(axis) == 0
+        halo = jnp.where(first, jnp.full_like(halo, mid), halo)
+        padded = jnp.concatenate([halo, plane], axis=0)  # (H/n + 1, W)
+
+        # per-8x8-block refs from ORIGINAL pixels (open-loop prescreen)
+        yy = jnp.arange(hl // 8) * 8
+        xx = jnp.arange(w // 8) * 8
+        by, bx = jnp.meshgrid(yy, xx, indexing="ij")
+        by = by.reshape(-1)
+        bx = bx.reshape(-1)
+
+        flat = jnp.concatenate([padded.reshape(-1), jnp.array([mid], jnp.int32)])
+        wpad = w
+
+        def seg_idx(y, x):  # top 17 and left 17 sample indices (clamped)
+            tops = [(y) * wpad + jnp.clip(x - 1 + i, 0, w - 1) for i in range(17)]
+            lefts = [(jnp.clip(y + i, 0, hl) ) * wpad + jnp.clip(x - 1, 0, w - 1)
+                     for i in range(17)]
+            return jnp.stack(tops, -1), jnp.stack(lefts, -1)
+
+        # +1 row offset because of the halo row at the top of `padded`
+        t_idx, l_idx = seg_idx(by, bx)  # by is already +0 => halo row = by
+        top = flat[t_idx]
+        left = flat[l_idx]
+        # boundary fallback: blocks at x==0 take mid-gray left refs
+        # (open-loop prescreen: advisory costs, not normative prediction)
+        left = jnp.where((bx == 0)[:, None], mid, left)
+        preds = predict_all_modes(top, left, 8, True, bit_depth)
+        blocks = padded[1:, :].reshape(hl // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        blocks = blocks.reshape(-1, 1, 8, 8)
+        hm = jnp.asarray(hadamard(8))
+        sat = (jnp.abs(hm @ (blocks - preds) @ hm.T).sum(axis=(-1, -2)) + 2) >> 2
+        best = jnp.argmin(sat, axis=-1)
+        cost = jnp.min(sat, axis=-1)
+        return (best.reshape(hl // 8, w // 8), cost.reshape(hl // 8, w // 8))
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+    return jax.jit(fn)
