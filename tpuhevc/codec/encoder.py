@@ -16,6 +16,7 @@ import numpy as np
 
 from ..entropy import bitio, headers
 from ..entropy.cabac import CabacEncoder, ContextSet
+from ..entropy.native import encode_slice_data_native
 from ..entropy.syntax import encode_slice_data
 from ..utils.yuv import picture_md5, psnr
 from .params import I_SLICE, EncoderConfig
@@ -50,7 +51,7 @@ class Encoder:
         self.first_of_au.append(first_of_au)
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                     poc: int) -> FrameResult:
+                     poc: int, precomputed=None) -> FrameResult:
         cfg, sps, pps = self.cfg, self.cfg.sps, self.cfg.pps
         t0 = time.time()
         if not self._wrote_ps:
@@ -59,7 +60,7 @@ class Encoder:
             self._emit(bitio.make_nal(bitio.NAL_PPS, headers.write_pps(pps)))
             self._wrote_ps = True
 
-        fs, (ry, ru, rv) = self._frame_encoder(y, u, v, cfg)
+        fs, (ry, ru, rv) = precomputed or self._frame_encoder(y, u, v, cfg)
 
         # slice NAL: header + CABAC slice data
         hdr = headers.SliceHeader(
@@ -67,14 +68,18 @@ class Encoder:
             qp=cfg.qp,
         )
         w = headers.write_slice_header(hdr, sps, pps)
-        ctx = ContextSet(2, cfg.qp)  # I-slice init table row
-        cab = CabacEncoder(ctx)
-        encode_slice_data(cab, fs, sps, pps)
-        cab.finish()
-        w.write_bytes(bytes(cab.out))
-        val, nbits = cab.pending_bits
-        w.write(val, nbits)
-        w.rbsp_trailing_bits()
+        payload = encode_slice_data_native(fs, sps, pps, 2, cfg.qp)
+        if payload is not None:  # native fast path (byte-identical)
+            w.write_bytes(payload)
+        else:
+            ctx = ContextSet(2, cfg.qp)  # I-slice init table row
+            cab = CabacEncoder(ctx)
+            encode_slice_data(cab, fs, sps, pps)
+            cab.finish()
+            w.write_bytes(bytes(cab.out))
+            val, nbits = cab.pending_bits
+            w.write(val, nbits)
+            w.rbsp_trailing_bits()
         self._emit(bitio.make_nal(hdr.nal_type, w.getvalue()), first_of_au=True)
 
         # decoded-picture-hash SEI (suffix)
@@ -99,15 +104,22 @@ class Encoder:
 
 
 def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
-                    frame_encoder=None, verbose: bool = False):
+                    frame_encoder=None, verbose: bool = False,
+                    device_batch: int = 0):
+    """device_batch > 0 uses the vmapped multi-frame device path (one
+    device call + one fetch per batch), overlapping host serialization."""
     enc = Encoder(cfg, frame_encoder=frame_encoder)
     n = max_frames if max_frames is not None else cfg.frames
-    recons = []
+    frames = []
     for i in range(n):
         fr = reader.read_frame(i)
         if fr is None:
             break
-        res = enc.encode_frame(*fr, poc=i)
+        frames.append(fr)
+    recons = []
+
+    def _finish(i, fr, pre=None):
+        res = enc.encode_frame(*fr, poc=i, precomputed=pre)
         recons.append(enc._recon)
         if verbose:
             print(
@@ -115,4 +127,18 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
                 f"[Y {res.psnr_y:.4f} U {res.psnr_u:.4f} V {res.psnr_v:.4f}] "
                 f"{res.seconds:.2f}s"
             )
+
+    if device_batch > 0:
+        from .intra_jax import encode_frames_intra_jax_batch
+
+        for s in range(0, len(frames), device_batch):
+            chunk = frames[s : s + device_batch]
+            if len(chunk) < device_batch:  # pad to compiled batch size
+                chunk = chunk + [chunk[-1]] * (device_batch - len(chunk))
+            pre = encode_frames_intra_jax_batch(chunk, cfg)
+            for j, p in enumerate(pre[: min(device_batch, len(frames) - s)]):
+                _finish(s + j, frames[s + j], p)
+    else:
+        for i, fr in enumerate(frames):
+            _finish(i, fr)
     return enc, recons

@@ -314,6 +314,60 @@ def build_frame_encoder(cfg: EncoderConfig):
     return jax.jit(encode)
 
 
+def encode_frames_intra_jax_batch(frames, cfg: EncoderConfig, _cache={}):
+    """Encode a LIST of frames in one device call (vmapped scan + a single
+    packed device->host fetch — all-intra frames are independent, and the
+    remote-TPU tunnel makes per-fetch latency the bottleneck).
+
+    Returns a list of (FrameSyntax, (ry, ru, rv))."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..entropy.syntax import FrameSyntax
+    from .recon import _pad_to
+
+    sps = cfg.sps
+    w, h = sps.coded_width, sps.coded_height
+    key = ("batch", len(frames), w, h, cfg.qp, sps.log2_ctu, sps.bit_depth,
+           sps.strong_intra_smoothing, cfg.lambda_qp_factor)
+    fn = _cache.get(key)
+    if fn is None:
+        single = build_frame_encoder(cfg)
+
+        def packed(oys, ous, ovs):
+            outs = jax.vmap(single)(oys, ous, ovs)
+            # pack everything into one int32 buffer: one host fetch
+            return jnp.concatenate([o.reshape(len(frames), -1) for o in outs],
+                                   axis=1)
+
+        fn = jax.jit(packed)
+        _cache[key] = fn
+    oys = np.stack([_pad_to(np.asarray(f[0]), h, w) for f in frames])
+    ous = np.stack([_pad_to(np.asarray(f[1]), h // 2, w // 2) for f in frames])
+    ovs = np.stack([_pad_to(np.asarray(f[2]), h // 2, w // 2) for f in frames])
+    buf = np.asarray(fn(jnp.asarray(oys), jnp.asarray(ous), jnp.asarray(ovs)))
+    sizes = [h * w, h * w // 4, h * w // 4, h * w // 64,
+             h * w, h * w // 4, h * w // 4]
+    shapes = [(h, w), (h // 2, w // 2), (h // 2, w // 2), (h // 8, w // 8),
+              (h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    results = []
+    for i in range(len(frames)):
+        parts = []
+        off = 0
+        for sz, shp in zip(sizes, shapes):
+            parts.append(buf[i, off : off + sz].reshape(shp))
+            off += sz
+        ry, ru, rv, modes, cy, cb, cr = parts
+        fs = FrameSyntax(w, h)
+        fs.luma_mode[:] = modes
+        fs.chroma_mode[:] = 4
+        fs.coeff_y[:] = cy
+        fs.coeff_cb[:] = cb
+        fs.coeff_cr[:] = cr
+        results.append((fs, (ry, ru, rv)))
+    return results
+
+
 def encode_frame_intra_jax(orig_y, orig_u, orig_v, cfg: EncoderConfig,
                            _cache={}):
     """Drop-in replacement for codec.recon.encode_frame_intra."""
