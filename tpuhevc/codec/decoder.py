@@ -57,11 +57,20 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
         if nal_type <= 31:  # VCL
             assert sps is not None and pps is not None
             hdr, off = headers.parse_slice_header(rbsp, nal_type, sps, pps, sps_rps)
-            assert hdr.slice_type == I_SLICE, "inter decoding lands with the GOP engine"
-            ctx = ContextSet(2, hdr.qp)
+            max_merge = 5 - hdr.five_minus_max_num_merge_cand
+            init_row = 2 if hdr.slice_type == I_SLICE else hdr.slice_type
+            ctx = ContextSet(init_row, hdr.qp)
             dec = CabacDecoder(rbsp[off:], ctx)
-            fs = decode_slice_data(dec, sps, pps, sps.coded_width, sps.coded_height)
-            y, u, v = reconstruct_frame(fs, sps, hdr.qp)
+            fs = decode_slice_data(dec, sps, pps, sps.coded_width,
+                                   sps.coded_height, hdr.slice_type, max_merge)
+            if hdr.slice_type == I_SLICE:
+                y, u, v = reconstruct_frame(fs, sps, hdr.qp)
+            else:
+                from .inter_enc import reconstruct_frame_p
+
+                prev = frames[-1]
+                y, u, v = reconstruct_frame_p(
+                    fs, sps, hdr.qp, (prev.y, prev.u, prev.v))
             pending = DecodedFrame(poc=hdr.poc, y=y, u=u, v=v)
             frames.append(pending)
     return frames

@@ -19,7 +19,7 @@ from ..entropy.cabac import CabacEncoder, ContextSet
 from ..entropy.native import encode_slice_data_native
 from ..entropy.syntax import encode_slice_data
 from ..utils.yuv import picture_md5, psnr
-from .params import I_SLICE, EncoderConfig
+from .params import I_SLICE, P_SLICE, EncoderConfig
 from .recon import encode_frame_intra
 
 
@@ -45,6 +45,16 @@ class Encoder:
         self.results: list[FrameResult] = []
         self._wrote_ps = False
         self._frame_encoder = frame_encoder or encode_frame_intra
+        self.dpb_recon = None  # previous frame recon (single-ref LD-P)
+        self.nn_params = None
+        if cfg.fme_mode == "nn":
+            self.nn_params = _load_nn_params(cfg)
+
+    def _slice_type(self, poc: int) -> int:
+        ip = self.cfg.intra_period
+        if poc == 0 or ip == 1 or (ip > 0 and poc % ip == 0):
+            return I_SLICE
+        return P_SLICE
 
     def _emit(self, nal: bytes, first_of_au: bool = False) -> None:
         self.nals.append(nal)
@@ -60,27 +70,49 @@ class Encoder:
             self._emit(bitio.make_nal(bitio.NAL_PPS, headers.write_pps(pps)))
             self._wrote_ps = True
 
-        fs, (ry, ru, rv) = precomputed or self._frame_encoder(y, u, v, cfg)
+        stype = self._slice_type(poc)
+        if precomputed is not None:
+            fs, (ry, ru, rv) = precomputed
+        elif stype == I_SLICE:
+            fs, (ry, ru, rv) = self._frame_encoder(y, u, v, cfg)
+        else:
+            from .inter_enc import encode_frame_p
 
-        # slice NAL: header + CABAC slice data
-        hdr = headers.SliceHeader(
-            slice_type=I_SLICE, nal_type=bitio.NAL_IDR_W_RADL, poc=poc,
-            qp=cfg.qp,
-        )
+            fs, (ry, ru, rv) = encode_frame_p(
+                (y, u, v), self.dpb_recon, cfg, self.nn_params)
+
+        max_merge = cfg.max_num_merge_cand
+        if stype == I_SLICE:
+            hdr = headers.SliceHeader(
+                slice_type=I_SLICE, nal_type=bitio.NAL_IDR_W_RADL, poc=poc,
+                qp=cfg.qp,
+            )
+            init_row = 2
+        else:
+            hdr = headers.SliceHeader(
+                slice_type=P_SLICE, nal_type=bitio.NAL_TRAIL_R, poc=poc,
+                qp=cfg.qp, rps=headers.ShortTermRPS([-1], [1]),
+                num_ref_idx_l0=1,
+                five_minus_max_num_merge_cand=5 - max_merge,
+            )
+            init_row = 1
         w = headers.write_slice_header(hdr, sps, pps)
-        payload = encode_slice_data_native(fs, sps, pps, 2, cfg.qp)
+        payload = None
+        if stype == I_SLICE:
+            payload = encode_slice_data_native(fs, sps, pps, init_row, cfg.qp)
         if payload is not None:  # native fast path (byte-identical)
             w.write_bytes(payload)
         else:
-            ctx = ContextSet(2, cfg.qp)  # I-slice init table row
+            ctx = ContextSet(init_row, cfg.qp)
             cab = CabacEncoder(ctx)
-            encode_slice_data(cab, fs, sps, pps)
+            encode_slice_data(cab, fs, sps, pps, stype, max_merge)
             cab.finish()
             w.write_bytes(bytes(cab.out))
             val, nbits = cab.pending_bits
             w.write(val, nbits)
             w.rbsp_trailing_bits()
         self._emit(bitio.make_nal(hdr.nal_type, w.getvalue()), first_of_au=True)
+        self.dpb_recon = (ry, ru, rv)
 
         # decoded-picture-hash SEI (suffix)
         md5s = picture_md5(ry, ru, rv, sps.bit_depth)
@@ -142,3 +174,23 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
         for i, fr in enumerate(frames):
             _finish(i, fr)
     return enc, recons
+
+
+def _load_nn_params(cfg: EncoderConfig):
+    """Per-QP NN-FME weights: explicit dir (npz or CSV tree) or the
+    reference DL export if mounted; None disables (falls back to integer)."""
+    import os
+
+    from ..models import nnfme
+
+    d = cfg.nn_weights_dir
+    if d and d.endswith(".npz") and os.path.exists(d):
+        return nnfme.select_qp_params(nnfme.load_npz(d), cfg.qp)
+    for root in ([d] if d else []) + ["/root/reference/DL/blowing"]:
+        if root and os.path.isdir(root):
+            qp_dir = os.path.join(root, str(cfg.qp))
+            if not os.path.isdir(qp_dir):
+                qp_dir = os.path.join(root, "22")  # reference QP fallback
+            if os.path.isdir(qp_dir):
+                return nnfme.load_csv_weights(qp_dir)
+    return None

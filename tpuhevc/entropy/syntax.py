@@ -36,6 +36,13 @@ class FrameSyntax:
     coeff_y: np.ndarray = None
     coeff_cb: np.ndarray = None
     coeff_cr: np.ndarray = None
+    # inter (P slices), per 8x8 cell, replicated across each CU:
+    skip: np.ndarray = None        # cu_skip_flag
+    merge_flag: np.ndarray = None
+    merge_idx: np.ndarray = None
+    mvp_flag: np.ndarray = None
+    mv: np.ndarray = None          # (h8, w8, 2) quarter-pel, final MV
+    mvd: np.ndarray = None         # (h8, w8, 2)
 
     def __post_init__(self):
         h8, w8 = self.height // 8, self.width // 8
@@ -51,15 +58,30 @@ class FrameSyntax:
             self.coeff_cb = np.zeros((self.height // 2, self.width // 2), dtype=np.int32)
         if self.coeff_cr is None:
             self.coeff_cr = np.zeros((self.height // 2, self.width // 2), dtype=np.int32)
+        if self.skip is None:
+            self.skip = np.zeros((h8, w8), dtype=np.int32)
+        if self.merge_flag is None:
+            self.merge_flag = np.zeros((h8, w8), dtype=np.int32)
+        if self.merge_idx is None:
+            self.merge_idx = np.zeros((h8, w8), dtype=np.int32)
+        if self.mvp_flag is None:
+            self.mvp_flag = np.zeros((h8, w8), dtype=np.int32)
+        if self.mv is None:
+            self.mv = np.zeros((h8, w8, 2), dtype=np.int32)
+        if self.mvd is None:
+            self.mvd = np.zeros((h8, w8, 2), dtype=np.int32)
 
 
 class _SliceCoder:
     """Shared geometry + context bookkeeping for encode/decode."""
 
-    def __init__(self, fs: FrameSyntax, sps: SeqParams, pps: PicParams):
+    def __init__(self, fs: FrameSyntax, sps: SeqParams, pps: PicParams,
+                 slice_type: int = I_SLICE, max_merge: int = 5):
         self.fs = fs
         self.sps = sps
         self.pps = pps
+        self.slice_type = slice_type
+        self.max_merge = max_merge
         self.ctu = sps.ctu_size
         self.log2_ctu = sps.log2_ctu
         self.w = fs.width
@@ -68,6 +90,12 @@ class _SliceCoder:
         self.hctu = (self.h + self.ctu - 1) >> self.log2_ctu
         # depth map for split_cu_flag context (depth of *decoded* CUs)
         self.depth8 = np.full((self.h // 8, self.w // 8), -1, dtype=np.int32)
+        if slice_type != I_SLICE:
+            from ..codec.mv import MvField
+            from ..codec.refsamples import BlockOrder
+
+            self.order = BlockOrder(self.w, self.h, self.log2_ctu)
+            self.mvfield = MvField(self.w // 8, self.h // 8)
 
     # --- context helpers ---------------------------------------------------
     def split_ctx(self, x0: int, y0: int, depth: int) -> int:
@@ -112,8 +140,9 @@ class _SliceCoder:
 # --- encoding --------------------------------------------------------------
 
 def encode_slice_data(enc: CabacEncoder, fs: FrameSyntax, sps: SeqParams,
-                      pps: PicParams) -> None:
-    sc = _SliceCoder(fs, sps, pps)
+                      pps: PicParams, slice_type: int = I_SLICE,
+                      max_merge: int = 5) -> None:
+    sc = _SliceCoder(fs, sps, pps, slice_type, max_merge)
     for cy in range(sc.hctu):
         for cx in range(sc.wctu):
             _enc_quadtree(enc, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
@@ -139,7 +168,10 @@ def _enc_quadtree(enc, sc, x0, y0, log2, depth):
             for sx in (0, half):
                 _enc_quadtree(enc, sc, x0 + sx, y0 + sy, log2 - 1, depth + 1)
         return
-    _enc_cu(enc, sc, x0, y0, log2)
+    if sc.slice_type == I_SLICE:
+        _enc_cu(enc, sc, x0, y0, log2)
+    else:
+        _enc_cu_p(enc, sc, x0, y0, log2)
 
 
 def _enc_cu(enc, sc, x0, y0, log2):
@@ -243,9 +275,10 @@ def _enc_transform_unit(enc, sc, x0, y0, log2, depth, mode, cmode,
 # --- decoding --------------------------------------------------------------
 
 def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
-                      width: int, height: int) -> FrameSyntax:
+                      width: int, height: int, slice_type: int = I_SLICE,
+                      max_merge: int = 5) -> FrameSyntax:
     fs = FrameSyntax(width, height)
-    sc = _SliceCoder(fs, sps, pps)
+    sc = _SliceCoder(fs, sps, pps, slice_type, max_merge)
     for cy in range(sc.hctu):
         for cx in range(sc.wctu):
             _dec_quadtree(dec, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
@@ -273,7 +306,10 @@ def _dec_quadtree(dec, sc, x0, y0, log2, depth):
             for sx in (0, half):
                 _dec_quadtree(dec, sc, x0 + sx, y0 + sy, log2 - 1, depth + 1)
         return
-    _dec_cu(dec, sc, x0, y0, log2)
+    if sc.slice_type == I_SLICE:
+        _dec_cu(dec, sc, x0, y0, log2)
+    else:
+        _dec_cu_p(dec, sc, x0, y0, log2)
 
 
 def _dec_cu(dec, sc, x0, y0, log2):
@@ -353,3 +389,283 @@ def _dec_transform_unit(dec, sc, x0, y0, log2, depth, mode, cmode,
         if cbf_cr:
             fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
                 dec, clog2, False, cscan, pps.sign_data_hiding)
+
+
+# --- inter (P slice) CU coding ----------------------------------------------
+
+def _mark_inter_cu(sc, x0, y0, log2, mv, skip, merge_f, merge_i, mvp_f, mvd):
+    fs = sc.fs
+    s8 = 1 << (log2 - 3)
+    y8, x8 = y0 // 8, x0 // 8
+    sc.depth8[y8 : y8 + s8, x8 : x8 + s8] = sc.log2_ctu - log2
+    fs.cu_log2[y8 : y8 + s8, x8 : x8 + s8] = log2
+    fs.skip[y8 : y8 + s8, x8 : x8 + s8] = skip
+    fs.merge_flag[y8 : y8 + s8, x8 : x8 + s8] = merge_f
+    fs.merge_idx[y8 : y8 + s8, x8 : x8 + s8] = merge_i
+    fs.mvp_flag[y8 : y8 + s8, x8 : x8 + s8] = mvp_f
+    fs.mv[y8 : y8 + s8, x8 : x8 + s8] = mv
+    fs.mvd[y8 : y8 + s8, x8 : x8 + s8] = mvd
+    sc.mvfield.set_cu(x0, y0, 1 << log2, mv)
+
+
+def _skip_ctx(sc, x0, y0):
+    c = 0
+    if x0 > 0 and sc.fs.skip[y0 // 8, (x0 - 1) // 8] and sc.depth8[y0 // 8, (x0 - 1) // 8] >= 0:
+        c += 1
+    if y0 > 0 and sc.fs.skip[(y0 - 1) // 8, x0 // 8] and sc.depth8[(y0 - 1) // 8, x0 // 8] >= 0:
+        c += 1
+    return CTX_OFFSET["cu_skip_flag"] + c
+
+
+def _enc_merge_idx(enc, idx, max_merge):
+    if max_merge <= 1:
+        return
+    enc.encode_bin(1 if idx > 0 else 0, CTX_OFFSET["merge_idx"])
+    for k in range(1, idx):
+        enc.encode_bin_ep(1)
+    if 0 < idx < max_merge - 1:
+        enc.encode_bin_ep(0)
+
+
+def _dec_merge_idx(dec, max_merge):
+    if max_merge <= 1:
+        return 0
+    if not dec.decode_bin(CTX_OFFSET["merge_idx"]):
+        return 0
+    idx = 1
+    while idx < max_merge - 1 and dec.decode_bin_ep():
+        idx += 1
+    return idx
+
+
+def _enc_mvd(enc, mvd):
+    dx, dy = int(mvd[0]), int(mvd[1])
+    enc.encode_bin(1 if dx != 0 else 0, CTX_OFFSET["abs_mvd_greater_flag"])
+    enc.encode_bin(1 if dy != 0 else 0, CTX_OFFSET["abs_mvd_greater_flag"])
+    if dx:
+        enc.encode_bin(1 if abs(dx) > 1 else 0,
+                       CTX_OFFSET["abs_mvd_greater_flag"] + 1)
+    if dy:
+        enc.encode_bin(1 if abs(dy) > 1 else 0,
+                       CTX_OFFSET["abs_mvd_greater_flag"] + 1)
+    for d in (dx, dy):
+        if d:
+            if abs(d) > 1:
+                _enc_eg1(enc, abs(d) - 2)
+            enc.encode_bin_ep(1 if d < 0 else 0)
+
+
+def _dec_mvd(dec):
+    gx = dec.decode_bin(CTX_OFFSET["abs_mvd_greater_flag"])
+    gy = dec.decode_bin(CTX_OFFSET["abs_mvd_greater_flag"])
+    g1x = dec.decode_bin(CTX_OFFSET["abs_mvd_greater_flag"] + 1) if gx else 0
+    g1y = dec.decode_bin(CTX_OFFSET["abs_mvd_greater_flag"] + 1) if gy else 0
+    out = []
+    for g, g1 in ((gx, g1x), (gy, g1y)):
+        if not g:
+            out.append(0)
+            continue
+        v = (2 + _dec_eg1(dec)) if g1 else 1
+        if dec.decode_bin_ep():
+            v = -v
+        out.append(v)
+    return out
+
+
+def _enc_eg1(enc, v):
+    """1st-order Exp-Golomb, bypass (§9.3.3.3)."""
+    k = 1
+    while v >= (1 << k):
+        enc.encode_bin_ep(1)
+        v -= 1 << k
+        k += 1
+    enc.encode_bin_ep(0)
+    if k:
+        enc.encode_bins_ep(v, k)
+
+
+def _dec_eg1(dec):
+    k = 1
+    base = 0
+    while dec.decode_bin_ep():
+        base += 1 << k
+        k += 1
+    return base + (dec.decode_bins_ep(k) if k else 0)
+
+
+def _enc_cu_p(enc, sc, x0, y0, log2):
+    from ..codec.mv import amvp_candidates, merge_candidates
+
+    fs = sc.fs
+    y8, x8 = y0 // 8, x0 // 8
+    skip = int(fs.skip[y8, x8])
+    merge_f = int(fs.merge_flag[y8, x8])
+    merge_i = int(fs.merge_idx[y8, x8])
+    mvp_f = int(fs.mvp_flag[y8, x8])
+    mv = fs.mv[y8, x8].copy()
+    mvd = fs.mvd[y8, x8].copy()
+    size = 1 << log2
+
+    enc.encode_bin(skip, _skip_ctx(sc, x0, y0))
+    if skip:
+        _enc_merge_idx(enc, merge_i, sc.max_merge)
+        _mark_inter_cu(sc, x0, y0, log2, mv, 1, 1, merge_i, 0, (0, 0))
+        return
+    enc.encode_bin(0, CTX_OFFSET["pred_mode_flag"])  # inter
+    enc.encode_bin(1, CTX_OFFSET["part_mode"])       # 2Nx2N
+    enc.encode_bin(merge_f, CTX_OFFSET["merge_flag"])
+    if merge_f:
+        _enc_merge_idx(enc, merge_i, sc.max_merge)
+    else:
+        _enc_mvd(enc, mvd)
+        enc.encode_bin(mvp_f, CTX_OFFSET["mvp_flag"])
+    _mark_inter_cu(sc, x0, y0, log2, mv, 0, merge_f, merge_i, mvp_f, mvd)
+    cbf_y, cbf_cb, cbf_cr = _tu_cbfs(sc, x0, y0, log2)
+    root_cbf = 1 if (cbf_y or cbf_cb or cbf_cr) else 0
+    if not merge_f:  # 2Nx2N merge infers rqt_root_cbf = 1
+        enc.encode_bin(root_cbf, CTX_OFFSET["rqt_root_cbf"])
+    if root_cbf:
+        _enc_transform_tree_p(enc, sc, x0, y0, log2, 0, True, True)
+
+
+def _dec_cu_p(dec, sc, x0, y0, log2):
+    from ..codec.mv import amvp_candidates, merge_candidates
+
+    size = 1 << log2
+    skip = dec.decode_bin(_skip_ctx(sc, x0, y0))
+    if skip:
+        merge_i = _dec_merge_idx(dec, sc.max_merge)
+        cands = merge_candidates(sc.mvfield, sc.order, x0, y0, size,
+                                 sc.max_merge)
+        mv = np.array(cands[merge_i], dtype=np.int32)
+        _mark_inter_cu(sc, x0, y0, log2, mv, 1, 1, merge_i, 0, (0, 0))
+        return
+    pred_mode = dec.decode_bin(CTX_OFFSET["pred_mode_flag"])
+    assert pred_mode == 0, "intra CU in P slice not yet emitted"
+    part = dec.decode_bin(CTX_OFFSET["part_mode"])
+    assert part == 1
+    merge_f = dec.decode_bin(CTX_OFFSET["merge_flag"])
+    merge_i = mvp_f = 0
+    mvd = np.zeros(2, dtype=np.int32)
+    if merge_f:
+        merge_i = _dec_merge_idx(dec, sc.max_merge)
+        cands = merge_candidates(sc.mvfield, sc.order, x0, y0, size,
+                                 sc.max_merge)
+        mv = np.array(cands[merge_i], dtype=np.int32)
+    else:
+        mvd = np.array(_dec_mvd(dec), dtype=np.int32)
+        mvp_f = dec.decode_bin(CTX_OFFSET["mvp_flag"])
+        cands = amvp_candidates(sc.mvfield, sc.order, x0, y0, size)
+        mv = mvd + np.array(cands[mvp_f], dtype=np.int32)
+    _mark_inter_cu(sc, x0, y0, log2, mv, 0, merge_f, merge_i, mvp_f, mvd)
+    root_cbf = 1
+    if not merge_f:
+        root_cbf = dec.decode_bin(CTX_OFFSET["rqt_root_cbf"])
+    if root_cbf:
+        _dec_transform_tree_p(dec, sc, x0, y0, log2, 0, True, True)
+
+
+def _enc_transform_tree_p(enc, sc, x0, y0, log2, depth, parent_cb, parent_cr):
+    sps = sc.sps
+    split = log2 > sps.log2_max_tu
+    explicit = (
+        log2 <= sps.log2_max_tu and log2 > sps.log2_min_tu
+        and depth < sps.max_tu_depth_inter
+    )
+    if explicit:
+        enc.encode_bin(1 if split else 0,
+                       CTX_OFFSET["split_transform_flag"] + (5 - log2))
+    cbf_y, cbf_cb, cbf_cr = _tu_cbfs(sc, x0, y0, log2)
+    if log2 > 2:
+        if parent_cb:
+            enc.encode_bin(1 if cbf_cb else 0, CTX_OFFSET["qt_cbf"] + 5 + depth)
+        if parent_cr:
+            enc.encode_bin(1 if cbf_cr else 0, CTX_OFFSET["qt_cbf"] + 5 + depth)
+    if split:
+        half = 1 << (log2 - 1)
+        for sy in (0, half):
+            for sx in (0, half):
+                _enc_transform_tree_p(enc, sc, x0 + sx, y0 + sy, log2 - 1,
+                                      depth + 1, cbf_cb, cbf_cr)
+        return
+    # inter leaf: cbf_luma inferred 1 at depth 0 with no chroma cbf
+    if depth != 0 or cbf_cb or cbf_cr:
+        enc.encode_bin(1 if cbf_y else 0,
+                       CTX_OFFSET["qt_cbf"] + (1 if depth == 0 else 0))
+    else:
+        assert cbf_y, "rqt_root_cbf=1 requires residual at inferred leaf"
+    _enc_transform_unit_p(enc, sc, x0, y0, log2, cbf_y, cbf_cb, cbf_cr)
+
+
+def _dec_transform_tree_p(dec, sc, x0, y0, log2, depth, parent_cb, parent_cr):
+    sps = sc.sps
+    explicit = (
+        log2 <= sps.log2_max_tu and log2 > sps.log2_min_tu
+        and depth < sps.max_tu_depth_inter
+    )
+    if explicit:
+        split = dec.decode_bin(CTX_OFFSET["split_transform_flag"] + (5 - log2))
+    else:
+        split = 1 if log2 > sps.log2_max_tu else 0
+    cbf_cb = cbf_cr = False
+    if log2 > 2:
+        if parent_cb:
+            cbf_cb = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + 5 + depth))
+        if parent_cr:
+            cbf_cr = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + 5 + depth))
+    if split:
+        half = 1 << (log2 - 1)
+        for sy in (0, half):
+            for sx in (0, half):
+                _dec_transform_tree_p(dec, sc, x0 + sx, y0 + sy, log2 - 1,
+                                      depth + 1, cbf_cb, cbf_cr)
+        return
+    if depth != 0 or cbf_cb or cbf_cr:
+        cbf_y = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + (1 if depth == 0 else 0)))
+    else:
+        cbf_y = True
+    _dec_transform_unit_p(dec, sc, x0, y0, log2, cbf_y, cbf_cb, cbf_cr)
+
+
+def _enc_transform_unit_p(enc, sc, x0, y0, log2, cbf_y, cbf_cb, cbf_cr):
+    from ..utils.tables import SCAN_DIAG
+
+    fs, pps = sc.fs, sc.pps
+    s = 1 << log2
+    if not (cbf_y or cbf_cb or cbf_cr):
+        return
+    if cbf_y:
+        encode_residual(enc, fs.coeff_y[y0 : y0 + s, x0 : x0 + s], log2,
+                        True, SCAN_DIAG, pps.sign_data_hiding)
+    if log2 > 2:
+        clog2 = log2 - 1
+        cs = 1 << clog2
+        cx, cy2 = x0 // 2, y0 // 2
+        if cbf_cb:
+            encode_residual(enc, fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs],
+                            clog2, False, SCAN_DIAG, pps.sign_data_hiding)
+        if cbf_cr:
+            encode_residual(enc, fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs],
+                            clog2, False, SCAN_DIAG, pps.sign_data_hiding)
+
+
+def _dec_transform_unit_p(dec, sc, x0, y0, log2, cbf_y, cbf_cb, cbf_cr):
+    from ..utils.tables import SCAN_DIAG
+
+    fs, pps = sc.fs, sc.pps
+    s = 1 << log2
+    if not (cbf_y or cbf_cb or cbf_cr):
+        return
+    if cbf_y:
+        fs.coeff_y[y0 : y0 + s, x0 : x0 + s] = decode_residual(
+            dec, log2, True, SCAN_DIAG, pps.sign_data_hiding)
+    if log2 > 2:
+        clog2 = log2 - 1
+        cs = 1 << clog2
+        cx, cy2 = x0 // 2, y0 // 2
+        if cbf_cb:
+            fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
+                dec, clog2, False, SCAN_DIAG, pps.sign_data_hiding)
+        if cbf_cr:
+            fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
+                dec, clog2, False, SCAN_DIAG, pps.sign_data_hiding)
