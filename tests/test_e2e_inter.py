@@ -1,0 +1,133 @@
+"""End-to-end LD-P: encode (IDR + P frames, NN-FME / integer-only) ->
+own decoder MD5 -> HM reference oracle. Also ME/MV unit checks."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from tpuhevc.codec.decoder import decode_stream
+from tpuhevc.codec.encoder import Encoder
+from tpuhevc.codec.params import EncoderConfig, SeqParams
+
+HM_DEC = "/tmp/hmref/TAppDecoder"
+HAS_REF_WEIGHTS = os.path.isdir("/root/reference/DL/blowing")
+
+
+def _moving_clip(w, h, n, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0 : h + 64, 0 : w + 64].astype(np.float32)
+    base = np.clip(
+        120 + 70 * np.sin(xx / 19.0) + 50 * np.cos(yy / 23.0)
+        + rng.integers(-8, 9, yy.shape), 0, 255,
+    ).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        dx, dy = (3 * t) % 32, (2 * t) % 32
+        y = base[dy : dy + h, dx : dx + w]
+        u = np.full((h // 2, w // 2), 90 + 2 * t, np.uint8)
+        v = np.full((h // 2, w // 2), 160 - 2 * t, np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def _encode_ldp(w, h, n, qp=32, fme="none"):
+    cfg = EncoderConfig(
+        sps=SeqParams(width=w, height=h, max_tu_depth_intra=0),
+        qp=qp, intra_period=-1, fme_mode=fme,
+    )
+    enc = Encoder(cfg)
+    for i, fr in enumerate(_moving_clip(w, h, n)):
+        enc.encode_frame(*fr, poc=i)
+    return enc
+
+
+def _check(enc, tmp_path):
+    bs = enc.bitstream()
+    frames = decode_stream(bs)
+    assert all(f.md5_ok for f in frames)
+    if os.path.exists(HM_DEC):
+        p = tmp_path / "t.bin"
+        p.write_bytes(bs)
+        out = subprocess.run(
+            [HM_DEC, "-b", str(p), "-o", str(tmp_path / "o.yuv")],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.count("(OK)") == len(frames)
+        assert "ERROR" not in out.stdout
+    return frames
+
+
+def test_ldp_integer_me(tmp_path):
+    enc = _encode_ldp(128, 64, 4, fme="none")
+    _check(enc, tmp_path)
+    # pure-translation clip: P frames mostly skip, cheaper than the IDR,
+    # and carry the intra frame's quality forward through MC
+    assert enc.results[1].bits < enc.results[0].bits
+    assert enc.results[1].psnr_y > enc.results[0].psnr_y - 0.5
+
+
+@pytest.mark.skipif(not HAS_REF_WEIGHTS, reason="reference weights absent")
+def test_ldp_nn_fme(tmp_path):
+    enc = _encode_ldp(128, 64, 4, qp=32, fme="nn")
+    frames = _check(enc, tmp_path)
+    # subpel MVs must actually occur (NN output used)
+    assert len(frames) == 4
+
+
+def test_ldp_partial_border(tmp_path):
+    enc = _encode_ldp(104, 72, 3, fme="none")
+    _check(enc, tmp_path)
+
+
+@pytest.mark.skipif(not HAS_REF_WEIGHTS, reason="reference weights absent")
+def test_nn_vs_integer_ab(tmp_path):
+    """A/B: same clip, fme=nn vs fme=none — both conformant; report RD."""
+    e_nn = _encode_ldp(128, 64, 5, fme="nn")
+    e_no = _encode_ldp(128, 64, 5, fme="none")
+    _check(e_nn, tmp_path)
+    _check(e_no, tmp_path)
+    bits_nn = sum(r.bits for r in e_nn.results[1:])
+    bits_no = sum(r.bits for r in e_no.results[1:])
+    psnr_nn = np.mean([r.psnr_y for r in e_nn.results[1:]])
+    psnr_no = np.mean([r.psnr_y for r in e_no.results[1:]])
+    # the clip has integer motion; NN must not catastrophically lose
+    assert bits_nn < bits_no * 1.5
+    assert psnr_nn > psnr_no - 1.0
+
+
+def test_me_finds_translation():
+    from tpuhevc.ops import me as me_ops
+
+    rng = np.random.default_rng(3)
+    ref = rng.integers(0, 256, (96, 96)).astype(np.int32)
+    # current = ref shifted by (5, -3)
+    cur_plane = np.roll(np.roll(ref, -5, axis=1), 3, axis=0)
+    xs = np.array([32, 48])
+    ys = np.array([32, 48])
+    cur = np.stack([cur_plane[y : y + 16, x : x + 16] for x, y in zip(xs, ys)])
+    mv, sad_map, best = me_ops.integer_me_np(ref, cur, xs, ys, 8, 0)
+    assert (mv == [5, -3]).all()
+    s9 = me_ops.sad_surface_np(sad_map, best)
+    assert (s9[:, 4] == 0).all()  # center SAD exactly zero
+
+
+def test_me_jax_matches_np():
+    import jax.numpy as jnp
+
+    from tpuhevc.ops import me as me_ops
+
+    rng = np.random.default_rng(4)
+    ref = rng.integers(0, 256, (64, 80)).astype(np.int32)
+    cur = rng.integers(0, 256, (6, 8, 8)).astype(np.int32)
+    xs = rng.integers(0, 70, 6)
+    ys = rng.integers(0, 50, 6)
+    mv_np, sad_map, best = me_ops.integer_me_np(ref, cur, xs, ys, 6, 77)
+    s9_np = me_ops.sad_surface_np(sad_map, best)
+    mv_j, s9_j = me_ops.integer_me(
+        jnp.asarray(ref), jnp.asarray(cur), jnp.asarray(xs), jnp.asarray(ys),
+        6, 77)
+    assert (np.asarray(mv_j) == mv_np).all()
+    assert (np.asarray(s9_j) == s9_np).all()
