@@ -214,8 +214,17 @@ struct Frame {
   const int32_t* coeff_y;
   const int32_t* coeff_cb;
   const int32_t* coeff_cr;
+  // inter arrays (P slices; null for I)
+  const int32_t* skip;
+  const int32_t* merge_flag;
+  const int32_t* merge_idx;
+  const int32_t* mvp_flag;
+  const int32_t* mvd;  // (h8*w8*2)
   int w, h, w8, h8, cw;
   int log2_ctu, log2_min_cu, log2_min_tu, log2_max_tu, max_tu_depth_intra;
+  int max_tu_depth_inter;
+  int slice_type;  // 2 = I, 1 = P
+  int max_merge;
   int sign_hiding;
   std::vector<int8_t> depth8;  // decoded-CU depth map (-1 = none)
 };
@@ -583,7 +592,137 @@ struct SliceEnc {
           quadtree(x0 + sx, y0 + sy, log2 - 1, depth + 1);
       return;
     }
-    cu(x0, y0, log2);
+    if (f.slice_type == 2)
+      cu(x0, y0, log2);
+    else
+      cu_p(x0, y0, log2);
+  }
+
+  // ----------------------------------------------------------- inter CU
+  void mark_depth(int x0, int y0, int log2) {
+    int s8 = 1 << (log2 - 3);
+    for (int yy = y0 >> 3; yy < (y0 >> 3) + s8; yy++)
+      for (int xx = x0 >> 3; xx < (x0 >> 3) + s8; xx++)
+        f.depth8[yy * f.w8 + xx] = (int8_t)(f.log2_ctu - log2);
+  }
+
+  int skip_ctx(int x0, int y0) {
+    int ci = 0;
+    if (x0 > 0 && f.skip[(y0 >> 3) * f.w8 + ((x0 - 1) >> 3)] &&
+        f.depth8[(y0 >> 3) * f.w8 + ((x0 - 1) >> 3)] >= 0)
+      ci++;
+    if (y0 > 0 && f.skip[((y0 - 1) >> 3) * f.w8 + (x0 >> 3)] &&
+        f.depth8[((y0 - 1) >> 3) * f.w8 + (x0 >> 3)] >= 0)
+      ci++;
+    return kOffCuSkipFlag + ci;
+  }
+
+  void enc_merge_idx(int idx) {
+    if (f.max_merge <= 1) return;
+    c.bin(idx > 0 ? 1 : 0, kOffMergeIdx);
+    for (int k = 1; k < idx; k++) c.ep(1);
+    if (idx > 0 && idx < f.max_merge - 1) c.ep(0);
+  }
+
+  void enc_eg1(uint32_t v) {
+    int k = 1;
+    while (v >= (1u << k)) {
+      c.ep(1);
+      v -= 1u << k;
+      k++;
+    }
+    c.ep(0);
+    if (k) c.eps(v, k);
+  }
+
+  void enc_mvd(int dx, int dy) {
+    c.bin(dx != 0 ? 1 : 0, kOffAbsMvdGreaterFlag);
+    c.bin(dy != 0 ? 1 : 0, kOffAbsMvdGreaterFlag);
+    int adx = dx < 0 ? -dx : dx, ady = dy < 0 ? -dy : dy;
+    if (dx) c.bin(adx > 1 ? 1 : 0, kOffAbsMvdGreaterFlag + 1);
+    if (dy) c.bin(ady > 1 ? 1 : 0, kOffAbsMvdGreaterFlag + 1);
+    if (dx) {
+      if (adx > 1) enc_eg1(adx - 2);
+      c.ep(dx < 0 ? 1 : 0);
+    }
+    if (dy) {
+      if (ady > 1) enc_eg1(ady - 2);
+      c.ep(dy < 0 ? 1 : 0);
+    }
+  }
+
+  void cu_p(int x0, int y0, int log2) {
+    int ci = (y0 >> 3) * f.w8 + (x0 >> 3);
+    int skip = f.skip[ci];
+    c.bin(skip ? 1 : 0, skip_ctx(x0, y0));
+    if (skip) {
+      enc_merge_idx(f.merge_idx[ci]);
+      mark_depth(x0, y0, log2);
+      return;
+    }
+    c.bin(0, kOffPredModeFlag);  // inter
+    c.bin(1, kOffPartMode);      // 2Nx2N
+    int merge_f = f.merge_flag[ci];
+    c.bin(merge_f ? 1 : 0, kOffMergeFlag);
+    if (merge_f) {
+      enc_merge_idx(f.merge_idx[ci]);
+    } else {
+      enc_mvd(f.mvd[ci * 2], f.mvd[ci * 2 + 1]);
+      c.bin(f.mvp_flag[ci] ? 1 : 0, kOffMvpFlag);
+    }
+    mark_depth(x0, y0, log2);
+    int s = 1 << log2;
+    int cs2 = s >> 1 >= 4 ? s >> 1 : 4;
+    bool cbf_y = any_y(x0, y0, s);
+    bool cbf_cb = any_c(f.coeff_cb, x0 >> 1, y0 >> 1, cs2);
+    bool cbf_cr = any_c(f.coeff_cr, x0 >> 1, y0 >> 1, cs2);
+    int root = (cbf_y || cbf_cb || cbf_cr) ? 1 : 0;
+    if (!merge_f) c.bin(root, kOffRqtRootCbf);
+    if (root) transform_tree_p(x0, y0, log2, 0, true, true);
+  }
+
+  void transform_tree_p(int x0, int y0, int log2, int depth, bool parent_cb,
+                        bool parent_cr) {
+    bool split = log2 > f.log2_max_tu;
+    bool explicit_f = log2 <= f.log2_max_tu && log2 > f.log2_min_tu &&
+                      depth < f.max_tu_depth_inter;
+    if (explicit_f)
+      c.bin(split ? 1 : 0, kOffSplitTransformFlag + (5 - log2));
+    int s = 1 << log2;
+    bool cbf_y = any_y(x0, y0, s);
+    int cs = s >> 1 >= 4 ? s >> 1 : 4;
+    bool cbf_cb = any_c(f.coeff_cb, x0 >> 1, y0 >> 1, cs);
+    bool cbf_cr = any_c(f.coeff_cr, x0 >> 1, y0 >> 1, cs);
+    if (log2 > 2) {
+      if (parent_cb) c.bin(cbf_cb, kOffQtCbf + 5 + depth);
+      if (parent_cr) c.bin(cbf_cr, kOffQtCbf + 5 + depth);
+    }
+    if (split) {
+      int half = 1 << (log2 - 1);
+      for (int sy = 0; sy <= half; sy += half)
+        for (int sx = 0; sx <= half; sx += half)
+          transform_tree_p(x0 + sx, y0 + sy, log2 - 1, depth + 1, cbf_cb,
+                           cbf_cr);
+      return;
+    }
+    if (depth != 0 || cbf_cb || cbf_cr)
+      c.bin(cbf_y, kOffQtCbf + (depth == 0 ? 1 : 0));
+    // inter residual: always diagonal scan
+    if (cbf_y || cbf_cb || cbf_cr) {
+      ResidualCoder rc{c};
+      if (cbf_y) rc.code(f.coeff_y, f.w, x0, y0, log2, true, 0, f.sign_hiding);
+      if (log2 > 2) {
+        int clog2 = log2 - 1, cx = x0 >> 1, cy = y0 >> 1;
+        if (cbf_cb) {
+          ResidualCoder r2{c};
+          r2.code(f.coeff_cb, f.cw, cx, cy, clog2, false, 0, f.sign_hiding);
+        }
+        if (cbf_cr) {
+          ResidualCoder r3{c};
+          r3.code(f.coeff_cr, f.cw, cx, cy, clog2, false, 0, f.sign_hiding);
+        }
+      }
+    }
   }
 
   void run() {
@@ -608,9 +747,13 @@ extern "C" {
 int tpuhevc_encode_slice_data(
     const int32_t* cu_log2, const int32_t* luma_mode,
     const int32_t* chroma_mode, const int32_t* coeff_y,
-    const int32_t* coeff_cb, const int32_t* coeff_cr, int width, int height,
+    const int32_t* coeff_cb, const int32_t* coeff_cr,
+    const int32_t* skip, const int32_t* merge_flag, const int32_t* merge_idx,
+    const int32_t* mvp_flag, const int32_t* mvd,
+    int width, int height,
     int log2_ctu, int log2_min_cu, int log2_min_tu, int log2_max_tu,
-    int max_tu_depth_intra, int slice_type_row, int qp, int sign_hiding,
+    int max_tu_depth_intra, int max_tu_depth_inter, int slice_type,
+    int max_merge, int slice_type_row, int qp, int sign_hiding,
     uint8_t* out, int out_cap) {
   SliceEnc e;
   e.f.cu_log2 = cu_log2;
@@ -619,6 +762,14 @@ int tpuhevc_encode_slice_data(
   e.f.coeff_y = coeff_y;
   e.f.coeff_cb = coeff_cb;
   e.f.coeff_cr = coeff_cr;
+  e.f.skip = skip;
+  e.f.merge_flag = merge_flag;
+  e.f.merge_idx = merge_idx;
+  e.f.mvp_flag = mvp_flag;
+  e.f.mvd = mvd;
+  e.f.max_tu_depth_inter = max_tu_depth_inter;
+  e.f.slice_type = slice_type;
+  e.f.max_merge = max_merge;
   e.f.w = width;
   e.f.h = height;
   e.f.w8 = width >> 3;

@@ -44,6 +44,10 @@ class Encoder:
         self.first_of_au: list[bool] = []
         self.results: list[FrameResult] = []
         self._wrote_ps = False
+        if frame_encoder is None and cfg.inter_backend == "jax":
+            from .intra_jax import encode_frame_intra_jax
+
+            frame_encoder = encode_frame_intra_jax
         self._frame_encoder = frame_encoder or encode_frame_intra
         self.dpb_recon = None  # previous frame recon (single-ref LD-P)
         self.nn_params = None
@@ -79,7 +83,8 @@ class Encoder:
             from .inter_enc import encode_frame_p
 
             fs, (ry, ru, rv) = encode_frame_p(
-                (y, u, v), self.dpb_recon, cfg, self.nn_params)
+                (y, u, v), self.dpb_recon, cfg, self.nn_params,
+                backend=cfg.inter_backend)
 
         max_merge = cfg.max_num_merge_cand
         if stype == I_SLICE:
@@ -97,9 +102,8 @@ class Encoder:
             )
             init_row = 1
         w = headers.write_slice_header(hdr, sps, pps)
-        payload = None
-        if stype == I_SLICE:
-            payload = encode_slice_data_native(fs, sps, pps, init_row, cfg.qp)
+        payload = encode_slice_data_native(fs, sps, pps, init_row, cfg.qp,
+                                           stype, max_merge)
         if payload is not None:  # native fast path (byte-identical)
             w.write_bytes(payload)
         else:

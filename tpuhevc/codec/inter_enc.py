@@ -65,31 +65,17 @@ def _subpel_mvs(cfg: EncoderConfig, mv_int, sad9, size, nn_params):
     raise ValueError(f"fme mode {mode}")
 
 
-def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None):
-    """orig: (y, u, v) arrays; ref_recon: previous frame's recon planes.
-    Returns (FrameSyntax, recon)."""
-    from ..entropy.syntax import FrameSyntax
-
+def _compute_stage_np(cfg, orig, ref, pos16, pos8, nn_params, lambda_fp,
+                      collect_sads=False):
+    """Batched ME + subpel + MC + transform/quant/recon per CU-size class.
+    Returns {(x0, y0): per-CU dict}. Host numpy reference; the JAX stage
+    (_compute_stage_jax) must match it exactly."""
     sps, qp = cfg.sps, cfg.qp
     bd = sps.bit_depth
-    w, h = sps.coded_width, sps.coded_height
-    oy = _pad_to(np.asarray(orig[0]), h, w)
-    ou = _pad_to(np.asarray(orig[1]), h // 2, w // 2)
-    ov = _pad_to(np.asarray(orig[2]), h // 2, w // 2)
-    ry, ru, rv = (p.astype(np.int32) for p in ref_recon)
+    oy, ou, ov = orig
+    ry, ru, rv = ref
     qpc = chroma_qp(qp)
-    lambda_fp = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
-
-    fs = FrameSyntax(w, h)
-    rec_y = np.zeros((h, w), dtype=np.int32)
-    rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
-    rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
-    order = BlockOrder(w, h, sps.log2_ctu)
-    field = MvField(w // 8, h // 8)
-
-    pos16, pos8 = _cu_grid(w, h)
     per_cu = {}
-
     for size, poss in ((16, pos16), (8, pos8)):
         if not poss:
             continue
@@ -136,6 +122,158 @@ def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None):
                 lvl_u=out_c[0][0][i], rec_u=out_c[0][1][i],
                 lvl_v=out_c[1][0][i], rec_v=out_c[1][1][i],
             )
+            if collect_sads:
+                per_cu[(x0, y0)]["sad9"] = sad9[i]
+                per_cu[(x0, y0)]["mv_int"] = mv_int[i]
+    return per_cu
+
+
+_JAX_STAGE_CACHE: dict = {}
+
+
+def _compute_stage_jax(cfg, orig, ref, pos16, pos8, nn_params, lambda_fp):
+    """Device compute stage: one jit, one packed fetch. Matches the numpy
+    stage exactly for integer paths; NN subpel may differ at float ties
+    (any choice is conformant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import nnfme
+    from ..ops.interp import mc as mc_jax
+    from ..ops.me import integer_me as me_jax
+
+    sps, qp = cfg.sps, cfg.qp
+    bd = sps.bit_depth
+    qpc = chroma_qp(qp)
+    sr = min(cfg.search_range, 16)
+    classes = [(s, p) for s, p in ((16, pos16), (8, pos8)) if p]
+    key = (cfg.fme_mode, qp, bd, sr, lambda_fp, sps.coded_width,
+           sps.coded_height, tuple((s, len(p)) for s, p in classes),
+           cfg.nn_weights_dir if nn_params is not None else None)
+    fn = _JAX_STAGE_CACHE.get(key)
+    if fn is None:
+        np_params = (
+            {k: jnp.asarray(v) for k, v in nn_params.items()}
+            if (nn_params is not None and cfg.fme_mode == "nn") else None
+        )
+        class_pos = [(s, np.array([q[0] for q in p]), np.array([q[1] for q in p]))
+                     for s, p in classes]
+
+        def run(oy, ou, ov, ry, ru, rv):
+            outs = []
+            for size, xs_np, ys_np in class_pos:
+                xs = jnp.asarray(xs_np)
+                ys = jnp.asarray(ys_np)
+                n = len(xs_np)
+                # gather current blocks (positions are static per class)
+                cur = jnp.stack([
+                    jax.lax.dynamic_slice(oy, (int(y), int(x)), (size, size))
+                    for x, y in zip(xs_np, ys_np)])
+                mv_int, sad9 = me_jax(ry, cur, xs, ys, sr, lambda_fp)
+                mvq = mv_int * 4
+                if np_params is not None:
+                    off = nnfme.predict(
+                        np_params, sad9.astype(jnp.float32),
+                        jnp.full(n, nnfme.height_category(size)),
+                        jnp.full(n, nnfme.width_category(size)))
+                    mvq = mvq + off.astype(jnp.int32)
+                pred = mc_jax(ry, xs, ys, mvq, size, True, bd)
+                log2 = size.bit_length() - 1
+                coef = tx.forward_transform(cur.astype(jnp.int32) - pred, bd)
+                lvl = tx.quantize(coef, qp, log2, bd, is_intra_slice=False)
+                deq = tx.dequantize(lvl, qp, log2, bd)
+                rsd = tx.inverse_transform(deq, bd)
+                rec = jnp.clip(pred + rsd, 0, (1 << bd) - 1)
+                nz = (lvl != 0).any(axis=(-1, -2))
+                rec = jnp.where(nz[:, None, None], rec, pred)
+                chunk = [mvq.reshape(-1), sad9.reshape(-1).astype(jnp.int32),
+                         mv_int.reshape(-1), lvl.reshape(-1), rec.reshape(-1)]
+                cs = size // 2
+                clog2 = cs.bit_length() - 1
+                cxs, cys = xs // 2, ys // 2
+                for plane, refp in ((ou, ru), (ov, rv)):
+                    cur_c = jnp.stack([
+                        jax.lax.dynamic_slice(plane, (int(y) // 2, int(x) // 2),
+                                              (cs, cs))
+                        for x, y in zip(xs_np, ys_np)])
+                    pred_c = mc_jax(refp, cxs, cys, mvq, cs, False, bd)
+                    cc = tx.forward_transform(cur_c.astype(jnp.int32) - pred_c, bd)
+                    clvl = tx.quantize(cc, qpc, clog2, bd, is_intra_slice=False)
+                    cdq = tx.dequantize(clvl, qpc, clog2, bd)
+                    crs = tx.inverse_transform(cdq, bd)
+                    crec = jnp.clip(pred_c + crs, 0, (1 << bd) - 1)
+                    cnz = (clvl != 0).any(axis=(-1, -2))
+                    crec = jnp.where(cnz[:, None, None], crec, pred_c)
+                    chunk += [clvl.reshape(-1), crec.reshape(-1)]
+                outs.append(jnp.concatenate(chunk))
+            return jnp.concatenate(outs)
+
+        fn = jax.jit(run)
+        _JAX_STAGE_CACHE[key] = fn
+
+    import jax.numpy as jnp
+
+    oy, ou, ov = (jnp.asarray(a) for a in orig)
+    ry, ru, rv = (jnp.asarray(a) for a in ref)
+    buf = np.asarray(fn(oy, ou, ov, ry, ru, rv))
+    per_cu = {}
+    off = 0
+    for size, poss in classes:
+        n = len(poss)
+        cs = size // 2
+
+        def take(count, shape):
+            nonlocal off
+            out = buf[off : off + count].reshape(shape)
+            off += count
+            return out
+
+        mvq = take(n * 2, (n, 2))
+        sad9 = take(n * 9, (n, 9))
+        mv_int = take(n * 2, (n, 2))
+        lvl = take(n * size * size, (n, size, size))
+        rec = take(n * size * size, (n, size, size))
+        lvl_u = take(n * cs * cs, (n, cs, cs))
+        rec_u = take(n * cs * cs, (n, cs, cs))
+        lvl_v = take(n * cs * cs, (n, cs, cs))
+        rec_v = take(n * cs * cs, (n, cs, cs))
+        for i, (x0, y0) in enumerate(poss):
+            per_cu[(x0, y0)] = dict(
+                size=size, mv=mvq[i], lvl=lvl[i], rec=rec[i],
+                lvl_u=lvl_u[i], rec_u=rec_u[i],
+                lvl_v=lvl_v[i], rec_v=rec_v[i],
+                sad9=sad9[i], mv_int=mv_int[i],
+            )
+    return per_cu
+
+
+def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None,
+                   backend: str = "np"):
+    """orig: (y, u, v) arrays; ref_recon: previous frame's recon planes.
+    Returns (FrameSyntax, recon)."""
+    from ..entropy.syntax import FrameSyntax
+
+    sps, qp = cfg.sps, cfg.qp
+    bd = sps.bit_depth
+    w, h = sps.coded_width, sps.coded_height
+    oy = _pad_to(np.asarray(orig[0]), h, w)
+    ou = _pad_to(np.asarray(orig[1]), h // 2, w // 2)
+    ov = _pad_to(np.asarray(orig[2]), h // 2, w // 2)
+    ry, ru, rv = (p.astype(np.int32) for p in ref_recon)
+    qpc = chroma_qp(qp)
+    lambda_fp = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
+
+    fs = FrameSyntax(w, h)
+    rec_y = np.zeros((h, w), dtype=np.int32)
+    rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
+    rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
+    order = BlockOrder(w, h, sps.log2_ctu)
+    field = MvField(w // 8, h // 8)
+
+    pos16, pos8 = _cu_grid(w, h)
+    stage = _compute_stage_jax if backend == "jax" else _compute_stage_np
+    per_cu = stage(
+        cfg, (oy, ou, ov), (ry, ru, rv), pos16, pos8, nn_params, lambda_fp)
 
     # --- decision walk in decode order (merge/skip/AMVP + store) ---------
     cells = sorted(per_cu.keys(), key=lambda p: order.order[p[1] // 8, p[0] // 8])

@@ -41,15 +41,16 @@ def get_lib():
         return None
     lib.tpuhevc_encode_slice_data.restype = ctypes.c_int
     lib.tpuhevc_encode_slice_data.argtypes = [
-        ctypes.POINTER(ctypes.c_int32)] * 6 + [ctypes.c_int] * 10 + [
+        ctypes.POINTER(ctypes.c_int32)] * 11 + [ctypes.c_int] * 13 + [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     _LIB = lib
     return _LIB
 
 
-def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int) -> bytes | None:
+def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
+                             slice_type: int = 2, max_merge: int = 5) -> bytes | None:
     """Full slice-data payload (CABAC bytes + rbsp trailing), or None if
-    the native library is unavailable."""
+    the native library is unavailable. slice_type: 2 = I, 1 = P."""
     lib = get_lib()
     if lib is None:
         return None
@@ -61,7 +62,8 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int) -> byte
     keep = []
     ptrs = []
     for arr in (fs.cu_log2, fs.luma_mode, fs.chroma_mode, fs.coeff_y,
-                fs.coeff_cb, fs.coeff_cr):
+                fs.coeff_cb, fs.coeff_cr, fs.skip, fs.merge_flag,
+                fs.merge_idx, fs.mvp_flag, fs.mvd):
         a, p = ptr(arr)
         keep.append(a)
         ptrs.append(p)
@@ -70,6 +72,7 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int) -> byte
     n = lib.tpuhevc_encode_slice_data(
         *ptrs, fs.width, fs.height, sps.log2_ctu, sps.log2_min_cu,
         sps.log2_min_tu, sps.log2_max_tu, sps.max_tu_depth_intra,
+        sps.max_tu_depth_inter, slice_type, max_merge,
         slice_type_row, qp, 1 if pps.sign_data_hiding else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
