@@ -164,7 +164,7 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
                 f"{res.seconds:.2f}s"
             )
 
-    if device_batch > 0:
+    if device_batch > 0 and cfg.intra_period == 1:
         from .intra_jax import encode_frames_intra_jax_batch
 
         for s in range(0, len(frames), device_batch):
@@ -174,10 +174,48 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
             pre = encode_frames_intra_jax_batch(chunk, cfg)
             for j, p in enumerate(pre[: min(device_batch, len(frames) - s)]):
                 _finish(s + j, frames[s + j], p)
+    elif cfg.intra_period != 1 and cfg.inter_backend == "jax" and len(frames) > 1:
+        _ldp_pipelined(enc, cfg, frames, _finish)
     else:
         for i, fr in enumerate(frames):
             _finish(i, fr)
     return enc, recons
+
+
+def _ldp_pipelined(enc, cfg, frames, finish):
+    """LD-P loop overlapping device compute with host serialization: the
+    recon chain stays on device; frame i+1's stage is dispatched before
+    frame i's packed buffer is fetched and serialized."""
+    import jax.numpy as jnp
+
+    from .inter_enc import (
+        _cu_grid, _stage_fn, _stage_collect, assemble_frame_p)
+    from .recon import _pad_to
+    from ..utils.tables import qp_to_lambda
+
+    sps = cfg.sps
+    w, h = sps.coded_width, sps.coded_height
+    lambda_fp = int(round(np.sqrt(qp_to_lambda(cfg.qp, 0.4624)) * 256))
+    pos16, pos8 = _cu_grid(w, h)
+    classes = [(s, p) for s, p in ((16, pos16), (8, pos8)) if p]
+    fn = _stage_fn(cfg, classes, enc.nn_params, lambda_fp)
+
+    finish(0, frames[0])  # IDR (device intra path)
+    dev_ref = tuple(jnp.asarray(p) for p in enc.dpb_recon)
+    pending = None
+    for i in range(1, len(frames) + 1):
+        if i < len(frames):
+            y, u, v = frames[i]
+            oy = jnp.asarray(_pad_to(np.asarray(y), h, w))
+            ou = jnp.asarray(_pad_to(np.asarray(u), h // 2, w // 2))
+            ov = jnp.asarray(_pad_to(np.asarray(v), h // 2, w // 2))
+            buf, ry, ru, rv = fn(oy, ou, ov, *dev_ref)
+            dev_ref = (ry, ru, rv)
+        if pending is not None:
+            j, pbuf = pending
+            per_cu = _stage_collect(np.asarray(pbuf), classes)
+            finish(j, frames[j], assemble_frame_p(cfg, per_cu))
+        pending = (i, buf) if i < len(frames) else None
 
 
 def _load_nn_params(cfg: EncoderConfig):

@@ -131,10 +131,14 @@ def _compute_stage_np(cfg, orig, ref, pos16, pos8, nn_params, lambda_fp,
 _JAX_STAGE_CACHE: dict = {}
 
 
-def _compute_stage_jax(cfg, orig, ref, pos16, pos8, nn_params, lambda_fp):
-    """Device compute stage: one jit, one packed fetch. Matches the numpy
-    stage exactly for integer paths; NN subpel may differ at float ties
-    (any choice is conformant)."""
+def _stage_fn(cfg, classes, nn_params, lambda_fp):
+    """Build (and cache) the jitted P-frame compute stage.
+
+    Returns fn(oy, ou, ov, ry, ru, rv) ->
+      (packed_uint8, rec_y, rec_u, rec_v)   [all device arrays]
+    The recon planes stay on device so consecutive P frames chain without a
+    host round trip; the packed buffer is a compact fetch (uint8 recon,
+    int16 coefficients, int32 meta, byte-cast)."""
     import jax
     import jax.numpy as jnp
 
@@ -144,107 +148,142 @@ def _compute_stage_jax(cfg, orig, ref, pos16, pos8, nn_params, lambda_fp):
 
     sps, qp = cfg.sps, cfg.qp
     bd = sps.bit_depth
+    w, h = sps.coded_width, sps.coded_height
     qpc = chroma_qp(qp)
     sr = min(cfg.search_range, 16)
-    classes = [(s, p) for s, p in ((16, pos16), (8, pos8)) if p]
-    key = (cfg.fme_mode, qp, bd, sr, lambda_fp, sps.coded_width,
-           sps.coded_height, tuple((s, len(p)) for s, p in classes),
+    key = (cfg.fme_mode, qp, bd, sr, lambda_fp, w, h,
+           tuple((s, len(p)) for s, p in classes),
            cfg.nn_weights_dir if nn_params is not None else None)
     fn = _JAX_STAGE_CACHE.get(key)
-    if fn is None:
-        np_params = (
-            {k: jnp.asarray(v) for k, v in nn_params.items()}
-            if (nn_params is not None and cfg.fme_mode == "nn") else None
-        )
-        class_pos = [(s, np.array([q[0] for q in p]), np.array([q[1] for q in p]))
-                     for s, p in classes]
+    if fn is not None:
+        return fn
+    np_params = (
+        {k: jnp.asarray(v) for k, v in nn_params.items()}
+        if (nn_params is not None and cfg.fme_mode == "nn") else None
+    )
+    class_pos = [(s, np.array([q[0] for q in p]), np.array([q[1] for q in p]))
+                 for s, p in classes]
 
-        def run(oy, ou, ov, ry, ru, rv):
-            outs = []
-            for size, xs_np, ys_np in class_pos:
-                xs = jnp.asarray(xs_np)
-                ys = jnp.asarray(ys_np)
-                n = len(xs_np)
-                # gather current blocks (positions are static per class)
-                cur = jnp.stack([
-                    jax.lax.dynamic_slice(oy, (int(y), int(x)), (size, size))
+    def u8(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+
+    def run(oy, ou, ov, ry, ru, rv):
+        outs = []
+        rec_y = jnp.zeros(h * w, jnp.int32)
+        rec_u = jnp.zeros(h * w // 4, jnp.int32)
+        rec_v = jnp.zeros(h * w // 4, jnp.int32)
+        for size, xs_np, ys_np in class_pos:
+            xs = jnp.asarray(xs_np)
+            ys = jnp.asarray(ys_np)
+            n = len(xs_np)
+            cur = jnp.stack([
+                jax.lax.dynamic_slice(oy, (int(y), int(x)), (size, size))
+                for x, y in zip(xs_np, ys_np)])
+            mv_int, sad9 = me_jax(ry, cur, xs, ys, sr, lambda_fp)
+            mvq = mv_int * 4
+            if np_params is not None:
+                off = nnfme.predict(
+                    np_params, sad9.astype(jnp.float32),
+                    jnp.full(n, nnfme.height_category(size)),
+                    jnp.full(n, nnfme.width_category(size)))
+                mvq = mvq + off.astype(jnp.int32)
+            pred = mc_jax(ry, xs, ys, mvq, size, True, bd)
+            log2 = size.bit_length() - 1
+            coef = tx.forward_transform(cur.astype(jnp.int32) - pred, bd)
+            lvl = tx.quantize(coef, qp, log2, bd, is_intra_slice=False)
+            deq = tx.dequantize(lvl, qp, log2, bd)
+            rsd = tx.inverse_transform(deq, bd)
+            rec = jnp.clip(pred + rsd, 0, (1 << bd) - 1)
+            nz = (lvl != 0).any(axis=(-1, -2))
+            rec = jnp.where(nz[:, None, None], rec, pred)
+            yidx = np.concatenate([
+                ((ys_np[i] + np.arange(size))[:, None] * w
+                 + xs_np[i] + np.arange(size)[None, :]).reshape(-1)
+                for i in range(n)])
+            rec_y = rec_y.at[jnp.asarray(yidx)].set(rec.reshape(-1))
+            chunk = [u8(mvq), u8(sad9.astype(jnp.int32)), u8(mv_int),
+                     u8(lvl.astype(jnp.int16)), rec.astype(jnp.uint8).reshape(-1)]
+            cs = size // 2
+            clog2 = cs.bit_length() - 1
+            cw = w // 2
+            cxs, cys = xs // 2, ys // 2
+            for ci, (plane, refp) in enumerate(((ou, ru), (ov, rv))):
+                cur_c = jnp.stack([
+                    jax.lax.dynamic_slice(plane, (int(y) // 2, int(x) // 2),
+                                          (cs, cs))
                     for x, y in zip(xs_np, ys_np)])
-                mv_int, sad9 = me_jax(ry, cur, xs, ys, sr, lambda_fp)
-                mvq = mv_int * 4
-                if np_params is not None:
-                    off = nnfme.predict(
-                        np_params, sad9.astype(jnp.float32),
-                        jnp.full(n, nnfme.height_category(size)),
-                        jnp.full(n, nnfme.width_category(size)))
-                    mvq = mvq + off.astype(jnp.int32)
-                pred = mc_jax(ry, xs, ys, mvq, size, True, bd)
-                log2 = size.bit_length() - 1
-                coef = tx.forward_transform(cur.astype(jnp.int32) - pred, bd)
-                lvl = tx.quantize(coef, qp, log2, bd, is_intra_slice=False)
-                deq = tx.dequantize(lvl, qp, log2, bd)
-                rsd = tx.inverse_transform(deq, bd)
-                rec = jnp.clip(pred + rsd, 0, (1 << bd) - 1)
-                nz = (lvl != 0).any(axis=(-1, -2))
-                rec = jnp.where(nz[:, None, None], rec, pred)
-                chunk = [mvq.reshape(-1), sad9.reshape(-1).astype(jnp.int32),
-                         mv_int.reshape(-1), lvl.reshape(-1), rec.reshape(-1)]
-                cs = size // 2
-                clog2 = cs.bit_length() - 1
-                cxs, cys = xs // 2, ys // 2
-                for plane, refp in ((ou, ru), (ov, rv)):
-                    cur_c = jnp.stack([
-                        jax.lax.dynamic_slice(plane, (int(y) // 2, int(x) // 2),
-                                              (cs, cs))
-                        for x, y in zip(xs_np, ys_np)])
-                    pred_c = mc_jax(refp, cxs, cys, mvq, cs, False, bd)
-                    cc = tx.forward_transform(cur_c.astype(jnp.int32) - pred_c, bd)
-                    clvl = tx.quantize(cc, qpc, clog2, bd, is_intra_slice=False)
-                    cdq = tx.dequantize(clvl, qpc, clog2, bd)
-                    crs = tx.inverse_transform(cdq, bd)
-                    crec = jnp.clip(pred_c + crs, 0, (1 << bd) - 1)
-                    cnz = (clvl != 0).any(axis=(-1, -2))
-                    crec = jnp.where(cnz[:, None, None], crec, pred_c)
-                    chunk += [clvl.reshape(-1), crec.reshape(-1)]
-                outs.append(jnp.concatenate(chunk))
-            return jnp.concatenate(outs)
+                pred_c = mc_jax(refp, cxs, cys, mvq, cs, False, bd)
+                cc = tx.forward_transform(cur_c.astype(jnp.int32) - pred_c, bd)
+                clvl = tx.quantize(cc, qpc, clog2, bd, is_intra_slice=False)
+                cdq = tx.dequantize(clvl, qpc, clog2, bd)
+                crs = tx.inverse_transform(cdq, bd)
+                crec = jnp.clip(pred_c + crs, 0, (1 << bd) - 1)
+                cnz = (clvl != 0).any(axis=(-1, -2))
+                crec = jnp.where(cnz[:, None, None], crec, pred_c)
+                cidx = np.concatenate([
+                    (((ys_np[i] // 2) + np.arange(cs))[:, None] * cw
+                     + (xs_np[i] // 2) + np.arange(cs)[None, :]).reshape(-1)
+                    for i in range(n)])
+                if ci == 0:
+                    rec_u = rec_u.at[jnp.asarray(cidx)].set(crec.reshape(-1))
+                else:
+                    rec_v = rec_v.at[jnp.asarray(cidx)].set(crec.reshape(-1))
+                chunk += [u8(clvl.astype(jnp.int16)),
+                          crec.astype(jnp.uint8).reshape(-1)]
+            outs.append(jnp.concatenate(chunk))
+        return (jnp.concatenate(outs), rec_y.reshape(h, w),
+                rec_u.reshape(h // 2, w // 2), rec_v.reshape(h // 2, w // 2))
 
-        fn = jax.jit(run)
-        _JAX_STAGE_CACHE[key] = fn
+    fn = jax.jit(run)
+    _JAX_STAGE_CACHE[key] = fn
+    return fn
 
-    import jax.numpy as jnp
 
-    oy, ou, ov = (jnp.asarray(a) for a in orig)
-    ry, ru, rv = (jnp.asarray(a) for a in ref)
-    buf = np.asarray(fn(oy, ou, ov, ry, ru, rv))
+def _stage_collect(buf: np.ndarray, classes) -> dict:
+    """Unpack the fetched uint8 buffer into the per-CU dict."""
     per_cu = {}
     off = 0
+
+    def take_bytes(nbytes, dtype, shape):
+        nonlocal off
+        out = np.frombuffer(buf[off : off + nbytes].tobytes(), dtype=dtype)
+        off += nbytes
+        return out.reshape(shape)
+
     for size, poss in classes:
         n = len(poss)
         cs = size // 2
-
-        def take(count, shape):
-            nonlocal off
-            out = buf[off : off + count].reshape(shape)
-            off += count
-            return out
-
-        mvq = take(n * 2, (n, 2))
-        sad9 = take(n * 9, (n, 9))
-        mv_int = take(n * 2, (n, 2))
-        lvl = take(n * size * size, (n, size, size))
-        rec = take(n * size * size, (n, size, size))
-        lvl_u = take(n * cs * cs, (n, cs, cs))
-        rec_u = take(n * cs * cs, (n, cs, cs))
-        lvl_v = take(n * cs * cs, (n, cs, cs))
-        rec_v = take(n * cs * cs, (n, cs, cs))
+        mvq = take_bytes(n * 8, np.int32, (n, 2))
+        sad9 = take_bytes(n * 36, np.int32, (n, 9))
+        mv_int = take_bytes(n * 8, np.int32, (n, 2))
+        lvl = take_bytes(n * size * size * 2, np.int16, (n, size, size))
+        rec = take_bytes(n * size * size, np.uint8, (n, size, size))
+        lvl_u = take_bytes(n * cs * cs * 2, np.int16, (n, cs, cs))
+        rec_u = take_bytes(n * cs * cs, np.uint8, (n, cs, cs))
+        lvl_v = take_bytes(n * cs * cs * 2, np.int16, (n, cs, cs))
+        rec_v = take_bytes(n * cs * cs, np.uint8, (n, cs, cs))
         for i, (x0, y0) in enumerate(poss):
             per_cu[(x0, y0)] = dict(
-                size=size, mv=mvq[i], lvl=lvl[i], rec=rec[i],
-                lvl_u=lvl_u[i], rec_u=rec_u[i],
-                lvl_v=lvl_v[i], rec_v=rec_v[i],
+                size=size, mv=mvq[i], lvl=lvl[i].astype(np.int32),
+                rec=rec[i].astype(np.int32),
+                lvl_u=lvl_u[i].astype(np.int32), rec_u=rec_u[i].astype(np.int32),
+                lvl_v=lvl_v[i].astype(np.int32), rec_v=rec_v[i].astype(np.int32),
                 sad9=sad9[i], mv_int=mv_int[i],
             )
     return per_cu
+
+
+def _compute_stage_jax(cfg, orig, ref, pos16, pos8, nn_params, lambda_fp):
+    """Synchronous device stage (submit + fetch). encode_sequence's LD-P
+    pipeline uses _stage_fn directly to overlap device/host work."""
+    import jax.numpy as jnp
+
+    classes = [(s, p) for s, p in ((16, pos16), (8, pos8)) if p]
+    fn = _stage_fn(cfg, classes, nn_params, lambda_fp)
+    oy, ou, ov = (jnp.asarray(a) for a in orig)
+    ry, ru, rv = (jnp.asarray(a) for a in ref)
+    buf, _, _, _ = fn(oy, ou, ov, ry, ru, rv)
+    return _stage_collect(np.asarray(buf), classes)
 
 
 def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None,
@@ -260,20 +299,27 @@ def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None,
     ou = _pad_to(np.asarray(orig[1]), h // 2, w // 2)
     ov = _pad_to(np.asarray(orig[2]), h // 2, w // 2)
     ry, ru, rv = (p.astype(np.int32) for p in ref_recon)
-    qpc = chroma_qp(qp)
     lambda_fp = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
+    pos16, pos8 = _cu_grid(w, h)
+    stage = _compute_stage_jax if backend == "jax" else _compute_stage_np
+    per_cu = stage(
+        cfg, (oy, ou, ov), (ry, ru, rv), pos16, pos8, nn_params, lambda_fp)
+    return assemble_frame_p(cfg, per_cu)
 
+
+def assemble_frame_p(cfg: EncoderConfig, per_cu: dict):
+    """Decode-order decision walk (merge/skip/AMVP) + dense-array assembly.
+    Shared by the synchronous path and the pipelined LD-P loop."""
+    from ..entropy.syntax import FrameSyntax
+
+    sps = cfg.sps
+    w, h = sps.coded_width, sps.coded_height
     fs = FrameSyntax(w, h)
     rec_y = np.zeros((h, w), dtype=np.int32)
     rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
     rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
     order = BlockOrder(w, h, sps.log2_ctu)
     field = MvField(w // 8, h // 8)
-
-    pos16, pos8 = _cu_grid(w, h)
-    stage = _compute_stage_jax if backend == "jax" else _compute_stage_np
-    per_cu = stage(
-        cfg, (oy, ou, ov), (ry, ru, rv), pos16, pos8, nn_params, lambda_fp)
 
     # --- decision walk in decode order (merge/skip/AMVP + store) ---------
     cells = sorted(per_cu.keys(), key=lambda p: order.order[p[1] // 8, p[0] // 8])
