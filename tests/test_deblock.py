@@ -1,0 +1,76 @@
+"""Deblocking filter: e2e conformance (HM oracle validates our filter
+bit-exactly — any deviation breaks the decoded-picture MD5) + unit sanity."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from tpuhevc.codec.decoder import decode_stream
+from tpuhevc.codec.encoder import Encoder
+from tpuhevc.codec.params import EncoderConfig, SeqParams
+
+from test_e2e_inter import _moving_clip
+
+HM_DEC = "/tmp/hmref/TAppDecoder"
+
+
+def _run(w, h, n, qp, intra_period, tmp_path):
+    cfg = EncoderConfig(
+        sps=SeqParams(width=w, height=h, max_tu_depth_intra=0),
+        qp=qp, intra_period=intra_period, fme_mode="none", deblocking=True,
+    )
+    enc = Encoder(cfg)
+    for i, fr in enumerate(_moving_clip(w, h, n, seed=qp)):
+        enc.encode_frame(*fr, poc=i)
+    bs = enc.bitstream()
+    frames = decode_stream(bs)
+    assert all(f.md5_ok for f in frames)
+    if os.path.exists(HM_DEC):
+        p = tmp_path / "t.bin"
+        p.write_bytes(bs)
+        out = subprocess.run(
+            [HM_DEC, "-b", str(p), "-o", str(tmp_path / "o.yuv")],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert out.stdout.count("(OK)") == n and "ERROR" not in out.stdout
+    return enc
+
+
+def test_deblock_intra_conformance(tmp_path):
+    _run(128, 64, 2, 32, 1, tmp_path)
+
+
+def test_deblock_ldp_conformance(tmp_path):
+    _run(128, 64, 5, 27, -1, tmp_path)
+
+
+def test_deblock_qp_sweep(tmp_path):
+    for qp in (22, 37):
+        _run(64, 64, 2, qp, -1, tmp_path)
+
+
+def test_deblock_smooths_block_edges():
+    """A blocky quantized frame must have smaller cross-edge gradients
+    after the filter."""
+    from tpuhevc.entropy.syntax import FrameSyntax
+    from tpuhevc.ops.deblock import deblock_frame
+
+    rng = np.random.default_rng(0)
+    w = h = 64
+    y = np.zeros((h, w), dtype=np.int32)
+    # constant-per-8x8-block image: ideal blocking artifact
+    for by in range(8):
+        for bx in range(8):
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rng.integers(90, 160)
+    u = np.full((32, 32), 128)
+    v = np.full((32, 32), 128)
+    fs = FrameSyntax(w, h)  # all-8x8 CUs, intra
+    fy, fu, fv = deblock_frame((y, u, v), fs, 37, True)
+    edge_grad = lambda p: np.abs(
+        p[:, 8:-8:8].astype(int) - p[:, 7:-9:8].astype(int)
+    ).mean()
+    assert edge_grad(fy) < edge_grad(y)
+    # picture boundary untouched
+    assert (fy[:, 0] == y[:, 0]).all() and (fy[0, :] == y[0, :]).all()

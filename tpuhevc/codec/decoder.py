@@ -71,6 +71,11 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                 prev = frames[-1]
                 y, u, v = reconstruct_frame_p(
                     fs, sps, hdr.qp, (prev.y, prev.u, prev.v))
+            if not pps.deblocking_disabled:
+                from ..ops.deblock import deblock_frame
+
+                y, u, v = deblock_frame((y, u, v), fs, hdr.qp,
+                                        hdr.slice_type == I_SLICE)
             pending = DecodedFrame(poc=hdr.poc, y=y, u=u, v=v)
             frames.append(pending)
     return frames

@@ -40,6 +40,7 @@ class Encoder:
     def __init__(self, cfg: EncoderConfig, frame_encoder=None):
         self.cfg = cfg
         cfg.pps.init_qp = cfg.qp
+        cfg.pps.deblocking_disabled = not cfg.deblocking
         self.nals: list[bytes] = []
         self.first_of_au: list[bool] = []
         self.results: list[FrameResult] = []
@@ -85,6 +86,12 @@ class Encoder:
             fs, (ry, ru, rv) = encode_frame_p(
                 (y, u, v), self.dpb_recon, cfg, self.nn_params,
                 backend=cfg.inter_backend)
+
+        if cfg.deblocking:
+            from ..ops.deblock import deblock_frame
+
+            ry, ru, rv = deblock_frame((ry, ru, rv), fs, cfg.qp,
+                                       stype == I_SLICE)
 
         max_merge = cfg.max_num_merge_cand
         if stype == I_SLICE:
@@ -174,7 +181,8 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
             pre = encode_frames_intra_jax_batch(chunk, cfg)
             for j, p in enumerate(pre[: min(device_batch, len(frames) - s)]):
                 _finish(s + j, frames[s + j], p)
-    elif cfg.intra_period != 1 and cfg.inter_backend == "jax" and len(frames) > 1:
+    elif (cfg.intra_period != 1 and cfg.inter_backend == "jax"
+          and len(frames) > 1 and not cfg.deblocking):
         _ldp_pipelined(enc, cfg, frames, _finish)
     else:
         for i, fr in enumerate(frames):

@@ -126,6 +126,7 @@ class EncoderConfig:
     max_num_merge_cand: int = 5
 
     inter_backend: str = "np"    # "jax" = device compute stage for P frames
+    deblocking: bool = False     # in-loop deblocking filter (host pass)
 
     # encoder-side lambda model (TEncSlice.cpp:295-310)
     lambda_qp_factor: float = 0.57  # intra QPfactor as in HM for I slices

@@ -404,7 +404,10 @@ def write_slice_header(
     ):
         w.write_flag(1)  # slice_loop_filter_across_slices_enabled_flag
     # no tiles/wpp: no entry points
-    w.align_one()  # byte_alignment(): alignment_bit_equal_to_one + zeros
+    # byte_alignment() (§7.3.2.8): the one-bit is unconditional — even when
+    # already aligned it adds a full 0x80 byte
+    w.write(1, 1)
+    w.align_zero()
     return w
 
 

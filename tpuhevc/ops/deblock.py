@@ -1,0 +1,271 @@
+"""In-loop deblocking filter (H.265 §8.7.2), batched over all edges.
+
+Counterpart of TComLoopFilter.{h,cpp} (loopFilterPic, SURVEY.md §2.1):
+vertical edges of the whole picture first, then horizontal — each pass is
+one vectorized sweep over every 8-grid edge segment (mask-selected), the
+TPU-friendly restructuring of HM's per-CTU recursive edge walk.
+
+Scope matches what this framework's encoder emits: TU == CU (so block
+edges == CU edges), uniform QP, deblocking offsets 0. BS derivation:
+intra slices -> 2 everywhere on the block grid; P slices -> per 4-sample
+segment from cbf / |mv| difference (single ref).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.tables import chroma_qp
+
+# normative threshold tables (H.265 Table 8-12)
+TC_TABLE = np.array(
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11,
+     13, 14, 16, 18, 20, 22, 24], dtype=np.int32,
+)
+BETA_TABLE = np.array(
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11, 12,
+     13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38, 40, 42,
+     44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64], dtype=np.int32,
+)
+
+
+def _edge_columns(fs, axis: int) -> np.ndarray:
+    """(h8, w8) bool: True where a block edge starts at this cell's
+    left (axis=0, vertical edges) / top (axis=1, horizontal edges).
+    Block edges == CU edges (TU = CU invariant)."""
+    cu = fs.cu_log2
+    h8, w8 = cu.shape
+    y8, x8 = np.mgrid[0:h8, 0:w8]
+    if axis == 0:
+        return ((x8 * 8) % (1 << cu)) == 0
+    return ((y8 * 8) % (1 << cu)) == 0
+
+
+def _cell_cbf(fs) -> np.ndarray:
+    """(h8, w8) bool: containing LUMA TB (== CU; TU = CU invariant) has a
+    nonzero coefficient. Luma-only per §8.7.2.4 — the bS cbf condition
+    refers to the transform block containing p0/q0, i.e. the luma TB for
+    luma edges."""
+    h8, w8 = fs.cu_log2.shape
+    out = np.zeros((h8, w8), dtype=bool)
+    seen = np.zeros((h8, w8), dtype=bool)
+    for y8 in range(h8):
+        for x8 in range(w8):
+            if seen[y8, x8]:
+                continue
+            s8 = (1 << int(fs.cu_log2[y8, x8])) // 8
+            x0, y0 = x8 * 8, y8 * 8
+            s = s8 * 8
+            cbf = bool(fs.coeff_y[y0 : y0 + s, x0 : x0 + s].any())
+            out[y8 : y8 + s8, x8 : x8 + s8] = cbf
+            seen[y8 : y8 + s8, x8 : x8 + s8] = True
+    return out
+
+
+def boundary_strength(fs, is_intra_slice: bool, axis: int) -> np.ndarray:
+    """(h8, w8) BS for the edge at each cell's left/top (0 where no edge).
+    Segment granularity is 4 samples; our maps are 8-aligned so one value
+    covers both 4-sample segments of a cell edge."""
+    edge = _edge_columns(fs, axis)
+    h8, w8 = edge.shape
+    bs = np.zeros((h8, w8), dtype=np.int32)
+    if is_intra_slice:
+        bs[edge] = 2
+        if axis == 0:
+            bs[:, 0] = 0  # picture boundary
+        else:
+            bs[0, :] = 0
+        return bs
+    cbf = _cell_cbf(fs)
+    mv = fs.mv
+    if axis == 0:
+        p_cbf = np.roll(cbf, 1, axis=1)
+        p_mv = np.roll(mv, 1, axis=1)
+    else:
+        p_cbf = np.roll(cbf, 1, axis=0)
+        p_mv = np.roll(mv, 1, axis=0)
+    mv_far = (np.abs(mv - p_mv) >= 4).any(axis=-1)
+    bs1 = (cbf | p_cbf | mv_far).astype(np.int32)
+    bs = np.where(edge, bs1, 0)
+    if axis == 0:
+        bs[:, 0] = 0
+    else:
+        bs[0, :] = 0
+    return bs
+
+
+def _filter_luma_lines(p, q, tc, beta, mask):
+    """Filter across one edge for a batch of 4-line segments.
+    p, q: (N, 4, 4) samples, p[:, :, 0] nearest the edge reversed so
+    p[:, line, i] = p_i; q[:, line, i] = q_i. Returns filtered (p, q)."""
+    p = p.astype(np.int32)
+    q = q.astype(np.int32)
+    dp0 = np.abs(p[:, 0, 2] - 2 * p[:, 0, 1] + p[:, 0, 0])
+    dp3 = np.abs(p[:, 3, 2] - 2 * p[:, 3, 1] + p[:, 3, 0])
+    dq0 = np.abs(q[:, 0, 2] - 2 * q[:, 0, 1] + q[:, 0, 0])
+    dq3 = np.abs(q[:, 3, 2] - 2 * q[:, 3, 1] + q[:, 3, 0])
+    dpq0 = dp0 + dq0
+    dpq3 = dp3 + dq3
+    d = dpq0 + dpq3
+    do_filter = (d < beta) & mask
+
+    def dsam(line, dpq):
+        sp = np.abs(p[:, line, 3] - p[:, line, 0])
+        sq = np.abs(q[:, line, 0] - q[:, line, 3])
+        spq = np.abs(p[:, line, 0] - q[:, line, 0])
+        return (
+            (2 * dpq < (beta >> 2))
+            & (sp + sq < (beta >> 3))
+            & (spq < ((5 * tc + 1) >> 1))
+        )
+
+    strong = dsam(0, dpq0) & dsam(3, dpq3) & do_filter
+    weak = do_filter & ~strong
+
+    tc_ = tc[:, None]
+    # strong filter (all 4 lines)
+    sp0 = (p[:, :, 2] + 2 * p[:, :, 1] + 2 * p[:, :, 0] + 2 * q[:, :, 0] + q[:, :, 1] + 4) >> 3
+    sp1 = (p[:, :, 2] + p[:, :, 1] + p[:, :, 0] + q[:, :, 0] + 2) >> 2
+    sp2 = (2 * p[:, :, 3] + 3 * p[:, :, 2] + p[:, :, 1] + p[:, :, 0] + q[:, :, 0] + 4) >> 3
+    sq0 = (q[:, :, 2] + 2 * q[:, :, 1] + 2 * q[:, :, 0] + 2 * p[:, :, 0] + p[:, :, 1] + 4) >> 3
+    sq1 = (q[:, :, 2] + q[:, :, 1] + q[:, :, 0] + p[:, :, 0] + 2) >> 2
+    sq2 = (2 * q[:, :, 3] + 3 * q[:, :, 2] + q[:, :, 1] + q[:, :, 0] + p[:, :, 0] + 4) >> 3
+    clip = lambda v, ref: np.clip(v, ref - 2 * tc_, ref + 2 * tc_)
+    sp0 = clip(sp0, p[:, :, 0])
+    sp1 = clip(sp1, p[:, :, 1])
+    sp2 = clip(sp2, p[:, :, 2])
+    sq0 = clip(sq0, q[:, :, 0])
+    sq1 = clip(sq1, q[:, :, 1])
+    sq2 = clip(sq2, q[:, :, 2])
+
+    # weak filter
+    delta = (9 * (q[:, :, 0] - p[:, :, 0]) - 3 * (q[:, :, 1] - p[:, :, 1]) + 8) >> 4
+    w_on = weak[:, None] & (np.abs(delta) < 10 * tc_)
+    dlt = np.clip(delta, -tc_, tc_)
+    wp0 = np.clip(p[:, :, 0] + dlt, 0, 255)
+    wq0 = np.clip(q[:, :, 0] - dlt, 0, 255)
+    side_thr = (beta + (beta >> 1)) >> 3
+    dep = (dp0 + dp3 < side_thr)[:, None]
+    deq = (dq0 + dq3 < side_thr)[:, None]
+    tc2 = tc_ >> 1
+    dp_ = np.clip((((p[:, :, 2] + p[:, :, 0] + 1) >> 1) - p[:, :, 1] + dlt) >> 1, -tc2, tc2)
+    dq_ = np.clip((((q[:, :, 2] + q[:, :, 0] + 1) >> 1) - q[:, :, 1] - dlt) >> 1, -tc2, tc2)
+    wp1 = np.clip(p[:, :, 1] + dp_, 0, 255)
+    wq1 = np.clip(q[:, :, 1] + dq_, 0, 255)
+
+    s_on = strong[:, None]
+    out_p = p.copy()
+    out_q = q.copy()
+    out_p[:, :, 0] = np.where(s_on, sp0, np.where(w_on, wp0, p[:, :, 0]))
+    out_p[:, :, 1] = np.where(s_on, sp1, np.where(w_on & dep, wp1, p[:, :, 1]))
+    out_p[:, :, 2] = np.where(s_on, sp2, p[:, :, 2])
+    out_q[:, :, 0] = np.where(s_on, sq0, np.where(w_on, wq0, q[:, :, 0]))
+    out_q[:, :, 1] = np.where(s_on, sq1, np.where(w_on & deq, wq1, q[:, :, 1]))
+    out_q[:, :, 2] = np.where(s_on, sq2, q[:, :, 2])
+    return out_p, out_q
+
+
+def _deblock_luma_dir(plane, bs8, qp, vertical: bool):
+    """One direction over the whole plane. bs8: (h8, w8) per-cell edge BS."""
+    h, w = plane.shape
+    h8, w8 = bs8.shape
+    # collect 4-line segments: each cell edge has two segments
+    segs = []  # (y8, x8, line_offset)
+    cells = np.nonzero(bs8 > 0)
+    if len(cells[0]) == 0:
+        return plane
+    n = len(cells[0]) * 2
+    p = np.empty((n, 4, 4), dtype=np.int32)
+    q = np.empty((n, 4, 4), dtype=np.int32)
+    bs = np.empty(n, dtype=np.int32)
+    coords = []
+    k = 0
+    for y8, x8 in zip(*cells):
+        for half in (0, 1):
+            if vertical:
+                x = x8 * 8
+                y = y8 * 8 + half * 4
+                q[k] = plane[y : y + 4, x : x + 4]
+                p[k] = plane[y : y + 4, x - 4 : x][:, ::-1]
+            else:
+                y = y8 * 8
+                x = x8 * 8 + half * 4
+                q[k] = plane[y : y + 4, x : x + 4].T
+                p[k] = plane[y - 4 : y, x : x + 4][::-1].T
+            bs[k] = bs8[y8, x8]
+            coords.append((y, x))
+            k += 1
+    qidx_b = np.clip(qp, 0, 51)
+    beta = np.full(n, int(BETA_TABLE[qidx_b]), dtype=np.int32)
+    qidx_t = np.clip(qp + 2 * (bs - 1), 0, 53)
+    tc = TC_TABLE[qidx_t].astype(np.int32)
+    mask = tc >= 0  # all collected segments are real edges
+    fp, fq = _filter_luma_lines(p, q, tc, beta, mask)
+    out = plane.copy()
+    for k2, (y, x) in enumerate(coords):
+        if vertical:
+            out[y : y + 4, x - 4 : x] = fp[k2][:, ::-1]
+            out[y : y + 4, x : x + 4] = fq[k2]
+        else:
+            out[y - 4 : y, x : x + 4] = fp[k2].T[::-1]
+            out[y : y + 4, x : x + 4] = fq[k2].T
+    return out
+
+
+def _deblock_chroma_dir(plane, bs8, qp_c, vertical: bool):
+    """Chroma: BS==2 edges only, on the 8-chroma-sample grid (every other
+    luma cell edge for 4:2:0), 2-tap delta filter (§8.7.2.5.5)."""
+    h8, w8 = bs8.shape
+    out = plane.copy().astype(np.int32)
+    qidx = np.clip(qp_c + 2, 0, 53)
+    tc = int(TC_TABLE[qidx])
+    if tc == 0:
+        return out
+    for y8, x8 in zip(*np.nonzero(bs8 == 2)):
+        # chroma edge exists where the luma edge lies on the 16-luma grid
+        if vertical:
+            if (x8 * 8) % 16:
+                continue
+            cx = x8 * 4
+            cy = y8 * 4
+            q0 = out[cy : cy + 4, cx]
+            q1 = out[cy : cy + 4, cx + 1]
+            p0 = out[cy : cy + 4, cx - 1]
+            p1 = out[cy : cy + 4, cx - 2]
+        else:
+            if (y8 * 8) % 16:
+                continue
+            cy = y8 * 4
+            cx = x8 * 4
+            q0 = out[cy, cx : cx + 4]
+            q1 = out[cy + 1, cx : cx + 4]
+            p0 = out[cy - 1, cx : cx + 4]
+            p1 = out[cy - 2, cx : cx + 4]
+        delta = np.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tc, tc)
+        np0 = np.clip(p0 + delta, 0, 255)
+        nq0 = np.clip(q0 - delta, 0, 255)
+        if vertical:
+            out[cy : cy + 4, cx - 1] = np0
+            out[cy : cy + 4, cx] = nq0
+        else:
+            out[cy - 1, cx : cx + 4] = np0
+            out[cy, cx : cx + 4] = nq0
+    return out
+
+
+def deblock_frame(planes, fs, qp: int, is_intra_slice: bool):
+    """(y, u, v) recon -> deblocked recon (both encoder and decoder call
+    this after full-frame reconstruction; intra prediction already used the
+    unfiltered samples, matching the normative decoding order)."""
+    y, u, v = (np.asarray(p).astype(np.int32) for p in planes)
+    qpc = chroma_qp(qp)
+    bs_v = boundary_strength(fs, is_intra_slice, 0)
+    y = _deblock_luma_dir(y, bs_v, qp, True)
+    u = _deblock_chroma_dir(u, bs_v, qpc, True)
+    v = _deblock_chroma_dir(v, bs_v, qpc, True)
+    bs_h = boundary_strength(fs, is_intra_slice, 1)
+    y = _deblock_luma_dir(y, bs_h, qp, False)
+    u = _deblock_chroma_dir(u, bs_h, qpc, False)
+    v = _deblock_chroma_dir(v, bs_h, qpc, False)
+    return y, u, v
