@@ -1,0 +1,182 @@
+"""HM-compatible option parsing.
+
+Supports the reference's config syntax (program_options_lite): `Key : value`
+lines, `#` comments, cascading `-c file.cfg` (later files/CLI override
+earlier), `--Key=value` long options and the common short options. The GOP
+table (`Frame1: P 1 3 0.4624 ...`) is parsed into GopEntry records.
+
+Unknown keys are collected (not fatal) so the reference's full cfg files
+parse cleanly; keys that name not-yet-implemented features raise only when
+they would silently change conformance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..codec.params import EncoderConfig, SeqParams
+
+
+@dataclass
+class GopEntry:
+    slice_type: str = "P"
+    poc_offset: int = 1
+    qp_offset: int = 0
+    qp_factor: float = 0.5
+    temporal_id: int = 0
+    num_ref_pics_active: int = 1
+    ref_pics: list = field(default_factory=list)  # delta POCs
+
+
+def parse_cfg_file(path: str, into: dict | None = None) -> dict:
+    """One cfg file -> {key: value-string}; GOP rows under 'Frame<N>'."""
+    out = into if into is not None else {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if ":" in line:
+                key, val = line.split(":", 1)
+            elif "=" in line:
+                key, val = line.split("=", 1)
+            else:
+                continue
+            out[key.strip()] = val.strip()
+    return out
+
+
+def parse_gop_entry(val: str) -> GopEntry:
+    t = val.split()
+    e = GopEntry()
+    e.slice_type = t[0]
+    e.poc_offset = int(t[1])
+    e.qp_offset = int(t[2])
+    e.qp_factor = float(t[3])
+    # HM layout: type POC QPoffset QPfactor tcOffsetDiv2 betaOffsetDiv2
+    #            temporal_id num_ref_pics_active num_ref_pics ref_pics... [pred]
+    try:
+        e.temporal_id = int(t[6])
+        nactive = int(t[7])
+        nref = int(t[8])
+        e.num_ref_pics_active = nactive
+        e.ref_pics = [int(x) for x in t[9 : 9 + nref]]
+    except (IndexError, ValueError):
+        pass
+    return e
+
+
+def parse_args(argv: list[str]) -> dict:
+    """CLI args -> raw option dict (cfg files expanded, later wins)."""
+    opts: dict = {}
+    i = 0
+    short = {
+        "-i": "InputFile", "-b": "BitstreamFile", "-o": "ReconFile",
+        "-wdt": "SourceWidth", "-hgt": "SourceHeight", "-fr": "FrameRate",
+        "-f": "FramesToBeEncoded", "-q": "QP", "-ip": "IntraPeriod",
+        "-g": "GOPSize", "-sr": "SearchRange",
+    }
+    while i < len(argv):
+        a = argv[i]
+        if a == "-c":
+            parse_cfg_file(argv[i + 1], opts)
+            i += 2
+        elif a.startswith("--") and "=" in a:
+            k, v = a[2:].split("=", 1)
+            opts[k] = v
+            i += 1
+        elif a in short:
+            opts[short[a]] = argv[i + 1]
+            i += 2
+        else:
+            raise SystemExit(f"unknown option: {a}")
+    return opts
+
+
+_TRUE = {"1", "true", "yes", "on"}
+
+
+def _b(v: str) -> bool:
+    return v.strip().lower() in _TRUE
+
+
+def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
+    """Raw options -> (EncoderConfig, io dict). io: InputFile etc."""
+    cfg = EncoderConfig(sps=SeqParams())
+    sps = cfg.sps
+    gop: list[GopEntry] = []
+    unknown = {}
+    for k, v in opts.items():
+        if k == "SourceWidth":
+            sps.width = int(v)
+        elif k == "SourceHeight":
+            sps.height = int(v)
+        elif k == "InternalBitDepth" or k == "InputBitDepth":
+            if int(v) != 8:
+                raise NotImplementedError("only 8-bit supported so far")
+        elif k == "FrameRate":
+            cfg.frame_rate = int(float(v))
+        elif k == "FramesToBeEncoded":
+            cfg.frames = int(v)
+        elif k == "QP":
+            cfg.qp = int(float(v))
+        elif k == "IntraPeriod":
+            cfg.intra_period = int(v)
+        elif k == "GOPSize":
+            cfg.gop_size = int(v)
+        elif k == "SearchRange":
+            cfg.search_range = int(v)
+        elif k in ("MaxCUSize", "MaxCUWidth", "MaxCUHeight"):
+            sps.log2_ctu = int(v).bit_length() - 1
+        elif k == "MaxPartitionDepth":
+            sps.log2_min_cu = sps.log2_ctu - int(v) + 1
+        elif k == "QuadtreeTULog2MaxSize":
+            sps.log2_max_tu = int(v)
+        elif k == "QuadtreeTULog2MinSize":
+            sps.log2_min_tu = int(v)
+        elif k == "QuadtreeTUMaxDepthIntra":
+            sps.max_tu_depth_intra = int(v) - 1
+        elif k == "QuadtreeTUMaxDepthInter":
+            sps.max_tu_depth_inter = int(v) - 1
+        elif k == "SAO":
+            if _b(v):
+                import warnings
+
+                warnings.warn("SAO requested but not implemented yet; "
+                              "encoding with SAO off (still conformant)")
+            sps.sao_enabled = False
+        elif k == "LoopFilterDisable":
+            cfg.deblocking = not _b(v)
+        elif k == "AMP":
+            sps.amp_enabled = _b(v)
+        elif k == "HadamardME":
+            cfg.hadamard_me = _b(v)
+        elif k == "SignHideFlag":
+            if _b(v):
+                import warnings
+
+                warnings.warn("SignHideFlag requested but SBH quantizer "
+                              "parity not implemented; coding without SBH")
+            cfg.pps.sign_data_hiding = False
+        elif k == "MaxNumMergeCand":
+            cfg.max_num_merge_cand = int(v)
+        elif k == "TemporalMVP" or k == "TMVPMode":
+            sps.temporal_mvp_enabled = False  # not emitted yet
+        elif k == "FmeMode":
+            cfg.fme_mode = v.strip()
+        elif k == "NNWeightsDir":
+            cfg.nn_weights_dir = v.strip()
+        elif k == "Level":
+            cfg.sps.level_idc = int(float(v) * 30)
+        elif k.startswith("Frame") and k[5:].isdigit():
+            gop.append(parse_gop_entry(v))
+        else:
+            unknown[k] = v
+    io = {
+        "InputFile": opts.get("InputFile"),
+        "BitstreamFile": opts.get("BitstreamFile"),
+        "ReconFile": opts.get("ReconFile"),
+        "gop_table": gop,
+        "unknown": unknown,
+    }
+    return cfg, io
