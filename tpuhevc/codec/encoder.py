@@ -9,6 +9,7 @@ serialization, MD5 SEI, NAL packing.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass, field
 
@@ -51,15 +52,31 @@ class Encoder:
             frame_encoder = encode_frame_intra_jax
         self._frame_encoder = frame_encoder or encode_frame_intra
         self.dpb_recon = None  # previous frame recon (single-ref LD-P)
-        self.nn_params = None
-        if cfg.fme_mode == "nn":
-            self.nn_params = _load_nn_params(cfg)
+        self._nn_cache: dict = {}
+        self.nn_params = self._nn_for_qp(cfg.qp)
 
     def _slice_type(self, poc: int) -> int:
         ip = self.cfg.intra_period
         if poc == 0 or ip == 1 or (ip > 0 and poc % ip == 0):
             return I_SLICE
         return P_SLICE
+
+    def frame_qp(self, poc: int) -> int:
+        cfg = self.cfg
+        if self._slice_type(poc) == I_SLICE or not cfg.gop_qp_offsets:
+            return cfg.qp
+        off = cfg.gop_qp_offsets[(poc - 1) % len(cfg.gop_qp_offsets)]
+        return min(max(cfg.qp + off, 0), 51)
+
+    def _nn_for_qp(self, qp: int):
+        if self.cfg.fme_mode != "nn":
+            return None
+        p = self._nn_cache.get(qp)
+        if p is None and qp not in self._nn_cache:
+            cfg_qp = dataclasses.replace(self.cfg, qp=qp)
+            p = _load_nn_params(cfg_qp)
+            self._nn_cache[qp] = p
+        return self._nn_cache.get(qp)
 
     def _emit(self, nal: bytes, first_of_au: bool = False) -> None:
         self.nals.append(nal)
@@ -76,6 +93,7 @@ class Encoder:
             self._wrote_ps = True
 
         stype = self._slice_type(poc)
+        fqp = self.frame_qp(poc)
         if precomputed is not None:
             fs, (ry, ru, rv) = precomputed
         elif stype == I_SLICE:
@@ -83,38 +101,39 @@ class Encoder:
         else:
             from .inter_enc import encode_frame_p
 
+            cfg_f = dataclasses.replace(cfg, qp=fqp)
             fs, (ry, ru, rv) = encode_frame_p(
-                (y, u, v), self.dpb_recon, cfg, self.nn_params,
+                (y, u, v), self.dpb_recon, cfg_f, self._nn_for_qp(fqp),
                 backend=cfg.inter_backend)
 
         if cfg.deblocking:
             from ..ops.deblock import deblock_frame
 
-            ry, ru, rv = deblock_frame((ry, ru, rv), fs, cfg.qp,
+            ry, ru, rv = deblock_frame((ry, ru, rv), fs, fqp,
                                        stype == I_SLICE)
 
         max_merge = cfg.max_num_merge_cand
         if stype == I_SLICE:
             hdr = headers.SliceHeader(
                 slice_type=I_SLICE, nal_type=bitio.NAL_IDR_W_RADL, poc=poc,
-                qp=cfg.qp,
+                qp=fqp,
             )
             init_row = 2
         else:
             hdr = headers.SliceHeader(
                 slice_type=P_SLICE, nal_type=bitio.NAL_TRAIL_R, poc=poc,
-                qp=cfg.qp, rps=headers.ShortTermRPS([-1], [1]),
+                qp=fqp, rps=headers.ShortTermRPS([-1], [1]),
                 num_ref_idx_l0=1,
                 five_minus_max_num_merge_cand=5 - max_merge,
             )
             init_row = 1
         w = headers.write_slice_header(hdr, sps, pps)
-        payload = encode_slice_data_native(fs, sps, pps, init_row, cfg.qp,
+        payload = encode_slice_data_native(fs, sps, pps, init_row, fqp,
                                            stype, max_merge)
         if payload is not None:  # native fast path (byte-identical)
             w.write_bytes(payload)
         else:
-            ctx = ContextSet(init_row, cfg.qp)
+            ctx = ContextSet(init_row, fqp)
             cab = CabacEncoder(ctx)
             encode_slice_data(cab, fs, sps, pps, stype, max_merge)
             cab.finish()
@@ -196,23 +215,27 @@ def _ldp_pipelined(enc, cfg, frames, finish):
     frame i's packed buffer is fetched and serialized."""
     import jax.numpy as jnp
 
-    from .inter_enc import (
-        _cu_grid, _stage_fn, _stage_collect, assemble_frame_p)
+    from .inter_enc import _stage_fn, _stage_collect, assemble_frame_p
     from .recon import _pad_to
     from ..utils.tables import qp_to_lambda
 
     sps = cfg.sps
     w, h = sps.coded_width, sps.coded_height
-    lambda_fp = int(round(np.sqrt(qp_to_lambda(cfg.qp, 0.4624)) * 256))
-    pos16, pos8 = _cu_grid(w, h)
-    classes = [(s, p) for s, p in ((16, pos16), (8, pos8)) if p]
-    fn = _stage_fn(cfg, classes, enc.nn_params, lambda_fp)
+    fns = {}
+
+    def stage_for(qp):
+        if qp not in fns:
+            cfg_f = dataclasses.replace(cfg, qp=qp)
+            lam = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
+            fns[qp] = (cfg_f,) + _stage_fn(cfg_f, enc._nn_for_qp(qp), lam)
+        return fns[qp]
 
     finish(0, frames[0])  # IDR (device intra path)
     dev_ref = tuple(jnp.asarray(p) for p in enc.dpb_recon)
     pending = None
     for i in range(1, len(frames) + 1):
         if i < len(frames):
+            cfg_f, fn, grids = stage_for(enc.frame_qp(i))
             y, u, v = frames[i]
             oy = jnp.asarray(_pad_to(np.asarray(y), h, w))
             ou = jnp.asarray(_pad_to(np.asarray(u), h // 2, w // 2))
@@ -220,10 +243,10 @@ def _ldp_pipelined(enc, cfg, frames, finish):
             buf, ry, ru, rv = fn(oy, ou, ov, *dev_ref)
             dev_ref = (ry, ru, rv)
         if pending is not None:
-            j, pbuf = pending
-            per_cu = _stage_collect(np.asarray(pbuf), classes)
-            finish(j, frames[j], assemble_frame_p(cfg, per_cu))
-        pending = (i, buf) if i < len(frames) else None
+            j, pbuf, pcfg, pgrids = pending
+            per_cu = _stage_collect(pcfg, np.asarray(pbuf), pgrids)
+            finish(j, frames[j], assemble_frame_p(pcfg, per_cu))
+        pending = (i, buf, cfg_f, grids) if i < len(frames) else None
 
 
 def _load_nn_params(cfg: EncoderConfig):

@@ -65,225 +65,403 @@ def _subpel_mvs(cfg: EncoderConfig, mv_int, sad9, size, nn_params):
     raise ValueError(f"fme mode {mode}")
 
 
-def _compute_stage_np(cfg, orig, ref, pos16, pos8, nn_params, lambda_fp,
-                      collect_sads=False):
-    """Batched ME + subpel + MC + transform/quant/recon per CU-size class.
-    Returns {(x0, y0): per-CU dict}. Host numpy reference; the JAX stage
-    (_compute_stage_jax) must match it exactly."""
+
+
+def _bits_est_np(lvl):
+    """Integer residual-bit proxy: sum over nonzero coeffs of
+    2*bit_length(|l|) + 1 (exactly reproducible on device)."""
+    a = np.abs(lvl.reshape(lvl.shape[0], -1))
+    bl = np.zeros_like(a)
+    for k in range(15):
+        bl += (a > (1 << k) - 1).astype(a.dtype)  # a >= 2^k
+    return (2 * bl + (a > 0)).sum(axis=1).astype(np.int64)
+
+
+def _bits_est_jnp(lvl):
+    import jax.numpy as jnp
+
+    a = jnp.abs(lvl.reshape(lvl.shape[0], -1))
+    bl = jnp.zeros_like(a)
+    for k in range(15):
+        bl = bl + (a > (1 << k) - 1).astype(a.dtype)
+    return (2 * bl + (a > 0)).sum(axis=1)
+
+
+def _full_lambda_fp(qp: int) -> int:
+    """lambda in 8.8 fixed point (full, not sqrt) for the skip decision."""
+    return int(round(qp_to_lambda(qp, 0.4624) * 256))
+
+def _grid_hier(w: int, h: int):
+    """Hierarchical CU grid: aligned 32-regions (each with its 4 16-sub-CUs,
+    RD-selected), free 16s, and 8s at non-16-aligned borders."""
+    pos16_all, pos8 = _cu_grid(w, h)
+    pos32 = [(x, y) for (x, y) in pos16_all
+             if x % 32 == 0 and y % 32 == 0 and x + 32 <= w and y + 32 <= h]
+    covered = set()
+    sub16 = []
+    for x, y in pos32:
+        for dy in (0, 16):
+            for dx in (0, 16):
+                covered.add((x + dx, y + dy))
+                sub16.append((x + dx, y + dy))
+    pos16_free = [p for p in pos16_all if p not in covered]
+    return pos32, sub16, pos16_free, pos8
+
+
+_OVH_BITS = 16  # flat per-CU syntax overhead estimate for the size choice
+
+
+def _np_me(ref, cur, xs, ys, sr, lambda_fp):
+    mv, sad_map, best = me_ops.integer_me_np(ref, cur, xs, ys, sr, lambda_fp)
+    return mv, me_ops.sad_surface_np(sad_map, best)
+
+
+def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
+                    lambda_fp):
+    """ME + FME + MC + transform/quant + skip-bias for one CU-size class.
+    F: backend dict (numpy or jax twins). Returns dict of batched arrays."""
+    xp = F["xp"]
     sps, qp = cfg.sps, cfg.qp
     bd = sps.bit_depth
+    qpc = chroma_qp(qp)
+    sr = min(cfg.search_range, 16)
+    lam = _full_lambda_fp(qp)
     oy, ou, ov = orig
     ry, ru, rv = ref
-    qpc = chroma_qp(qp)
-    per_cu = {}
-    for size, poss in ((16, pos16), (8, pos8)):
-        if not poss:
-            continue
-        xs = np.array([p[0] for p in poss])
-        ys = np.array([p[1] for p in poss])
-        cur = np.stack([oy[y0 : y0 + size, x0 : x0 + size] for x0, y0 in poss])
-        sr = min(cfg.search_range, 16)
-        mv_int, sad_map, best = me_ops.integer_me_np(ry, cur, xs, ys, sr,
-                                                     lambda_fp)
-        sad9 = me_ops.sad_surface_np(sad_map, best)
-        mvq = _subpel_mvs(cfg, mv_int, sad9, size, nn_params)
-        # MC + residual (batched per class)
-        pred = mc_np(ry, xs, ys, mvq, size, True, bd)
-        resi = cur.astype(np.int32) - pred
-        log2 = size.bit_length() - 1
-        coef = tx.forward_transform_np(resi, bd)
-        lvl = tx.quantize_np(coef, qp, log2, bd, is_intra_slice=False)
-        deq = tx.dequantize_np(lvl, qp, log2, bd)
-        rsd = tx.inverse_transform_np(deq, bd)
-        recon = np.clip(pred + rsd, 0, (1 << bd) - 1)
-        nz = lvl.reshape(len(poss), -1).any(axis=1)
-        recon = np.where(nz[:, None, None], recon, pred)
-        # chroma
-        cs = size // 2
-        cxs, cys = xs // 2, ys // 2
-        cur_u = np.stack([ou[y : y + cs, x : x + cs] for x, y in zip(cxs, cys)])
-        cur_v = np.stack([ov[y : y + cs, x : x + cs] for x, y in zip(cxs, cys)])
-        pred_u = mc_np(ru, cxs, cys, mvq, cs, False, bd)
-        pred_v = mc_np(rv, cxs, cys, mvq, cs, False, bd)
-        clog2 = cs.bit_length() - 1
-        out_c = []
-        for cur_c, pred_c in ((cur_u, pred_u), (cur_v, pred_v)):
-            cc = tx.forward_transform_np(cur_c.astype(np.int32) - pred_c, bd)
-            clvl = tx.quantize_np(cc, qpc, clog2, bd, is_intra_slice=False)
-            cdq = tx.dequantize_np(clvl, qpc, clog2, bd)
-            crs = tx.inverse_transform_np(cdq, bd)
-            crec = np.clip(pred_c + crs, 0, (1 << bd) - 1)
-            cnz = clvl.reshape(len(poss), -1).any(axis=1)
-            crec = np.where(cnz[:, None, None], crec, pred_c)
-            out_c.append((clvl, crec))
-        for i, (x0, y0) in enumerate(poss):
-            per_cu[(x0, y0)] = dict(
-                size=size, mv=mvq[i], lvl=lvl[i], rec=recon[i],
-                lvl_u=out_c[0][0][i], rec_u=out_c[0][1][i],
-                lvl_v=out_c[1][0][i], rec_v=out_c[1][1][i],
-            )
-            if collect_sads:
-                per_cu[(x0, y0)]["sad9"] = sad9[i]
-                per_cu[(x0, y0)]["mv_int"] = mv_int[i]
-    return per_cu
+    n = len(xs_np)
+    xs = xp.asarray(xs_np)
+    ys = xp.asarray(ys_np)
+    cur = xp.stack([oy[int(y) : int(y) + size, int(x) : int(x) + size]
+                    for x, y in zip(xs_np, ys_np)])
+    mv_int, sad9 = F["me"](ry, cur, xs, ys, sr, lambda_fp)
+    mvq = mv_int * 4
+    if nn_params is not None and cfg.fme_mode == "nn":
+        from ..models import nnfme
+
+        hc = int(nnfme.height_category(size))
+        wc = int(nnfme.width_category(size))
+        off = F["nn"](nn_params, sad9, xp.full(n, hc), xp.full(n, wc))
+        mvq = mvq + off.astype(xp.int32)
+    pred = F["mc"](ry, xs, ys, mvq, size, True, bd)
+    log2 = size.bit_length() - 1
+    coef = F["fwd"](cur.astype(xp.int32) - pred, bd)
+    lvl = F["quant"](coef, qp, log2, bd, False)
+    rsd = F["inv"](F["deq"](lvl, qp, log2, bd), bd)
+    rec = xp.clip(pred + rsd, 0, (1 << bd) - 1)
+    nz = (lvl != 0).reshape(n, -1).any(axis=1)
+    rec = xp.where(nz[:, None, None], rec, pred)
+    d_skip = ((cur.astype(xp.int32) - pred) ** 2).reshape(n, -1).astype(xp.int64).sum(axis=1)
+    d_coded = ((cur.astype(xp.int32) - rec) ** 2).reshape(n, -1).astype(xp.int64).sum(axis=1)
+    # int32-safe: shift the lambda side instead of scaling distortion
+    drop = (d_skip - d_coded) <= (lam * F["bits"](lvl).astype(xp.int64)) >> 8
+    lvl = xp.where(drop[:, None, None], 0, lvl)
+    rec = xp.where(drop[:, None, None], pred, rec)
+    d_total = xp.where(drop, d_skip, d_coded)
+    bits_total = F["bits"](lvl).astype(xp.int64)
+
+    out = dict(mvq=mvq, sad9=sad9, mv_int=mv_int, lvl=lvl, rec=rec)
+    cs = size // 2
+    clog2 = cs.bit_length() - 1
+    cxs, cys = xs // 2, ys // 2
+    for tag, plane, refp in (("u", ou, ru), ("v", ov, rv)):
+        cur_c = xp.stack([
+            plane[int(y) // 2 : int(y) // 2 + cs, int(x) // 2 : int(x) // 2 + cs]
+            for x, y in zip(xs_np, ys_np)])
+        pred_c = F["mc"](refp, cxs, cys, mvq, cs, False, bd)
+        cc = F["fwd"](cur_c.astype(xp.int32) - pred_c, bd)
+        clvl = F["quant"](cc, qpc, clog2, bd, False)
+        crs = F["inv"](F["deq"](clvl, qpc, clog2, bd), bd)
+        crec = xp.clip(pred_c + crs, 0, (1 << bd) - 1)
+        cnz = (clvl != 0).reshape(n, -1).any(axis=1)
+        crec = xp.where(cnz[:, None, None], crec, pred_c)
+        dc_s = ((cur_c.astype(xp.int32) - pred_c) ** 2).reshape(n, -1).astype(xp.int64).sum(axis=1)
+        dc_c = ((cur_c.astype(xp.int32) - crec) ** 2).reshape(n, -1).astype(xp.int64).sum(axis=1)
+        cdrop = (dc_s - dc_c) <= (lam * F["bits"](clvl).astype(xp.int64)) >> 8
+        clvl = xp.where(cdrop[:, None, None], 0, clvl)
+        crec = xp.where(cdrop[:, None, None], pred_c, crec)
+        d_total = d_total + xp.where(cdrop, dc_s, dc_c)
+        bits_total = bits_total + F["bits"](clvl).astype(xp.int64)
+        out["lvl_" + tag] = clvl
+        out["rec_" + tag] = crec
+    out["d"] = d_total
+    out["bits"] = bits_total
+    return out
 
 
-_JAX_STAGE_CACHE: dict = {}
+def _np_backend():
+    import numpy as xp
+
+    def nn_np(params, sad9, hcat, wcat):
+        # forward with categories already resolved (nnfme.forward_np takes
+        # raw sizes; this mirrors it exactly)
+        p = {k: np.asarray(v) for k, v in params.items()}
+        x = (np.asarray(sad9, np.float32) - p["mean"]) / p["std"] * p["bn_in"]
+        e0 = p["emb0"][np.asarray(hcat)]
+        e1 = p["emb1"][np.asarray(wcat)]
+        inp = np.concatenate([e0, e1, x], axis=-1)
+        h1 = np.maximum(inp @ p["w1"].T + p["b1"], 0) * p["bn1_w"] + p["bn1_b"]
+        h2 = np.maximum(h1 @ p["w2"].T + p["b2"], 0) * p["bn2_w"] + p["bn2_b"]
+        cls = np.argmax(h2 @ p["wout"].T + p["bout"], axis=-1)
+        from ..models.nnfme import CLASS_TO_QMV
+
+        return CLASS_TO_QMV[cls]
+
+    return dict(
+        xp=xp, me=_np_me, mc=mc_np, nn=nn_np,
+        fwd=tx.forward_transform_np, quant=tx.quantize_np,
+        deq=tx.dequantize_np, inv=tx.inverse_transform_np,
+        bits=_bits_est_np,
+    )
 
 
-def _stage_fn(cfg, classes, nn_params, lambda_fp):
-    """Build (and cache) the jitted P-frame compute stage.
-
-    Returns fn(oy, ou, ov, ry, ru, rv) ->
-      (packed_uint8, rec_y, rec_u, rec_v)   [all device arrays]
-    The recon planes stay on device so consecutive P frames chain without a
-    host round trip; the packed buffer is a compact fetch (uint8 recon,
-    int16 coefficients, int32 meta, byte-cast)."""
-    import jax
-    import jax.numpy as jnp
+def _jax_backend():
+    import jax.numpy as xp
 
     from ..models import nnfme
     from ..ops.interp import mc as mc_jax
     from ..ops.me import integer_me as me_jax
 
-    sps, qp = cfg.sps, cfg.qp
-    bd = sps.bit_depth
-    w, h = sps.coded_width, sps.coded_height
-    qpc = chroma_qp(qp)
-    sr = min(cfg.search_range, 16)
-    key = (cfg.fme_mode, qp, bd, sr, lambda_fp, w, h,
-           tuple((s, len(p)) for s, p in classes),
-           cfg.nn_weights_dir if nn_params is not None else None)
-    fn = _JAX_STAGE_CACHE.get(key)
-    if fn is not None:
-        return fn
-    np_params = (
-        {k: jnp.asarray(v) for k, v in nn_params.items()}
-        if (nn_params is not None and cfg.fme_mode == "nn") else None
+    def nn_jax(params, sad9, hcat, wcat):
+        p = {k: xp.asarray(v) for k, v in params.items()}
+        logits = nnfme.forward(p, sad9.astype(xp.float32), hcat, wcat)
+        return xp.asarray(nnfme.CLASS_TO_QMV)[xp.argmax(logits, axis=-1)]
+
+    return dict(
+        xp=xp, me=me_jax, mc=mc_jax, nn=nn_jax,
+        fwd=tx.forward_transform, quant=tx.quantize,
+        deq=tx.dequantize, inv=tx.inverse_transform,
+        bits=_bits_est_jnp,
     )
-    class_pos = [(s, np.array([q[0] for q in p]), np.array([q[1] for q in p]))
-                 for s, p in classes]
+
+
+def _choose32(c32, c16, lam):
+    """Integer RD choice per 32-region. c16 arrays ordered 4 subs/region
+    (TL, TR, BL, BR)."""
+    xp = np if isinstance(c32["d"], np.ndarray) else None
+    d16 = c16["d"].reshape(-1, 4)
+    b16 = c16["bits"].reshape(-1, 4)
+    cost16 = (d16 + ((lam * (b16 + _OVH_BITS)) >> 8)).sum(axis=1)
+    cost32 = c32["d"] + ((lam * (c32["bits"] + _OVH_BITS)) >> 8)
+    return cost32 <= cost16
+
+
+def _build_per_cu(cfg, grids, arrs, use32) -> dict:
+    """Assemble the per-CU dict from per-class arrays + the 32-choice."""
+    pos32, sub16, pos16_free, pos8 = grids
+    per_cu = {}
+
+    def emit(poss, a, mask=None):
+        for i, (x0, y0) in enumerate(poss):
+            if mask is not None and not mask[i]:
+                continue
+            per_cu[(x0, y0)] = dict(
+                size=a["size"], mv=np.asarray(a["mvq"][i]),
+                lvl=np.asarray(a["lvl"][i], dtype=np.int32),
+                rec=np.asarray(a["rec"][i], dtype=np.int32),
+                lvl_u=np.asarray(a["lvl_u"][i], dtype=np.int32),
+                rec_u=np.asarray(a["rec_u"][i], dtype=np.int32),
+                lvl_v=np.asarray(a["lvl_v"][i], dtype=np.int32),
+                rec_v=np.asarray(a["rec_v"][i], dtype=np.int32),
+                sad9=np.asarray(a["sad9"][i]), mv_int=np.asarray(a["mv_int"][i]),
+            )
+
+    if pos32:
+        m32 = np.asarray(use32)
+        emit(pos32, arrs["c32"], m32)
+        m16 = np.repeat(~m32, 4)
+        emit(sub16, arrs["c16"], m16)
+    if pos16_free:
+        emit(pos16_free, arrs["cf"])
+    if pos8:
+        emit(pos8, arrs["c8"])
+    return per_cu
+
+
+def _compute_stage_np(cfg, orig, ref, nn_params, lambda_fp):
+    """Host reference stage (hierarchical 32/16 + borders)."""
+    sps = cfg.sps
+    w, h = sps.coded_width, sps.coded_height
+    F = _np_backend()
+    grids = _grid_hier(w, h)
+    pos32, sub16, pos16_free, pos8 = grids
+    orig = tuple(np.asarray(p, dtype=np.int32) for p in orig)
+    ref = tuple(np.asarray(p, dtype=np.int32) for p in ref)
+    arrs = {}
+    use32 = None
+    lam = _full_lambda_fp(cfg.qp)
+
+    def run(poss, size):
+        xs = np.array([p[0] for p in poss])
+        ys = np.array([p[1] for p in poss])
+        out = _class_pipeline(F, cfg, orig, ref, size, xs, ys, nn_params,
+                              lambda_fp)
+        out["size"] = size
+        return out
+
+    if pos32:
+        arrs["c32"] = run(pos32, 32)
+        arrs["c16"] = run(sub16, 16)
+        use32 = np.asarray(_choose32(arrs["c32"], arrs["c16"], lam))
+    if pos16_free:
+        arrs["cf"] = run(pos16_free, 16)
+    if pos8:
+        arrs["c8"] = run(pos8, 8)
+    return _build_per_cu(cfg, grids, arrs, use32)
+
+
+_JAX_STAGE_CACHE: dict = {}
+
+
+def _stage_fn(cfg, nn_params, lambda_fp):
+    """Jitted device stage (hierarchical 32/16 + borders).
+    fn(oy, ou, ov, ry, ru, rv) -> (packed_uint8, rec_y, rec_u, rec_v);
+    recon planes stay device-resident for LD-P chaining."""
+    import jax
+    import jax.numpy as jnp
+
+    sps = cfg.sps
+    w, h = sps.coded_width, sps.coded_height
+    key = (cfg.fme_mode, cfg.qp, sps.bit_depth, min(cfg.search_range, 16),
+           lambda_fp, w, h,
+           cfg.nn_weights_dir if nn_params is not None else None)
+    cached = _JAX_STAGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    F = _jax_backend()
+    grids = _grid_hier(w, h)
+    pos32, sub16, pos16_free, pos8 = grids
+    lam = _full_lambda_fp(cfg.qp)
+    nn_dev = ({k: jnp.asarray(v) for k, v in nn_params.items()}
+              if nn_params is not None and cfg.fme_mode == "nn" else None)
 
     def u8(x):
         return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
 
+    def blk_idx(poss, size, stride, cdiv):
+        return np.concatenate([
+            (((y // cdiv) + np.arange(size))[:, None] * stride
+             + (x // cdiv) + np.arange(size)[None, :]).reshape(-1)
+            for x, y in poss]) if poss else np.zeros(0, np.int64)
+
     def run(oy, ou, ov, ry, ru, rv):
+        orig = (oy, ou, ov)
+        ref = (ry, ru, rv)
         outs = []
-        rec_y = jnp.zeros(h * w, jnp.int32)
-        rec_u = jnp.zeros(h * w // 4, jnp.int32)
-        rec_v = jnp.zeros(h * w // 4, jnp.int32)
-        for size, xs_np, ys_np in class_pos:
-            xs = jnp.asarray(xs_np)
-            ys = jnp.asarray(ys_np)
-            n = len(xs_np)
-            cur = jnp.stack([
-                jax.lax.dynamic_slice(oy, (int(y), int(x)), (size, size))
-                for x, y in zip(xs_np, ys_np)])
-            mv_int, sad9 = me_jax(ry, cur, xs, ys, sr, lambda_fp)
-            mvq = mv_int * 4
-            if np_params is not None:
-                off = nnfme.predict(
-                    np_params, sad9.astype(jnp.float32),
-                    jnp.full(n, nnfme.height_category(size)),
-                    jnp.full(n, nnfme.width_category(size)))
-                mvq = mvq + off.astype(jnp.int32)
-            pred = mc_jax(ry, xs, ys, mvq, size, True, bd)
-            log2 = size.bit_length() - 1
-            coef = tx.forward_transform(cur.astype(jnp.int32) - pred, bd)
-            lvl = tx.quantize(coef, qp, log2, bd, is_intra_slice=False)
-            deq = tx.dequantize(lvl, qp, log2, bd)
-            rsd = tx.inverse_transform(deq, bd)
-            rec = jnp.clip(pred + rsd, 0, (1 << bd) - 1)
-            nz = (lvl != 0).any(axis=(-1, -2))
-            rec = jnp.where(nz[:, None, None], rec, pred)
-            yidx = np.concatenate([
-                ((ys_np[i] + np.arange(size))[:, None] * w
-                 + xs_np[i] + np.arange(size)[None, :]).reshape(-1)
-                for i in range(n)])
-            rec_y = rec_y.at[jnp.asarray(yidx)].set(rec.reshape(-1))
-            chunk = [u8(mvq), u8(sad9.astype(jnp.int32)), u8(mv_int),
-                     u8(lvl.astype(jnp.int16)), rec.astype(jnp.uint8).reshape(-1)]
-            cs = size // 2
-            clog2 = cs.bit_length() - 1
-            cw = w // 2
-            cxs, cys = xs // 2, ys // 2
-            for ci, (plane, refp) in enumerate(((ou, ru), (ov, rv))):
-                cur_c = jnp.stack([
-                    jax.lax.dynamic_slice(plane, (int(y) // 2, int(x) // 2),
-                                          (cs, cs))
-                    for x, y in zip(xs_np, ys_np)])
-                pred_c = mc_jax(refp, cxs, cys, mvq, cs, False, bd)
-                cc = tx.forward_transform(cur_c.astype(jnp.int32) - pred_c, bd)
-                clvl = tx.quantize(cc, qpc, clog2, bd, is_intra_slice=False)
-                cdq = tx.dequantize(clvl, qpc, clog2, bd)
-                crs = tx.inverse_transform(cdq, bd)
-                crec = jnp.clip(pred_c + crs, 0, (1 << bd) - 1)
-                cnz = (clvl != 0).any(axis=(-1, -2))
-                crec = jnp.where(cnz[:, None, None], crec, pred_c)
-                cidx = np.concatenate([
-                    (((ys_np[i] // 2) + np.arange(cs))[:, None] * cw
-                     + (xs_np[i] // 2) + np.arange(cs)[None, :]).reshape(-1)
-                    for i in range(n)])
-                if ci == 0:
-                    rec_u = rec_u.at[jnp.asarray(cidx)].set(crec.reshape(-1))
-                else:
-                    rec_v = rec_v.at[jnp.asarray(cidx)].set(crec.reshape(-1))
-                chunk += [u8(clvl.astype(jnp.int16)),
-                          crec.astype(jnp.uint8).reshape(-1)]
-            outs.append(jnp.concatenate(chunk))
-        return (jnp.concatenate(outs), rec_y.reshape(h, w),
-                rec_u.reshape(h // 2, w // 2), rec_v.reshape(h // 2, w // 2))
+        rec_y = jnp.zeros(h * w + 1, jnp.int32)
+        rec_u = jnp.zeros(h * w // 4 + 1, jnp.int32)
+        rec_v = jnp.zeros(h * w // 4 + 1, jnp.int32)
+        arrs = {}
+
+        def run_class(poss, size):
+            xs = np.array([p[0] for p in poss])
+            ys = np.array([p[1] for p in poss])
+            out = _class_pipeline(F, cfg, orig, ref, size, xs, ys, nn_dev,
+                                  lambda_fp)
+            out["size"] = size
+            return out
+
+        use32 = None
+        if pos32:
+            arrs["c32"] = run_class(pos32, 32)
+            arrs["c16"] = run_class(sub16, 16)
+            use32 = _choose32(arrs["c32"], arrs["c16"], lam)
+        if pos16_free:
+            arrs["cf"] = run_class(pos16_free, 16)
+        if pos8:
+            arrs["c8"] = run_class(pos8, 8)
+
+        def scatter(recs, poss, size, mask=None):
+            nonlocal rec_y, rec_u, rec_v
+            n = len(poss)
+            yi = jnp.asarray(blk_idx(poss, size, w, 1)).reshape(n, -1)
+            ui = jnp.asarray(blk_idx(poss, size // 2, w // 2, 2)).reshape(n, -1)
+            if mask is not None:
+                dump_y = jnp.full_like(yi, h * w)
+                dump_c = jnp.full_like(ui, h * w // 4)
+                yi = jnp.where(mask[:, None], yi, dump_y)
+                ui = jnp.where(mask[:, None], ui, dump_c)
+            rec_y = rec_y.at[yi.reshape(-1)].set(recs["rec"].reshape(-1))
+            rec_u = rec_u.at[ui.reshape(-1)].set(recs["rec_u"].reshape(-1))
+            rec_v = rec_v.at[ui.reshape(-1)].set(recs["rec_v"].reshape(-1))
+
+        if pos32:
+            m32 = use32
+            scatter(arrs["c16"], sub16, 16, jnp.repeat(~m32, 4))
+            scatter(arrs["c32"], pos32, 32, m32)
+        if pos16_free:
+            scatter(arrs["cf"], pos16_free, 16)
+        if pos8:
+            scatter(arrs["c8"], pos8, 8)
+
+        for tag in ("c32", "c16", "cf", "c8"):
+            if tag not in arrs:
+                continue
+            a = arrs[tag]
+            outs += [u8(a["mvq"]), u8(a["sad9"].astype(jnp.int32)),
+                     u8(a["mv_int"]), u8(a["lvl"].astype(jnp.int16)),
+                     a["rec"].astype(jnp.uint8).reshape(-1),
+                     u8(a["lvl_u"].astype(jnp.int16)),
+                     a["rec_u"].astype(jnp.uint8).reshape(-1),
+                     u8(a["lvl_v"].astype(jnp.int16)),
+                     a["rec_v"].astype(jnp.uint8).reshape(-1)]
+        if use32 is not None:
+            outs.append(u8(use32.astype(jnp.int32)))
+        return (jnp.concatenate(outs),
+                rec_y[:-1].reshape(h, w),
+                rec_u[:-1].reshape(h // 2, w // 2),
+                rec_v[:-1].reshape(h // 2, w // 2))
 
     fn = jax.jit(run)
-    _JAX_STAGE_CACHE[key] = fn
-    return fn
+    _JAX_STAGE_CACHE[key] = (fn, grids)
+    return fn, grids
 
 
-def _stage_collect(buf: np.ndarray, classes) -> dict:
-    """Unpack the fetched uint8 buffer into the per-CU dict."""
-    per_cu = {}
+def _stage_collect(cfg, buf: np.ndarray, grids) -> dict:
+    """Fetched uint8 buffer -> per-CU dict (mirrors _stage_fn packing)."""
+    pos32, sub16, pos16_free, pos8 = grids
     off = 0
 
-    def take_bytes(nbytes, dtype, shape):
+    def take(nbytes, dtype, shape):
         nonlocal off
         out = np.frombuffer(buf[off : off + nbytes].tobytes(), dtype=dtype)
         off += nbytes
         return out.reshape(shape)
 
-    for size, poss in classes:
+    arrs = {}
+    for tag, poss, size in (("c32", pos32, 32), ("c16", sub16, 16),
+                            ("cf", pos16_free, 16), ("c8", pos8, 8)):
+        if not poss:
+            continue
         n = len(poss)
         cs = size // 2
-        mvq = take_bytes(n * 8, np.int32, (n, 2))
-        sad9 = take_bytes(n * 36, np.int32, (n, 9))
-        mv_int = take_bytes(n * 8, np.int32, (n, 2))
-        lvl = take_bytes(n * size * size * 2, np.int16, (n, size, size))
-        rec = take_bytes(n * size * size, np.uint8, (n, size, size))
-        lvl_u = take_bytes(n * cs * cs * 2, np.int16, (n, cs, cs))
-        rec_u = take_bytes(n * cs * cs, np.uint8, (n, cs, cs))
-        lvl_v = take_bytes(n * cs * cs * 2, np.int16, (n, cs, cs))
-        rec_v = take_bytes(n * cs * cs, np.uint8, (n, cs, cs))
-        for i, (x0, y0) in enumerate(poss):
-            per_cu[(x0, y0)] = dict(
-                size=size, mv=mvq[i], lvl=lvl[i].astype(np.int32),
-                rec=rec[i].astype(np.int32),
-                lvl_u=lvl_u[i].astype(np.int32), rec_u=rec_u[i].astype(np.int32),
-                lvl_v=lvl_v[i].astype(np.int32), rec_v=rec_v[i].astype(np.int32),
-                sad9=sad9[i], mv_int=mv_int[i],
-            )
-    return per_cu
+        arrs[tag] = dict(
+            size=size,
+            mvq=take(n * 8, np.int32, (n, 2)),
+            sad9=take(n * 36, np.int32, (n, 9)),
+            mv_int=take(n * 8, np.int32, (n, 2)),
+            lvl=take(n * size * size * 2, np.int16, (n, size, size)),
+            rec=take(n * size * size, np.uint8, (n, size, size)),
+            lvl_u=take(n * cs * cs * 2, np.int16, (n, cs, cs)),
+            rec_u=take(n * cs * cs, np.uint8, (n, cs, cs)),
+            lvl_v=take(n * cs * cs * 2, np.int16, (n, cs, cs)),
+            rec_v=take(n * cs * cs, np.uint8, (n, cs, cs)),
+        )
+        arrs[tag]["mv"] = arrs[tag]["mvq"]
+    use32 = None
+    if pos32:
+        use32 = take(len(pos32) * 4, np.int32, (len(pos32),)).astype(bool)
+    return _build_per_cu(cfg, grids, arrs, use32)
 
 
-def _compute_stage_jax(cfg, orig, ref, pos16, pos8, nn_params, lambda_fp):
-    """Synchronous device stage (submit + fetch). encode_sequence's LD-P
-    pipeline uses _stage_fn directly to overlap device/host work."""
+def _compute_stage_jax(cfg, orig, ref, nn_params, lambda_fp):
+    """Synchronous device stage (submit + fetch)."""
     import jax.numpy as jnp
 
-    classes = [(s, p) for s, p in ((16, pos16), (8, pos8)) if p]
-    fn = _stage_fn(cfg, classes, nn_params, lambda_fp)
-    oy, ou, ov = (jnp.asarray(a) for a in orig)
-    ry, ru, rv = (jnp.asarray(a) for a in ref)
+    fn, grids = _stage_fn(cfg, nn_params, lambda_fp)
+    oy, ou, ov = (jnp.asarray(np.asarray(a, dtype=np.int32)) for a in orig)
+    ry, ru, rv = (jnp.asarray(np.asarray(a, dtype=np.int32)) for a in ref)
     buf, _, _, _ = fn(oy, ou, ov, ry, ru, rv)
-    return _stage_collect(np.asarray(buf), classes)
+    return _stage_collect(cfg, np.asarray(buf), grids)
 
 
 def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None,
@@ -300,11 +478,51 @@ def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None,
     ov = _pad_to(np.asarray(orig[2]), h // 2, w // 2)
     ry, ru, rv = (p.astype(np.int32) for p in ref_recon)
     lambda_fp = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
-    pos16, pos8 = _cu_grid(w, h)
     stage = _compute_stage_jax if backend == "jax" else _compute_stage_np
-    per_cu = stage(
-        cfg, (oy, ou, ov), (ry, ru, rv), pos16, pos8, nn_params, lambda_fp)
+    per_cu = stage(cfg, (oy, ou, ov), (ry, ru, rv), nn_params, lambda_fp)
     return assemble_frame_p(cfg, per_cu)
+
+
+def _merge_static_cus(per_cu: dict, w: int, h: int) -> dict:
+    """Bottom-up CU agglomeration: an aligned 32x32 (then 64x64) region
+    whose sub-CUs share one MV and have zero residual collapses into a
+    single CU (one skip flag instead of 4/16 CU syntax sets). MC is
+    position-independent, so recon/coeffs are unchanged — only syntax
+    granularity improves. Counterpart of the RD quadtree preferring large
+    SKIP CUs in static areas (TEncCu xCheckRDCostMerge2Nx2N)."""
+    for size in (32, 64):
+        half = size // 2
+        for y0 in range(0, h - size + 1, size):
+            for x0 in range(0, w - size + 1, size):
+                subs = [per_cu.get((x0 + dx, y0 + dy))
+                        for dy in (0, half) for dx in (0, half)]
+                if any(s is None or s["size"] != half for s in subs):
+                    continue
+                mv0 = subs[0]["mv"]
+                if not all((s["mv"] == mv0).all() for s in subs):
+                    continue
+                if any(s["lvl"].any() or s["lvl_u"].any() or s["lvl_v"].any()
+                       for s in subs):
+                    continue
+                rec = np.zeros((size, size), dtype=subs[0]["rec"].dtype)
+                cs = half // 2
+                rec_u = np.zeros((size // 2, size // 2), dtype=rec.dtype)
+                rec_v = np.zeros_like(rec_u)
+                ch = half // 2
+                for dy, dx in ((0, 0), (0, half), (half, 0), (half, half)):
+                    s = per_cu.pop((x0 + dx, y0 + dy))
+                    rec[dy : dy + half, dx : dx + half] = s["rec"]
+                    rec_u[dy // 2 : dy // 2 + ch, dx // 2 : dx // 2 + ch] = s["rec_u"]
+                    rec_v[dy // 2 : dy // 2 + ch, dx // 2 : dx // 2 + ch] = s["rec_v"]
+                per_cu[(x0, y0)] = dict(
+                    size=size, mv=mv0,
+                    lvl=np.zeros((size, size), np.int32), rec=rec,
+                    lvl_u=np.zeros((size // 2, size // 2), np.int32),
+                    rec_u=rec_u,
+                    lvl_v=np.zeros((size // 2, size // 2), np.int32),
+                    rec_v=rec_v,
+                )
+    return per_cu
 
 
 def assemble_frame_p(cfg: EncoderConfig, per_cu: dict):
@@ -320,6 +538,7 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict):
     rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
     order = BlockOrder(w, h, sps.log2_ctu)
     field = MvField(w // 8, h // 8)
+    per_cu = _merge_static_cus(per_cu, w, h)
 
     # --- decision walk in decode order (merge/skip/AMVP + store) ---------
     cells = sorted(per_cu.keys(), key=lambda p: order.order[p[1] // 8, p[0] // 8])

@@ -126,6 +126,8 @@ class EncoderConfig:
     max_num_merge_cand: int = 5
 
     inter_backend: str = "np"    # "jax" = device compute stage for P frames
+    gop_qp_offsets: tuple = ()   # per-GOP-position P-frame QP offsets (HM
+                                 # GOP table QPoffset column; () = flat QP)
     deblocking: bool = False     # in-loop deblocking filter (host pass)
 
     # encoder-side lambda model (TEncSlice.cpp:295-310)
