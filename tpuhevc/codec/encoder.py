@@ -200,53 +200,68 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
             pre = encode_frames_intra_jax_batch(chunk, cfg)
             for j, p in enumerate(pre[: min(device_batch, len(frames) - s)]):
                 _finish(s + j, frames[s + j], p)
-    elif (cfg.intra_period != 1 and cfg.inter_backend == "jax"
+    elif (cfg.intra_period == -1 and cfg.inter_backend == "jax"
           and len(frames) > 1 and not cfg.deblocking):
-        _ldp_pipelined(enc, cfg, frames, _finish)
+        _ldp_scan_pipelined(enc, cfg, frames, _finish)
     else:
         for i, fr in enumerate(frames):
             _finish(i, fr)
     return enc, recons
 
 
-def _ldp_pipelined(enc, cfg, frames, finish):
-    """LD-P loop overlapping device compute with host serialization: the
-    recon chain stays on device; frame i+1's stage is dispatched before
-    frame i's packed buffer is fetched and serialized."""
+def _ldp_scan_pipelined(enc, cfg, frames, finish, chunk_frames: int = 8):
+    """LD-P loop batched through the tunnel: K frames per scan dispatch
+    (one upload, one compact fetch), recon chained on device, host
+    serialization of chunk i overlapped with device compute of chunk i+1."""
     import jax.numpy as jnp
 
-    from .inter_enc import _stage_fn, _stage_collect, assemble_frame_p
+    from .inter_batch import build_ldp_scan, collect_frame
+    from .inter_enc import assemble_frame_p
     from .recon import _pad_to
-    from ..utils.tables import qp_to_lambda
 
     sps = cfg.sps
     w, h = sps.coded_width, sps.coded_height
-    fns = {}
-
-    def stage_for(qp):
-        if qp not in fns:
-            cfg_f = dataclasses.replace(cfg, qp=qp)
-            lam = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
-            fns[qp] = (cfg_f,) + _stage_fn(cfg_f, enc._nn_for_qp(qp), lam)
-        return fns[qp]
+    offs = tuple(cfg.gop_qp_offsets) or (0,)
+    G = len(offs)
+    n_gops = max(1, chunk_frames // G)
+    K = n_gops * G
+    qps = set(min(max(cfg.qp + o, 0), 51) for o in offs)
+    nn_by_qp = {qp: enc._nn_for_qp(qp) for qp in qps}
+    fn, grids, _ = build_ldp_scan(cfg, nn_by_qp, n_gops)
 
     finish(0, frames[0])  # IDR (device intra path)
-    dev_ref = tuple(jnp.asarray(p) for p in enc.dpb_recon)
+    ry, ru, rv = (jnp.asarray(np.asarray(p, dtype=np.int32))
+                  for p in enc.dpb_recon)
+
+    def chunk_u8(blk):
+        rows = []
+        for y, u, v in blk:
+            rows.append(np.concatenate([
+                _pad_to(np.asarray(y), h, w).astype(np.uint8).ravel(),
+                _pad_to(np.asarray(u), h // 2, w // 2).astype(np.uint8).ravel(),
+                _pad_to(np.asarray(v), h // 2, w // 2).astype(np.uint8).ravel(),
+            ]))
+        return np.stack(rows).reshape(n_gops, G, -1)
+
+    pframes = frames[1:]
+    starts = list(range(0, len(pframes), K))
     pending = None
-    for i in range(1, len(frames) + 1):
-        if i < len(frames):
-            cfg_f, fn, grids = stage_for(enc.frame_qp(i))
-            y, u, v = frames[i]
-            oy = jnp.asarray(_pad_to(np.asarray(y), h, w))
-            ou = jnp.asarray(_pad_to(np.asarray(u), h // 2, w // 2))
-            ov = jnp.asarray(_pad_to(np.asarray(v), h // 2, w // 2))
-            buf, ry, ru, rv = fn(oy, ou, ov, *dev_ref)
-            dev_ref = (ry, ru, rv)
+    for ci in range(len(starts) + 1):
+        if ci < len(starts):
+            s = starts[ci]
+            blk = pframes[s : s + K]
+            nvalid = len(blk)
+            blk = blk + [blk[-1]] * (K - nvalid)
+            buf, ry, ru, rv = fn(jnp.asarray(chunk_u8(blk)), ry, ru, rv)
         if pending is not None:
-            j, pbuf, pcfg, pgrids = pending
-            per_cu = _stage_collect(pcfg, np.asarray(pbuf), pgrids)
-            finish(j, frames[j], assemble_frame_p(pcfg, per_cu))
-        pending = (i, buf, cfg_f, grids) if i < len(frames) else None
+            ps, pnv, pbuf = pending
+            rows = np.asarray(pbuf)
+            for j in range(pnv):
+                per_cu = collect_frame(cfg, rows[j])
+                poc = ps + 1 + j
+                cfg_f = dataclasses.replace(cfg, qp=enc.frame_qp(poc))
+                finish(poc, frames[poc], assemble_frame_p(cfg_f, per_cu))
+        pending = (s, nvalid, buf) if ci < len(starts) else None
 
 
 def _load_nn_params(cfg: EncoderConfig):

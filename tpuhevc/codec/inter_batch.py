@@ -1,0 +1,419 @@
+"""Multi-frame LD-P device stage: one jitted lax.scan over a chunk of P
+frames, chaining the recon through the scan carry.
+
+Motivation (measured): the device is reached through a high-latency tunnel
+(~30 ms per dispatch/upload round-trip), so per-frame dispatching caps the
+pipeline at ~10 fps regardless of compute. This stage amortizes that
+latency: one uint8 upload for K frames, one scan dispatch, one packed
+fetch. On-device, quantized level planes and recon planes are scattered
+into whole-frame buffers so the fetch carries only lvl (int16), recon
+(uint8), and tiny per-CU metadata instead of per-class block dumps.
+
+The per-frame math is identical to inter_enc._class_pipeline (hierarchical
+32/16 CU classes with skip-biased RD, NN-FME fractional refinement per
+TEncSearch.cpp:85-204 semantics). GOP QP offsets are supported by unrolling
+gop positions inside the scan step (per-position static QP/lambda/NN
+weights), scanning over GOPs.
+
+SAD uses 2:1 row subsampling for blocks taller than 8 (the reference's FEN
+fast-encoder setting, setDistParam iSubShift — TEncSearch.cpp:1158-1166),
+scaled back by <<1; this also halves ME compute.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import transforms as tx
+from ..ops.me import mv_bits_table
+from ..utils.tables import chroma_qp, qp_to_lambda
+from .inter_enc import _full_lambda_fp, _grid_hier
+from .params import EncoderConfig
+
+_BUILD_CACHE: dict = {}
+
+
+def _positions(cfg):
+    sps = cfg.sps
+    w, h = sps.coded_width, sps.coded_height
+    pos32, sub16, pos16_free, pos8 = _grid_hier(w, h)
+    classes = []
+    if pos32:
+        classes.append(("c32", pos32, 32))
+        classes.append(("c16", sub16, 16))
+    if pos16_free:
+        classes.append(("cf", pos16_free, 16))
+    if pos8:
+        classes.append(("c8", pos8, 8))
+    return (pos32, sub16, pos16_free, pos8), classes
+
+
+def _blk_idx(poss, size, stride, cdiv=1):
+    """(N, size, size) flat plane indices for each block."""
+    n = len(poss)
+    idx = np.empty((n, size, size), np.int32)
+    ar = np.arange(size)
+    for i, (x, y) in enumerate(poss):
+        idx[i] = ((y // cdiv + ar)[:, None] * stride + (x // cdiv + ar)[None, :])
+    return idx
+
+
+def _win_idx(poss, size, sr, w, h):
+    """(N, win, win) clipped flat indices of each ME search window."""
+    win = size + 2 * sr
+    n = len(poss)
+    idx = np.empty((n, win, win), np.int32)
+    ar = np.arange(win)
+    for i, (x, y) in enumerate(poss):
+        yy = np.clip(y - sr + ar, 0, h - 1)
+        xx = np.clip(x - sr + ar, 0, w - 1)
+        idx[i] = yy[:, None] * w + xx[None, :]
+    return idx
+
+
+def _meta_bytes(classes):
+    per = 0
+    for _, poss, _ in classes:
+        per += len(poss) * (4 + 4 + 36 + 1)  # mvq i16x2, mv_int i16x2, sad9 i32x9, cbf
+    return per
+
+
+def frame_bytes(cfg) -> int:
+    sps = cfg.sps
+    w, h = sps.coded_width, sps.coded_height
+    grids, classes = _positions(cfg)
+    n32 = len(grids[0])
+    return (w * h * 2 + 2 * (w * h // 4) * 2 + w * h + 2 * (w * h // 4)
+            + _meta_bytes(classes) + n32)
+
+
+def build_ldp_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
+    """Returns (fn, grids, qps) where fn(frames_u8 (n_gops, G, fsz),
+    ry, ru, rv) -> (packed (n_gops*G, B) uint8, ry, ru, rv).
+    qps[g] is the QP of gop position g (offsets applied)."""
+    import jax
+    import jax.numpy as jnp
+
+    sps = cfg.sps
+    w, h = sps.coded_width, sps.coded_height
+    bd = sps.bit_depth
+    sr = min(cfg.search_range, 16)
+    offs = tuple(cfg.gop_qp_offsets) or (0,)
+    G = len(offs)
+    qps = tuple(min(max(cfg.qp + o, 0), 51) for o in offs)
+    key = (w, h, bd, sr, cfg.fme_mode, qps, n_gops,
+           cfg.nn_weights_dir, not nn_by_qp.get(qps[0]))
+    hit = _BUILD_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    grids, classes = _positions(cfg)
+    pos32 = grids[0]
+    n32 = len(pos32)
+    fsz = w * h * 3 // 2
+    m = 2 * sr + 1
+    bits_tab = jnp.asarray(mv_bits_table(sr), jnp.int32)
+
+    # static index tables per class
+    tabs = {}
+    for tag, poss, size in classes:
+        tabs[tag] = dict(
+            blk=jnp.asarray(_blk_idx(poss, size, w)),
+            blk_c=jnp.asarray(_blk_idx(poss, size // 2, w // 2, 2)),
+            win=jnp.asarray(_win_idx(poss, size, sr, w, h)),
+            xs=jnp.asarray(np.array([p[0] for p in poss], np.int32)),
+            ys=jnp.asarray(np.array([p[1] for p in poss], np.int32)),
+        )
+
+    nn_dev = {}
+    if cfg.fme_mode == "nn":
+        for qp in set(qps):
+            p = nn_by_qp.get(qp)
+            if p is not None:
+                nn_dev[qp] = {k: jnp.asarray(v) for k, v in p.items()}
+
+    from ..models import nnfme
+
+    cls2q = jnp.asarray(nnfme.CLASS_TO_QMV)
+
+    def sad_search(ref_flat, cur, t, size, lam_me):
+        """Dense SAD over the (2sr+1)^2 grid; returns (mv_int (N,2),
+        sad9 (N,9)). Row-subsampled 2:1 for size>8 (FEN), scaled <<1."""
+        wnd = jnp.take(ref_flat, t["win"])  # (N, win, win) int32
+        sub = 1 if size > 8 else 0
+        c = cur[:, :: (1 << sub), :]
+
+        def row(dy):
+            rows = jax.lax.dynamic_slice_in_dim(wnd, dy, size, axis=1)
+            rows = rows[:, :: (1 << sub), :]
+            sl = jnp.stack([rows[:, :, dx : dx + size] for dx in range(m)],
+                           axis=1)  # (N, m, s_rows, size)
+            return jnp.abs(sl - c[:, None]).sum(axis=(-1, -2)) << sub
+
+        sad = jax.lax.map(row, jnp.arange(m)).transpose(1, 0, 2)  # (N,m,m)
+        cost = sad + ((bits_tab[None] * lam_me) >> 8)
+        inner = cost[:, 1 : m - 1, 1 : m - 1].reshape(cur.shape[0], -1)
+        bi = jnp.argmin(inner, axis=1)
+        by = bi // (m - 2) + 1
+        bx = bi % (m - 2) + 1
+        mv = jnp.stack([bx - sr, by - sr], axis=-1).astype(jnp.int32)
+        idx = jnp.arange(cur.shape[0])
+        sad9 = jnp.stack(
+            [sad[idx, by + dy, bx + dx]
+             for dy in (-1, 0, 1) for dx in (-1, 0, 1)], axis=-1)
+        return mv, sad9
+
+    def mc_blk(plane, t, mvq, size, is_luma):
+        from ..ops.interp import CHROMA_TAPS, LUMA_TAPS
+
+        taps_tab = jnp.asarray(LUMA_TAPS if is_luma else CHROMA_TAPS)
+        ntaps = taps_tab.shape[1]
+        off = 3 if is_luma else 1
+        fmask = 3 if is_luma else 7
+        fshift = 2 if is_luma else 3
+        hh, ww = plane.shape
+        xs = t["xs"] if is_luma else t["xs"] // 2
+        ys = t["ys"] if is_luma else t["ys"] // 2
+        ix = xs + (mvq[:, 0] >> fshift)
+        iy = ys + (mvq[:, 1] >> fshift)
+        fx = mvq[:, 0] & fmask
+        fy = mvq[:, 1] & fmask
+        win = size + ntaps - 1
+        yc = jnp.clip(iy[:, None] - off + jnp.arange(win)[None], 0, hh - 1)
+        xc = jnp.clip(ix[:, None] - off + jnp.arange(win)[None], 0, ww - 1)
+        wnd = jnp.take(plane.reshape(-1), yc[:, :, None] * ww + xc[:, None, :])
+        th = taps_tab[fx]
+        tv = taps_tab[fy]
+        hs = jnp.stack([wnd[:, :, i : i + size] for i in range(ntaps)], -1)
+        acc_h = jnp.einsum("nrci,ni->nrc", hs, th)
+        vs = jnp.stack([acc_h[:, i : i + size, :] for i in range(ntaps)], -1)
+        acc = jnp.einsum("nrci,ni->nrc", vs, tv) >> 6
+        return jnp.clip((acc + 32) >> 6, 0, (1 << bd) - 1).astype(jnp.int32)
+
+    def coded_plane(cur, pred, qp, log2):
+        coef = tx.forward_transform(cur - pred, bd)
+        lvl = tx.quantize(coef, qp, log2, bd, False)
+        rsd = tx.inverse_transform(tx.dequantize(lvl, qp, log2, bd), bd)
+        rec = jnp.clip(pred + rsd, 0, (1 << bd) - 1)
+        nz = (lvl != 0).reshape(lvl.shape[0], -1).any(axis=1)
+        rec = jnp.where(nz[:, None, None], rec, pred)
+        return lvl, rec
+
+    def bits_est(lvl):
+        a = jnp.abs(lvl.reshape(lvl.shape[0], -1))
+        bl = jnp.zeros_like(a)
+        for k in range(15):
+            bl = bl + (a > (1 << k) - 1).astype(a.dtype)
+        return (2 * bl + (a > 0)).sum(axis=1)
+
+    def sse(a, b):
+        d = (a - b).reshape(a.shape[0], -1)
+        return (d * d).sum(axis=1)
+
+    def class_pipeline(orig, ref, t, size, qp, lam_full, nn_p):
+        oy, ou, ov = orig
+        ry, ru, rv = ref
+        qpc = chroma_qp(qp)
+        log2 = size.bit_length() - 1
+        lam_me = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
+        cur = jnp.take(oy.reshape(-1), t["blk"])
+        mv_int, sad9 = sad_search(ry.reshape(-1), cur, t, size, lam_me)
+        mvq = mv_int * 4
+        if nn_p is not None:
+            hc = int(nnfme.height_category(size))
+            wc = int(nnfme.width_category(size))
+            n = cur.shape[0]
+            logits = nnfme.forward(nn_p, sad9.astype(jnp.float32),
+                                   jnp.full(n, hc), jnp.full(n, wc))
+            mvq = mvq + cls2q[jnp.argmax(logits, axis=-1)].astype(jnp.int32)
+        pred = mc_blk(ry, t, mvq, size, True)
+        lvl, rec = coded_plane(cur, pred, qp, log2)
+        d_skip = sse(cur, pred)
+        d_coded = sse(cur, rec)
+        drop = (d_skip - d_coded) <= (lam_full * bits_est(lvl)) >> 8
+        lvl = jnp.where(drop[:, None, None], 0, lvl)
+        rec = jnp.where(drop[:, None, None], pred, rec)
+        d_total = jnp.where(drop, d_skip, d_coded)
+        bits_total = bits_est(lvl)
+        out = dict(mvq=mvq, sad9=sad9, mv_int=mv_int, lvl=lvl, rec=rec)
+        cs = size // 2
+        clog2 = cs.bit_length() - 1
+        cmv = mvq  # chroma eighth-pel on the chroma grid == same quarter-pel ints
+        for tag, plane, refp in (("u", ou, ru), ("v", ov, rv)):
+            cur_c = jnp.take(plane.reshape(-1), t["blk_c"])
+            pred_c = mc_blk(refp, t, cmv, cs, False)
+            clvl, crec = coded_plane(cur_c, pred_c, qpc, clog2)
+            dc_s = sse(cur_c, pred_c)
+            dc_c = sse(cur_c, crec)
+            cdrop = (dc_s - dc_c) <= (lam_full * bits_est(clvl)) >> 8
+            clvl = jnp.where(cdrop[:, None, None], 0, clvl)
+            crec = jnp.where(cdrop[:, None, None], pred_c, crec)
+            d_total = d_total + jnp.where(cdrop, dc_s, dc_c)
+            bits_total = bits_total + bits_est(clvl)
+            out["lvl_" + tag] = clvl
+            out["rec_" + tag] = crec
+        out["d"] = d_total
+        out["bits"] = bits_total
+        return out
+
+    _OVH = 16
+
+    def u8(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+
+    def frame_step(ref, fu8, gpos):
+        qp = qps[gpos]
+        lam_full = _full_lambda_fp(qp)
+        nn_p = nn_dev.get(qp)
+        oy = fu8[: w * h].reshape(h, w).astype(jnp.int32)
+        ou = fu8[w * h : w * h * 5 // 4].reshape(h // 2, w // 2).astype(jnp.int32)
+        ov = fu8[w * h * 5 // 4 :].reshape(h // 2, w // 2).astype(jnp.int32)
+        orig = (oy, ou, ov)
+        arrs = {}
+        for tag, poss, size in classes:
+            arrs[tag] = class_pipeline(orig, ref, tabs[tag], size, qp,
+                                       lam_full, nn_p)
+        use32 = None
+        if n32:
+            d16 = arrs["c16"]["d"].reshape(-1, 4)
+            b16 = arrs["c16"]["bits"].reshape(-1, 4)
+            cost16 = (d16 + ((lam_full * (b16 + _OVH)) >> 8)).sum(axis=1)
+            cost32 = arrs["c32"]["d"] + (
+                (lam_full * (arrs["c32"]["bits"] + _OVH)) >> 8)
+            use32 = cost32 <= cost16
+
+        # scatter into whole-frame planes (dump-slot trick for masking)
+        lvl_y = jnp.zeros(h * w + 1, jnp.int32)
+        lvl_u = jnp.zeros(h * w // 4 + 1, jnp.int32)
+        lvl_v = jnp.zeros(h * w // 4 + 1, jnp.int32)
+        rec_y = jnp.zeros(h * w + 1, jnp.int32)
+        rec_u = jnp.zeros(h * w // 4 + 1, jnp.int32)
+        rec_v = jnp.zeros(h * w // 4 + 1, jnp.int32)
+
+        def scat(tag, mask):
+            nonlocal lvl_y, lvl_u, lvl_v, rec_y, rec_u, rec_v
+            a = arrs[tag]
+            t = tabs[tag]
+            yi = t["blk"].reshape(t["blk"].shape[0], -1)
+            ci = t["blk_c"].reshape(t["blk_c"].shape[0], -1)
+            if mask is not None:
+                yi = jnp.where(mask[:, None], yi, h * w)
+                ci = jnp.where(mask[:, None], ci, h * w // 4)
+            yi = yi.reshape(-1)
+            ci = ci.reshape(-1)
+            lvl_y = lvl_y.at[yi].set(a["lvl"].reshape(-1))
+            lvl_u = lvl_u.at[ci].set(a["lvl_u"].reshape(-1))
+            lvl_v = lvl_v.at[ci].set(a["lvl_v"].reshape(-1))
+            rec_y = rec_y.at[yi].set(a["rec"].reshape(-1))
+            rec_u = rec_u.at[ci].set(a["rec_u"].reshape(-1))
+            rec_v = rec_v.at[ci].set(a["rec_v"].reshape(-1))
+
+        for tag, poss, size in classes:
+            if tag == "c32":
+                continue
+            scat(tag, jnp.repeat(~use32, 4) if tag == "c16" else None)
+        if n32:
+            scat("c32", use32)
+
+        ry2 = rec_y[:-1].reshape(h, w)
+        ru2 = rec_u[:-1].reshape(h // 2, w // 2)
+        rv2 = rec_v[:-1].reshape(h // 2, w // 2)
+
+        parts = [u8(lvl_y[:-1].astype(jnp.int16)),
+                 u8(lvl_u[:-1].astype(jnp.int16)),
+                 u8(lvl_v[:-1].astype(jnp.int16)),
+                 ry2.astype(jnp.uint8).reshape(-1),
+                 ru2.astype(jnp.uint8).reshape(-1),
+                 rv2.astype(jnp.uint8).reshape(-1)]
+        for tag, poss, size in classes:
+            a = arrs[tag]
+            cbf = ((a["lvl"] != 0).reshape(len(poss), -1).any(axis=1)
+                   | (a["lvl_u"] != 0).reshape(len(poss), -1).any(axis=1)
+                   | (a["lvl_v"] != 0).reshape(len(poss), -1).any(axis=1))
+            parts += [u8(a["mvq"].astype(jnp.int16)),
+                      u8(a["mv_int"].astype(jnp.int16)),
+                      u8(a["sad9"].astype(jnp.int32)),
+                      cbf.astype(jnp.uint8)]
+        if n32:
+            parts.append(use32.astype(jnp.uint8))
+        return (ry2, ru2, rv2), jnp.concatenate(parts)
+
+    def gop_step(carry, frames_g):  # frames_g: (G, fsz)
+        outs = []
+        for g in range(G):
+            carry, pk = frame_step(carry, frames_g[g], g)
+            outs.append(pk)
+        return carry, jnp.stack(outs)
+
+    def run(frames_u8, ry, ru, rv):
+        import jax.lax as lax
+
+        (ry, ru, rv), packed = lax.scan(gop_step, (ry, ru, rv), frames_u8)
+        return packed.reshape(n_gops * G, -1), ry, ru, rv
+
+    fn = jax.jit(run, donate_argnums=(1, 2, 3))
+    out = (fn, grids, qps)
+    _BUILD_CACHE[key] = out
+    return out
+
+
+def collect_frame(cfg, buf: np.ndarray):
+    """One frame's fetched bytes -> per_cu dict (numpy views into the
+    fetched planes; compatible with inter_enc.assemble_frame_p)."""
+    sps = cfg.sps
+    w, h = sps.coded_width, sps.coded_height
+    grids, classes = _positions(cfg)
+    off = 0
+
+    def take(nbytes, dtype, shape):
+        nonlocal off
+        out = np.frombuffer(buf[off : off + nbytes].tobytes(), dtype=dtype)
+        off += nbytes
+        return out.reshape(shape)
+
+    lvl_y = take(w * h * 2, np.int16, (h, w))
+    lvl_u = take(w * h // 2, np.int16, (h // 2, w // 2))
+    lvl_v = take(w * h // 2, np.int16, (h // 2, w // 2))
+    rec_y = take(w * h, np.uint8, (h, w))
+    rec_u = take(w * h // 4, np.uint8, (h // 2, w // 2))
+    rec_v = take(w * h // 4, np.uint8, (h // 2, w // 2))
+    meta = {}
+    for tag, poss, size in classes:
+        n = len(poss)
+        meta[tag] = dict(
+            mvq=take(n * 4, np.int16, (n, 2)),
+            mv_int=take(n * 4, np.int16, (n, 2)),
+            sad9=take(n * 36, np.int32, (n, 9)),
+            cbf=take(n, np.uint8, (n,)).astype(bool),
+        )
+    n32 = len(grids[0])
+    use32 = take(n32, np.uint8, (n32,)).astype(bool) if n32 else None
+
+    per_cu = {}
+
+    def emit(poss, size, md, i, x0, y0):
+        cs = size // 2
+        cx, cy = x0 // 2, y0 // 2
+        per_cu[(x0, y0)] = dict(
+            size=size,
+            mv=md["mvq"][i].astype(np.int32),
+            mv_int=md["mv_int"][i].astype(np.int32),
+            sad9=md["sad9"][i],
+            lvl=lvl_y[y0 : y0 + size, x0 : x0 + size].astype(np.int32),
+            rec=rec_y[y0 : y0 + size, x0 : x0 + size].astype(np.int32),
+            lvl_u=lvl_u[cy : cy + cs, cx : cx + cs].astype(np.int32),
+            rec_u=rec_u[cy : cy + cs, cx : cx + cs].astype(np.int32),
+            lvl_v=lvl_v[cy : cy + cs, cx : cx + cs].astype(np.int32),
+            rec_v=rec_v[cy : cy + cs, cx : cx + cs].astype(np.int32),
+        )
+
+    pos32, sub16, pos16_free, pos8 = grids
+    for tag, poss, size in classes:
+        md = meta[tag]
+        for i, (x0, y0) in enumerate(poss):
+            if tag == "c32" and not use32[i]:
+                continue
+            if tag == "c16" and use32[i // 4]:
+                continue
+            emit(poss, size, md, i, x0, y0)
+    return per_cu
