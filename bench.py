@@ -42,6 +42,7 @@ def main():
                 sps=SeqParams(width=w, height=h, max_tu_depth_intra=0),
                 qp=32, intra_period=-1, fme_mode="nn",
                 inter_backend=backend,
+                hash_type="checksum", fetch_recon=False,
             )
             encode_sequence(_Reader(), cfg, max_frames=6)  # warmup/compile
             t0 = time.time()

@@ -1,0 +1,255 @@
+// Native decode-order decision walk for the LD-P grid encoder.
+//
+// Host-side counterpart of tpuhevc/codec/inter_enc.assemble_frame_p +
+// inter_enc._merge_static_cus + codec/mv.py (merge/AMVP derivation per
+// H.265 §8.5.3.2.3/.2.6, P slice / single ref / no TMVP — the same
+// semantics the Python decoder uses, so the two cannot diverge). The
+// Python walk costs ~35 ms/frame (the whole-frame budget at 30 fps);
+// this replacement runs in well under a millisecond.
+//
+// Inputs: per-16-block and per-32-block MVs + cbf flags and the use32
+// selection grid from the device stage. Outputs: the per-8x8-cell
+// FrameSyntax maps (cu_log2, mv, skip, merge_flag, merge_idx, mvp_flag,
+// mvd). Build: tools/build_native.sh (part of libtpuhevc_entropy.so).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Walk {
+  int W, H, w8, h8, log2_ctu, cps, wctu, max_merge;
+  std::vector<int64_t> order;   // decode order per 8x8 cell
+  std::vector<int32_t> fmvx, fmvy;  // MV field per cell
+  std::vector<uint8_t> fvalid;
+
+  int64_t ord(int x8, int y8) const { return order[y8 * w8 + x8]; }
+
+  bool precedes(int x8, int y8, int cx8, int cy8) const {
+    if (x8 < 0 || y8 < 0 || x8 >= w8 || y8 >= h8) return false;
+    return ord(x8, y8) < ord(cx8, cy8);
+  }
+
+  // MV of the PU covering sample (px, py) if already decoded; returns
+  // false if unavailable.
+  bool neighbor(int cx8, int cy8, int px, int py, int mv[2]) const {
+    if (px < 0 || py < 0) return false;
+    int x8 = px >> 3, y8 = py >> 3;
+    if (!precedes(x8, y8, cx8, cy8)) return false;
+    if (x8 >= w8 || y8 >= h8 || !fvalid[y8 * w8 + x8]) return false;
+    mv[0] = fmvx[y8 * w8 + x8];
+    mv[1] = fmvy[y8 * w8 + x8];
+    return true;
+  }
+};
+
+static int64_t morton(int cx, int cy, int bits) {
+  int64_t m = 0;
+  for (int b = bits - 1; b >= 0; b--)
+    m = (m << 2) | (((cy >> b) & 1) << 1) | ((cx >> b) & 1);
+  return m;
+}
+
+struct Cand { int x, y; bool ok; };
+
+}  // namespace
+
+extern "C" int tpuhevc_decision_walk(
+    // per-16 grid (nh16 x nw16): quarter-pel MVs + cbf
+    const int32_t* mvq16, const uint8_t* cbf16,
+    // per-32 grid (nh32 x nw32): MVs + cbf + selection
+    const int32_t* mvq32, const uint8_t* cbf32, const uint8_t* use32,
+    int W, int H, int log2_ctu, int max_merge,
+    // outputs, all (h8*w8) int32 except mv/mvd (h8*w8*2)
+    int32_t* cu_log2, int32_t* mv_out, int32_t* skip, int32_t* merge_flag,
+    int32_t* merge_idx, int32_t* mvp_flag, int32_t* mvd) {
+  if (W % 16 || H % 16) return -1;
+  const int nw16 = W / 16, nh16 = H / 16;
+  const int nw32 = W / 32, nh32 = H / 32;
+  Walk wk;
+  wk.W = W; wk.H = H; wk.w8 = W / 8; wk.h8 = H / 8;
+  wk.log2_ctu = log2_ctu; wk.max_merge = max_merge;
+  wk.cps = 1 << (log2_ctu - 3);
+  wk.wctu = (W + (1 << log2_ctu) - 1) >> log2_ctu;
+  wk.order.resize(wk.w8 * wk.h8);
+  wk.fmvx.assign(wk.w8 * wk.h8, 0);
+  wk.fmvy.assign(wk.w8 * wk.h8, 0);
+  wk.fvalid.assign(wk.w8 * wk.h8, 0);
+  const int64_t per_ctu = (int64_t)wk.cps * wk.cps;
+  for (int y8 = 0; y8 < wk.h8; y8++)
+    for (int x8 = 0; x8 < wk.w8; x8++) {
+      int64_t ctu = (int64_t)(y8 / wk.cps) * wk.wctu + (x8 / wk.cps);
+      wk.order[y8 * wk.w8 + x8] =
+          ctu * per_ctu + morton(x8 % wk.cps, y8 % wk.cps, log2_ctu - 3);
+    }
+
+  // ---- CU size map from use32 + static agglomeration (32 then 64) ----
+  // szmap per 16-cell: 16, 32 (origin at even cells), 64. cbfmap per CU
+  // origin. mvs per 16-cell (replicated).
+  std::vector<int> sz(nh16 * nw16, 16);
+  std::vector<uint8_t> cbf(nh16 * nw16, 0);
+  std::vector<int32_t> mvx(nh16 * nw16), mvy(nh16 * nw16);
+  for (int b = 0; b < nh16 * nw16; b++) {
+    mvx[b] = mvq16[2 * b];
+    mvy[b] = mvq16[2 * b + 1];
+    cbf[b] = cbf16[b];
+  }
+  for (int by = 0; by < nh32; by++)
+    for (int bx = 0; bx < nw32; bx++) {
+      if (!use32[by * nw32 + bx]) continue;
+      int b32 = by * nw32 + bx;
+      for (int dy = 0; dy < 2; dy++)
+        for (int dx = 0; dx < 2; dx++) {
+          int b = (2 * by + dy) * nw16 + (2 * bx + dx);
+          sz[b] = 32;
+          mvx[b] = mvq32[2 * b32];
+          mvy[b] = mvq32[2 * b32 + 1];
+          cbf[b] = cbf32[b32];
+        }
+    }
+  // agglomerate 4x16 -> 32 when same MV and no residual
+  for (int by = 0; by + 1 < nh16; by += 2)
+    for (int bx = 0; bx + 1 < nw16; bx += 2) {
+      int b0 = by * nw16 + bx;
+      if (sz[b0] != 16) continue;
+      bool ok = true;
+      for (int dy = 0; dy < 2 && ok; dy++)
+        for (int dx = 0; dx < 2 && ok; dx++) {
+          int b = (by + dy) * nw16 + (bx + dx);
+          ok = sz[b] == 16 && !cbf[b] && mvx[b] == mvx[b0] &&
+               mvy[b] == mvy[b0];
+        }
+      if (ok)
+        for (int dy = 0; dy < 2; dy++)
+          for (int dx = 0; dx < 2; dx++)
+            sz[(by + dy) * nw16 + (bx + dx)] = 32;
+    }
+  // agglomerate 4x32 -> 64 when same MV and no residual
+  for (int by = 0; by + 3 < nh16; by += 4)
+    for (int bx = 0; bx + 3 < nw16; bx += 4) {
+      int b0 = by * nw16 + bx;
+      bool ok = true;
+      for (int dy = 0; dy < 4 && ok; dy++)
+        for (int dx = 0; dx < 4 && ok; dx++) {
+          int b = (by + dy) * nw16 + (bx + dx);
+          ok = sz[b] == 32 && !cbf[b] && mvx[b] == mvx[b0] &&
+               mvy[b] == mvy[b0];
+        }
+      if (ok)
+        for (int dy = 0; dy < 4; dy++)
+          for (int dx = 0; dx < 4; dx++)
+            sz[(by + dy) * nw16 + (bx + dx)] = 64;
+    }
+
+  // ---- decode-order walk over CU origins ------------------------------
+  struct Cu { int x0, y0, size; int64_t ord; };
+  std::vector<Cu> cus;
+  cus.reserve(nh16 * nw16);
+  for (int by = 0; by < nh16; by++)
+    for (int bx = 0; bx < nw16; bx++) {
+      int s = sz[by * nw16 + bx];
+      int x0 = bx * 16, y0 = by * 16;
+      if (x0 % s || y0 % s) continue;  // not the origin
+      cus.push_back({x0, y0, s, wk.ord(x0 / 8, y0 / 8)});
+    }
+  std::sort(cus.begin(), cus.end(),
+            [](const Cu& a, const Cu& b) { return a.ord < b.ord; });
+
+  for (const Cu& cu : cus) {
+    int b = (cu.y0 / 16) * nw16 + (cu.x0 / 16);
+    int cmx = mvx[b], cmy = mvy[b];
+    // OR of per-cell cbf: use32 CUs replicate cbf32 into each cell,
+    // agglomerated CUs are zero-cbf by construction, plain 16s carry cbf16
+    bool has_cbf = false;
+    for (int dy = 0; dy < cu.size / 16; dy++)
+      for (int dx = 0; dx < cu.size / 16; dx++)
+        has_cbf |= cbf[(cu.y0 / 16 + dy) * nw16 + (cu.x0 / 16 + dx)] != 0;
+
+    int cx8 = cu.x0 / 8, cy8 = cu.y0 / 8;
+    int n = cu.size;
+    // merge candidates (§8.5.3.2.3): A1, B1, B0, A0, B2 + zero fill
+    int cand[5][2];
+    int ncand = 0;
+    int a1[2], b1[2], b0[2], a0[2], b2[2];
+    bool ha1 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n - 1, a1);
+    bool hb1 = wk.neighbor(cx8, cy8, cu.x0 + n - 1, cu.y0 - 1, b1);
+    bool hb0 = wk.neighbor(cx8, cy8, cu.x0 + n, cu.y0 - 1, b0);
+    bool ha0 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n, a0);
+    bool hb2 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 - 1, b2);
+    auto eq = [](const int* a, const int* b) {
+      return a[0] == b[0] && a[1] == b[1];
+    };
+    if (ha1) { cand[ncand][0] = a1[0]; cand[ncand][1] = a1[1]; ncand++; }
+    if (hb1 && !(ha1 && eq(b1, a1))) {
+      cand[ncand][0] = b1[0]; cand[ncand][1] = b1[1]; ncand++; }
+    if (hb0 && !(hb1 && eq(b0, b1))) {
+      cand[ncand][0] = b0[0]; cand[ncand][1] = b0[1]; ncand++; }
+    if (ha0 && !(ha1 && eq(a0, a1))) {
+      cand[ncand][0] = a0[0]; cand[ncand][1] = a0[1]; ncand++; }
+    if (ncand < 4 && hb2 && !(ha1 && eq(b2, a1)) && !(hb1 && eq(b2, b1))) {
+      cand[ncand][0] = b2[0]; cand[ncand][1] = b2[1]; ncand++; }
+    for (; ncand < max_merge; ncand++) {
+      cand[ncand][0] = 0; cand[ncand][1] = 0; }
+
+    int merge_i = -1;
+    for (int k = 0; k < max_merge; k++)
+      if (cand[k][0] == cmx && cand[k][1] == cmy) { merge_i = k; break; }
+
+    int s8 = n / 8;
+    int lg = 0; while ((1 << lg) < n) lg++;
+    for (int dy = 0; dy < s8; dy++)
+      for (int dx = 0; dx < s8; dx++) {
+        int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
+        cu_log2[c] = lg;
+        mv_out[2 * c] = cmx;
+        mv_out[2 * c + 1] = cmy;
+      }
+    if (merge_i >= 0 && !has_cbf) {
+      for (int dy = 0; dy < s8; dy++)
+        for (int dx = 0; dx < s8; dx++) {
+          int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
+          skip[c] = 1; merge_flag[c] = 1; merge_idx[c] = merge_i;
+        }
+    } else if (merge_i >= 0) {
+      for (int dy = 0; dy < s8; dy++)
+        for (int dx = 0; dx < s8; dx++) {
+          int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
+          merge_flag[c] = 1; merge_idx[c] = merge_i;
+        }
+    } else {
+      // AMVP (§8.5.3.2.6): candA = first of {A0, A1}; candB = first of
+      // {B0, B1, B2}; dedup; zero fill to 2
+      int ca[2], cb[2];
+      bool hca = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n, ca) ||
+                 wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n - 1, ca);
+      bool hcb = wk.neighbor(cx8, cy8, cu.x0 + n, cu.y0 - 1, cb) ||
+                 wk.neighbor(cx8, cy8, cu.x0 + n - 1, cu.y0 - 1, cb) ||
+                 wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 - 1, cb);
+      int ac[2][2] = {{0, 0}, {0, 0}};
+      int na = 0;
+      if (hca) { ac[na][0] = ca[0]; ac[na][1] = ca[1]; na++; }
+      if (hcb && !(hca && cb[0] == ca[0] && cb[1] == ca[1])) {
+        ac[na][0] = cb[0]; ac[na][1] = cb[1]; na++; }
+      int c0 = abs(cmx - ac[0][0]) + abs(cmy - ac[0][1]);
+      int c1 = abs(cmx - ac[1][0]) + abs(cmy - ac[1][1]);
+      int mvp = c1 < c0 ? 1 : 0;
+      for (int dy = 0; dy < s8; dy++)
+        for (int dx = 0; dx < s8; dx++) {
+          int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
+          mvp_flag[c] = mvp;
+          mvd[2 * c] = cmx - ac[mvp][0];
+          mvd[2 * c + 1] = cmy - ac[mvp][1];
+        }
+    }
+    // update MV field
+    for (int dy = 0; dy < s8; dy++)
+      for (int dx = 0; dx < s8; dx++) {
+        int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
+        wk.fmvx[c] = cmx; wk.fmvy[c] = cmy; wk.fvalid[c] = 1;
+      }
+  }
+  return 0;
+}

@@ -1,0 +1,104 @@
+"""Grid (v2) LD-P device stage: conformance, native-walk equality,
+checksum hash mode. CPU-jax (conftest forces JAX_PLATFORMS=cpu)."""
+
+import numpy as np
+import pytest
+
+from tools.make_test_clip import make_clip
+from tpuhevc.codec.decoder import decode_stream
+from tpuhevc.codec.encoder import encode_sequence
+from tpuhevc.codec.params import EncoderConfig, SeqParams
+
+
+def _clip(w, h, n):
+    raw = make_clip(w, h, n)
+    fsz = w * h * 3 // 2
+    out = []
+    for i in range(n):
+        b = np.frombuffer(raw[i * fsz : (i + 1) * fsz], dtype=np.uint8)
+        out.append((b[: w * h].reshape(h, w),
+                    b[w * h : w * h * 5 // 4].reshape(h // 2, w // 2),
+                    b[w * h * 5 // 4 :].reshape(h // 2, w // 2)))
+    return out
+
+
+class _Reader:
+    def __init__(self, clip):
+        self.clip = clip
+
+    def read_frame(self, i):
+        return self.clip[i] if i < len(self.clip) else None
+
+
+def _cfg(w, h, **kw):
+    return EncoderConfig(
+        sps=SeqParams(width=w, height=h, max_tu_depth_intra=0),
+        qp=32, intra_period=-1, fme_mode="nn", inter_backend="jax", **kw)
+
+
+def test_grid_scan_conformance():
+    clip = _clip(128, 64, 10)
+    enc, _ = encode_sequence(_Reader(clip), _cfg(128, 64), max_frames=10)
+    frames = decode_stream(enc.bitstream())
+    assert len(frames) == 10
+    assert all(f.md5_ok for f in frames)
+
+
+def test_grid_scan_checksum_no_recon_fetch():
+    clip = _clip(128, 64, 9)
+    enc, _ = encode_sequence(
+        _Reader(clip),
+        _cfg(128, 64, hash_type="checksum", fetch_recon=False,
+             gop_qp_offsets=(3, 2, 3, 1)),
+        max_frames=9)
+    frames = decode_stream(enc.bitstream())
+    assert len(frames) == 9
+    assert all(f.md5_ok for f in frames)  # checksum-type hash verified
+
+
+def test_native_walk_matches_python():
+    from tpuhevc.codec import inter_grid
+    from tpuhevc.codec.inter_enc import assemble_frame_p
+    from tpuhevc.entropy.native import encode_slice_data_native, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    import jax.numpy as jnp
+
+    from tpuhevc.codec.encoder import Encoder
+
+    w, h = 128, 64
+    clip = _clip(w, h, 4)
+    cfg = _cfg(w, h)
+    enc = Encoder(cfg)
+    fn, _, _ = inter_grid.build_ldp_grid_scan(cfg, {32: enc.nn_params}, 3)
+    enc.encode_frame(*clip[0], poc=0)
+    ry = jnp.asarray(np.asarray(enc.dpb_recon[0], np.int32))
+    ruv = jnp.concatenate([jnp.asarray(np.asarray(p, np.int32))
+                           for p in enc.dpb_recon[1:]], axis=1)
+    rows = [np.concatenate([f[0].ravel(), f[1].ravel(), f[2].ravel()])
+            for f in clip[1:4]]
+    buf, _, _ = fn(jnp.asarray(np.stack(rows).reshape(3, 1, -1)), ry, ruv)
+    rows = np.asarray(buf)
+    for j in range(3):
+        nat = inter_grid.assemble_grid_frame(cfg, rows[j])
+        assert nat is not None
+        py = assemble_frame_p(cfg, inter_grid.collect_grid_frame(cfg, rows[j]))
+        pn = encode_slice_data_native(nat[0], cfg.sps, cfg.pps, 1, 32, 1, 5)
+        pp = encode_slice_data_native(py[0], cfg.sps, cfg.pps, 1, 32, 1, 5)
+        assert pn == pp, f"frame {j}: native/python walk payload mismatch"
+        assert all(np.array_equal(a, b) for a, b in zip(nat[1], py[1]))
+
+
+def test_checksum_matches_reference_formula():
+    from tpuhevc.utils.yuv import plane_checksum
+
+    rng = np.random.default_rng(0)
+    p = rng.integers(0, 256, (24, 40)).astype(np.int32)
+    # direct scalar transcription of TComPicYuvMD5.cpp:141-158
+    cks = 0
+    for y in range(24):
+        for x in range(40):
+            xor_mask = (x & 0xFF) ^ (y & 0xFF) ^ (x >> 8) ^ (y >> 8)
+            cks = (cks + ((int(p[y, x]) & 0xFF) ^ xor_mask)) & 0xFFFFFFFF
+    assert plane_checksum(p) == cks.to_bytes(4, "big")

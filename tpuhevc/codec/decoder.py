@@ -16,7 +16,7 @@ import numpy as np
 from ..entropy import bitio, headers
 from ..entropy.cabac import CabacDecoder, ContextSet
 from ..entropy.syntax import decode_slice_data
-from ..utils.yuv import picture_md5
+from ..utils.yuv import picture_checksum, picture_md5
 from .params import B_SLICE, I_SLICE, P_SLICE
 from .recon import reconstruct_frame
 
@@ -49,10 +49,12 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
             pps = headers.parse_pps(rbsp)
             continue
         if nal_type in (bitio.NAL_PREFIX_SEI, bitio.NAL_SUFFIX_SEI):
-            md5s = headers.parse_picture_hash_sei(rbsp)
-            if md5s is not None and pending is not None and with_hash_check:
-                got = picture_md5(pending.y, pending.u, pending.v, sps.bit_depth)
-                pending.md5_ok = got == md5s
+            parsed = headers.parse_picture_hash_sei(rbsp)
+            if parsed is not None and pending is not None and with_hash_check:
+                htype, hashes = parsed
+                calc = picture_md5 if htype == 0 else picture_checksum
+                got = calc(pending.y, pending.u, pending.v, sps.bit_depth)
+                pending.md5_ok = got == hashes
             continue
         if nal_type <= 31:  # VCL
             assert sps is not None and pps is not None

@@ -94,8 +94,13 @@ class Encoder:
 
         stype = self._slice_type(poc)
         fqp = self.frame_qp(poc)
+        stats = None
         if precomputed is not None:
-            fs, (ry, ru, rv) = precomputed
+            if len(precomputed) == 3:
+                fs, recon, stats = precomputed
+                ry = ru = rv = None
+            else:
+                fs, (ry, ru, rv) = precomputed
         elif stype == I_SLICE:
             fs, (ry, ru, rv) = self._frame_encoder(y, u, v, cfg)
         else:
@@ -106,7 +111,7 @@ class Encoder:
                 (y, u, v), self.dpb_recon, cfg_f, self._nn_for_qp(fqp),
                 backend=cfg.inter_backend)
 
-        if cfg.deblocking:
+        if cfg.deblocking and ry is not None:
             from ..ops.deblock import deblock_frame
 
             ry, ru, rv = deblock_frame((ry, ru, rv), fs, fqp,
@@ -142,23 +147,43 @@ class Encoder:
             w.write(val, nbits)
             w.rbsp_trailing_bits()
         self._emit(bitio.make_nal(hdr.nal_type, w.getvalue()), first_of_au=True)
-        self.dpb_recon = (ry, ru, rv)
+        bits = (len(self.nals[-1]) + 4) * 8
 
-        # decoded-picture-hash SEI (suffix)
-        md5s = picture_md5(ry, ru, rv, sps.bit_depth)
-        self._emit(bitio.make_nal(bitio.NAL_SUFFIX_SEI,
-                                  headers.write_picture_hash_sei(md5s)))
+        # decoded-picture-hash SEI (suffix) + per-frame stats
+        if stats is not None:  # device-computed (checksum hash + SSE)
+            hashes, htype = stats["hashes"], stats["hash_type"]
+            maxv = (1 << sps.bit_depth) - 1
 
-        bits = (len(self.nals[-2]) + 4) * 8
+            def _ps(sse, npx):
+                return (999.99 if sse == 0
+                        else 10.0 * np.log10(maxv * maxv * npx / sse))
+
+            npx = sps.coded_width * sps.coded_height
+            psnrs = (_ps(float(stats["sse"][0]), npx),
+                     _ps(float(stats["sse"][1]), npx // 4),
+                     _ps(float(stats["sse"][2]), npx // 4))
+            self.dpb_recon = None
+        else:
+            if cfg.hash_type == "checksum":
+                from ..utils.yuv import picture_checksum
+
+                hashes, htype = picture_checksum(ry, ru, rv, sps.bit_depth), 2
+            else:
+                hashes, htype = picture_md5(ry, ru, rv, sps.bit_depth), 0
+            psnrs = (psnr(y, ry[: y.shape[0], : y.shape[1]], sps.bit_depth),
+                     psnr(u, ru[: u.shape[0], : u.shape[1]], sps.bit_depth),
+                     psnr(v, rv[: v.shape[0], : v.shape[1]], sps.bit_depth))
+            self.dpb_recon = (ry, ru, rv)
+        self._emit(bitio.make_nal(
+            bitio.NAL_SUFFIX_SEI,
+            headers.write_picture_hash_sei(hashes, htype)))
+
         res = FrameResult(
-            poc=poc, bits=bits,
-            psnr_y=psnr(y, ry[: y.shape[0], : y.shape[1]], sps.bit_depth),
-            psnr_u=psnr(u, ru[: u.shape[0], : u.shape[1]], sps.bit_depth),
-            psnr_v=psnr(v, rv[: v.shape[0], : v.shape[1]], sps.bit_depth),
-            md5=md5s, seconds=time.time() - t0,
+            poc=poc, bits=bits, psnr_y=psnrs[0], psnr_u=psnrs[1],
+            psnr_v=psnrs[2], md5=hashes, seconds=time.time() - t0,
         )
         self.results.append(res)
-        self._recon = (ry, ru, rv)
+        self._recon = (ry, ru, rv) if ry is not None else None
         return res
 
     def bitstream(self) -> bytes:
@@ -215,6 +240,7 @@ def _ldp_scan_pipelined(enc, cfg, frames, finish, chunk_frames: int = 8):
     serialization of chunk i overlapped with device compute of chunk i+1."""
     import jax.numpy as jnp
 
+    from . import inter_grid
     from .inter_batch import build_ldp_scan, collect_frame
     from .inter_enc import assemble_frame_p
     from .recon import _pad_to
@@ -227,11 +253,29 @@ def _ldp_scan_pipelined(enc, cfg, frames, finish, chunk_frames: int = 8):
     K = n_gops * G
     qps = set(min(max(cfg.qp + o, 0), 51) for o in offs)
     nn_by_qp = {qp: enc._nn_for_qp(qp) for qp in qps}
-    fn, grids, _ = build_ldp_scan(cfg, nn_by_qp, n_gops)
+    grid = inter_grid.supports(cfg)
+    if grid and not cfg.fetch_recon:
+        # the no-recon-fetch layout needs the native walk and 32-blocks
+        from ..entropy.native import get_lib
+
+        lib = get_lib()
+        if (lib is None or not hasattr(lib, "tpuhevc_decision_walk")
+                or min(h, w) < 32):
+            cfg = dataclasses.replace(cfg, fetch_recon=True)
+    if grid:
+        fn, _, _ = inter_grid.build_ldp_grid_scan(cfg, nn_by_qp, n_gops)
+        collect = inter_grid.collect_grid_frame
+    else:
+        fn, grids, _ = build_ldp_scan(cfg, nn_by_qp, n_gops)
+        collect = collect_frame
 
     finish(0, frames[0])  # IDR (device intra path)
     ry, ru, rv = (jnp.asarray(np.asarray(p, dtype=np.int32))
                   for p in enc.dpb_recon)
+    if grid:
+        refs = (ry, jnp.concatenate([ru, rv], axis=1))
+    else:
+        refs = (ry, ru, rv)
 
     def chunk_u8(blk):
         rows = []
@@ -252,15 +296,24 @@ def _ldp_scan_pipelined(enc, cfg, frames, finish, chunk_frames: int = 8):
             blk = pframes[s : s + K]
             nvalid = len(blk)
             blk = blk + [blk[-1]] * (K - nvalid)
-            buf, ry, ru, rv = fn(jnp.asarray(chunk_u8(blk)), ry, ru, rv)
+            out = fn(jnp.asarray(chunk_u8(blk)), *refs)
+            buf, refs = out[0], out[1:]
+            try:
+                buf.copy_to_host_async()
+            except Exception:
+                pass
         if pending is not None:
             ps, pnv, pbuf = pending
             rows = np.asarray(pbuf)
             for j in range(pnv):
-                per_cu = collect_frame(cfg, rows[j])
                 poc = ps + 1 + j
                 cfg_f = dataclasses.replace(cfg, qp=enc.frame_qp(poc))
-                finish(poc, frames[poc], assemble_frame_p(cfg_f, per_cu))
+                pre = (inter_grid.assemble_grid_frame(cfg_f, rows[j])
+                       if grid else None)
+                if pre is None:
+                    per_cu = collect(cfg_f, rows[j])
+                    pre = assemble_frame_p(cfg_f, per_cu)
+                finish(poc, frames[poc], pre)
         pending = (s, nvalid, buf) if ci < len(starts) else None
 
 

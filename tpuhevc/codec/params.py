@@ -126,6 +126,9 @@ class EncoderConfig:
     max_num_merge_cand: int = 5
 
     inter_backend: str = "np"    # "jax" = device compute stage for P frames
+    hash_type: str = "md5"       # decoded-picture-hash SEI: md5 | checksum
+    fetch_recon: bool = True     # False: leave P recon on device (checksum
+                                 # hash + PSNR computed there; no ReconFile)
     gop_qp_offsets: tuple = ()   # per-GOP-position P-frame QP offsets (HM
                                  # GOP table QPoffset column; () = flat QP)
     deblocking: bool = False     # in-loop deblocking filter (host pass)

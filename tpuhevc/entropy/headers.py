@@ -473,11 +473,13 @@ def parse_slice_header(
 
 # --- SEI: decoded picture hash (payloadType 132) ---------------------------
 
-def write_picture_hash_sei(md5s: list[bytes]) -> bytes:
-    """Suffix SEI carrying per-plane MD5 (hash_type 0)."""
-    payload = bytearray([0])  # hash_type = 0 (MD5)
-    for h in md5s:
-        assert len(h) == 16
+def write_picture_hash_sei(hashes: list[bytes], hash_type: int = 0) -> bytes:
+    """Suffix SEI: per-plane decoded-picture hash. hash_type 0 = MD5
+    (16 B/plane), 2 = checksum (4 B/plane, D.3.19)."""
+    payload = bytearray([hash_type])
+    hlen = {0: 16, 1: 2, 2: 4}[hash_type]
+    for h in hashes:
+        assert len(h) == hlen
         payload += h
     w = BitWriter()
     w.write(132, 8)           # payload type
@@ -508,7 +510,9 @@ def parse_picture_hash_sei(data: bytes) -> list[bytes] | None:
     if ptype != 132:
         return None
     hash_type = r.read(8)
-    if hash_type != 0:
+    if hash_type not in (0, 2):
         return None
-    n = (psize - 1) // 16
-    return [bytes(r.read(8) for _ in range(16)) for _ in range(n)]
+    hlen = 16 if hash_type == 0 else 4
+    n = (psize - 1) // hlen
+    return hash_type, [bytes(r.read(8) for _ in range(hlen))
+                       for _ in range(n)]

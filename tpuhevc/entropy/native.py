@@ -43,8 +43,49 @@ def get_lib():
     lib.tpuhevc_encode_slice_data.argtypes = [
         ctypes.POINTER(ctypes.c_int32)] * 11 + [ctypes.c_int] * 13 + [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    if hasattr(lib, "tpuhevc_decision_walk"):
+        lib.tpuhevc_decision_walk.restype = ctypes.c_int
+        lib.tpuhevc_decision_walk.argtypes = (
+            [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+             ctypes.POINTER(ctypes.c_uint8)] + [ctypes.c_int] * 4
+            + [ctypes.POINTER(ctypes.c_int32)] * 7)
     _LIB = lib
     return _LIB
+
+
+def decision_walk_native(mvq16, cbf16, mvq32, cbf32, use32, W, H,
+                         log2_ctu, max_merge):
+    """Native decode-order merge/skip/AMVP walk (inter_grid fast path).
+    Returns the per-8x8 FrameSyntax maps, or None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "tpuhevc_decision_walk"):
+        return None
+    h8, w8 = H // 8, W // 8
+
+    def i32p(a):
+        a = np.ascontiguousarray(a, dtype=np.int32)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def u8p(a):
+        a = np.ascontiguousarray(a, dtype=np.uint8)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    ins = [i32p(mvq16), u8p(cbf16), i32p(mvq32), u8p(cbf32), u8p(use32)]
+    outs = [np.zeros((h8, w8), np.int32) for _ in range(5)]
+    mv = np.zeros((h8, w8, 2), np.int32)
+    mvd = np.zeros((h8, w8, 2), np.int32)
+    outp = [a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            for a in outs[:1] + [mv] + outs[1:] + [mvd]]
+    # order: cu_log2, mv, skip, merge_flag, merge_idx, mvp_flag, mvd
+    rc = lib.tpuhevc_decision_walk(
+        *[p for _, p in ins], W, H, log2_ctu, max_merge,
+        outp[0], outp[1], outp[2], outp[3], outp[4], outp[5], outp[6])
+    if rc != 0:
+        return None
+    cu_log2, skipf, merge_flag, merge_idx, mvp_flag = outs
+    return dict(cu_log2=cu_log2, mv=mv, skip=skipf, merge_flag=merge_flag,
+                merge_idx=merge_idx, mvp_flag=mvp_flag, mvd=mvd)
 
 
 def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,

@@ -74,6 +74,27 @@ def picture_md5(y: np.ndarray, u: np.ndarray, v: np.ndarray, bit_depth: int = 8)
     return [plane_md5(p, bit_depth) for p in (y, u, v)]
 
 
+def plane_checksum(p: np.ndarray, bit_depth: int = 8) -> bytes:
+    """Decoded-picture-hash checksum (D.3.19 / TComPicYuvMD5.cpp:141):
+    big-endian 4 bytes of sum((pel & 0xff) ^ xor_mask) mod 2^32 (plus the
+    high byte for >8-bit)."""
+    h, w = p.shape
+    x = np.arange(w, dtype=np.uint32)
+    y = np.arange(h, dtype=np.uint32)
+    mask = ((x[None, :] & 0xFF) ^ (y[:, None] & 0xFF)
+            ^ (x[None, :] >> 8) ^ (y[:, None] >> 8)).astype(np.uint32)
+    pel = p.astype(np.uint32)
+    s = np.uint32(((pel & 0xFF) ^ mask).sum(dtype=np.uint64) & 0xFFFFFFFF)
+    if bit_depth > 8:
+        s = np.uint32((int(s) + int(((pel >> 8) ^ mask)
+                                    .sum(dtype=np.uint64))) & 0xFFFFFFFF)
+    return int(s).to_bytes(4, "big")
+
+
+def picture_checksum(y, u, v, bit_depth: int = 8) -> list[bytes]:
+    return [plane_checksum(p, bit_depth) for p in (y, u, v)]
+
+
 def psnr(ref: np.ndarray, rec: np.ndarray, bit_depth: int = 8) -> float:
     maxv = (1 << bit_depth) - 1
     mse = np.mean((ref.astype(np.float64) - rec.astype(np.float64)) ** 2)
