@@ -64,7 +64,9 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
             ctx = ContextSet(init_row, hdr.qp)
             dec = CabacDecoder(rbsp[off:], ctx)
             fs = decode_slice_data(dec, sps, pps, sps.coded_width,
-                                   sps.coded_height, hdr.slice_type, max_merge)
+                                   sps.coded_height, hdr.slice_type,
+                                   max_merge, sao_luma=hdr.sao_luma,
+                                   sao_chroma=hdr.sao_chroma)
             if hdr.slice_type == I_SLICE:
                 y, u, v = reconstruct_frame(fs, sps, hdr.qp)
             else:
@@ -78,6 +80,11 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
 
                 y, u, v = deblock_frame((y, u, v), fs, hdr.qp,
                                         hdr.slice_type == I_SLICE)
+            if fs.sao is not None:
+                from .sao_enc import apply_sao_picture
+
+                y, u, v = apply_sao_picture((y, u, v), fs.sao,
+                                            sps.ctu_size, sps.bit_depth)
             pending = DecodedFrame(poc=hdr.poc, y=y, u=u, v=v)
             frames.append(pending)
     return frames

@@ -116,6 +116,18 @@ class Encoder:
 
             ry, ru, rv = deblock_frame((ry, ru, rv), fs, fqp,
                                        stype == I_SLICE)
+        if sps.sao_enabled and ry is not None:
+            from .recon import _pad_to
+            from .sao_enc import apply_sao_picture, decide_sao_params
+
+            w_, h_ = sps.coded_width, sps.coded_height
+            org = (_pad_to(np.asarray(y), h_, w_),
+                   _pad_to(np.asarray(u), h_ // 2, w_ // 2),
+                   _pad_to(np.asarray(v), h_ // 2, w_ // 2))
+            fs.sao = decide_sao_params(org, (ry, ru, rv), sps.ctu_size,
+                                       fqp, sps.bit_depth)
+            ry, ru, rv = apply_sao_picture((ry, ru, rv), fs.sao,
+                                           sps.ctu_size, sps.bit_depth)
 
         max_merge = cfg.max_num_merge_cand
         if stype == I_SLICE:
@@ -132,9 +144,13 @@ class Encoder:
                 five_minus_max_num_merge_cand=5 - max_merge,
             )
             init_row = 1
+        if fs.sao is not None:
+            hdr.sao_luma = fs.sao.luma_on
+            hdr.sao_chroma = fs.sao.chroma_on
         w = headers.write_slice_header(hdr, sps, pps)
-        payload = encode_slice_data_native(fs, sps, pps, init_row, fqp,
-                                           stype, max_merge)
+        payload = (None if fs.sao is not None else
+                   encode_slice_data_native(fs, sps, pps, init_row, fqp,
+                                            stype, max_merge))
         if payload is not None:  # native fast path (byte-identical)
             w.write_bytes(payload)
         else:
@@ -226,7 +242,8 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
             for j, p in enumerate(pre[: min(device_batch, len(frames) - s)]):
                 _finish(s + j, frames[s + j], p)
     elif (cfg.intra_period == -1 and cfg.inter_backend == "jax"
-          and len(frames) > 1 and not cfg.deblocking):
+          and len(frames) > 1 and not cfg.deblocking
+          and not cfg.sps.sao_enabled):
         _ldp_scan_pipelined(enc, cfg, frames, _finish)
     else:
         for i, fr in enumerate(frames):

@@ -139,12 +139,7 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
         elif k == "QuadtreeTUMaxDepthInter":
             sps.max_tu_depth_inter = int(v) - 1
         elif k == "SAO":
-            if _b(v):
-                import warnings
-
-                warnings.warn("SAO requested but not implemented yet; "
-                              "encoding with SAO off (still conformant)")
-            sps.sao_enabled = False
+            sps.sao_enabled = _b(v)
         elif k == "LoopFilterDisable":
             cfg.deblocking = not _b(v)
         elif k == "AMP":

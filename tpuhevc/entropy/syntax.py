@@ -43,6 +43,7 @@ class FrameSyntax:
     mvp_flag: np.ndarray = None
     mv: np.ndarray = None          # (h8, w8, 2) quarter-pel, final MV
     mvd: np.ndarray = None         # (h8, w8, 2)
+    sao: object = None             # codec.sao_enc.SaoPicParams, or None
 
     def __post_init__(self):
         h8, w8 = self.height // 8, self.width // 8
@@ -145,10 +146,140 @@ def encode_slice_data(enc: CabacEncoder, fs: FrameSyntax, sps: SeqParams,
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge)
     for cy in range(sc.hctu):
         for cx in range(sc.wctu):
+            if fs.sao is not None:
+                _enc_sao_ctu(enc, fs.sao, cx, cy)
             _enc_quadtree(enc, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
                           sc.log2_ctu, 0)
             last = (cy == sc.hctu - 1) and (cx == sc.wctu - 1)
             enc.encode_bin_trm(1 if last else 0)
+
+
+# --- SAO syntax (§7.3.8.3 sao(); TEncSbac codeSAOBlkParam order) ----------
+
+def _enc_sao_uvlc(enc, val, max_sym=7):
+    """sao_offset_abs: TR with all-bypass bins (parseSaoMaxUvlc mirror)."""
+    if max_sym == 0:
+        return
+    enc.encode_bin_ep(1 if val else 0)
+    if val:
+        for i in range(1, val):
+            enc.encode_bin_ep(1)
+        if val < max_sym:
+            enc.encode_bin_ep(0)
+
+
+def _dec_sao_uvlc(dec, max_sym=7):
+    if max_sym == 0 or dec.decode_bin_ep() == 0:
+        return 0
+    v = 1
+    while v < max_sym and dec.decode_bin_ep():
+        v += 1
+    return v
+
+
+def _enc_sao_type(enc, ctx, t):
+    """t: SAO_OFF(-1) -> 0; BO(4) -> 1; EO(0..3) -> 2."""
+    if t < 0:
+        enc.encode_bin(0, ctx.idx("sao_type_idx"))
+    else:
+        enc.encode_bin(1, ctx.idx("sao_type_idx"))
+        enc.encode_bin_ep(0 if t == 4 else 1)
+
+
+def _dec_sao_type(dec):
+    if dec.decode_bin(dec.ctx.idx("sao_type_idx")) == 0:
+        return 0  # off
+    return 2 if dec.decode_bin_ep() else 1  # 2 = EO, 1 = BO
+
+
+def _enc_sao_comp(enc, t, aux, off4, code_type, is_luma):
+    """One component's new-mode params (type already known for Cr)."""
+    if code_type:
+        _enc_sao_type(enc, enc.ctx, t)
+    if t < 0:
+        return
+    for i in range(4):
+        _enc_sao_uvlc(enc, abs(int(off4[i])))
+    if t == 4:  # BO
+        for i in range(4):
+            if off4[i]:
+                enc.encode_bin_ep(1 if off4[i] < 0 else 0)
+        enc.encode_bins_ep(int(aux), 5)
+    elif code_type:  # EO: eo_class coded once per channel type
+        enc.encode_bins_ep(int(t), 2)
+
+
+def _enc_sao_ctu(enc, pp, cx, cy):
+    if cx > 0:
+        enc.encode_bin(1 if pp.merge[cy, cx] == 1 else 0,
+                       enc.ctx.idx("sao_merge_flag"))
+    if cy > 0 and pp.merge[cy, cx] != 1:
+        enc.encode_bin(1 if pp.merge[cy, cx] == 2 else 0,
+                       enc.ctx.idx("sao_merge_flag"))
+    if pp.merge[cy, cx] != 0:
+        return
+    if pp.luma_on:
+        _enc_sao_comp(enc, int(pp.type_y[cy, cx]), int(pp.aux_y[cy, cx]),
+                      pp.off_y[cy, cx], True, True)
+    if pp.chroma_on:
+        tc = int(pp.type_c[cy, cx])
+        _enc_sao_comp(enc, tc, int(pp.aux_cb[cy, cx]), pp.off_cb[cy, cx],
+                      True, False)
+        if tc >= 0:
+            _enc_sao_comp(enc, tc, int(pp.aux_cr[cy, cx]),
+                          pp.off_cr[cy, cx], False, False)
+
+
+def _dec_sao_comp(dec, known_type):
+    """Returns (type, aux, off4). known_type: None -> parse type;
+    else reuse (Cr follows Cb)."""
+    if known_type is None:
+        mode = _dec_sao_type(dec)
+        if mode == 0:
+            return -1, 0, np.zeros(4, np.int32)
+        is_bo = mode == 1
+    else:
+        if known_type < 0:
+            return -1, 0, np.zeros(4, np.int32)
+        is_bo = known_type == 4
+    off = np.array([_dec_sao_uvlc(dec) for _ in range(4)], np.int32)
+    aux = 0
+    if is_bo:
+        for i in range(4):
+            if off[i] and dec.decode_bin_ep():
+                off[i] = -off[i]
+        aux = dec.decode_bins_ep(5)
+        t = 4
+    else:
+        if known_type is None:
+            t = dec.decode_bins_ep(2)
+        else:
+            t = known_type
+    return t, aux, off
+
+
+def _dec_sao_ctu(dec, pp, cx, cy):
+    merge = 0
+    if cx > 0 and dec.decode_bin(dec.ctx.idx("sao_merge_flag")):
+        merge = 1
+    if merge == 0 and cy > 0 and dec.decode_bin(dec.ctx.idx("sao_merge_flag")):
+        merge = 2
+    pp.merge[cy, cx] = merge
+    if merge:
+        return
+    if pp.luma_on:
+        t, aux, off = _dec_sao_comp(dec, None)
+        pp.type_y[cy, cx] = t
+        pp.aux_y[cy, cx] = aux
+        pp.off_y[cy, cx] = off
+    if pp.chroma_on:
+        t, aux, off = _dec_sao_comp(dec, None)
+        pp.type_c[cy, cx] = t
+        pp.aux_cb[cy, cx] = aux
+        pp.off_cb[cy, cx] = off
+        t2, aux2, off2 = _dec_sao_comp(dec, t)
+        pp.aux_cr[cy, cx] = aux2
+        pp.off_cr[cy, cx] = off2
 
 
 def _enc_quadtree(enc, sc, x0, y0, log2, depth):
@@ -276,11 +407,19 @@ def _enc_transform_unit(enc, sc, x0, y0, log2, depth, mode, cmode,
 
 def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
                       width: int, height: int, slice_type: int = I_SLICE,
-                      max_merge: int = 5) -> FrameSyntax:
+                      max_merge: int = 5, sao_luma: bool = False,
+                      sao_chroma: bool = False) -> FrameSyntax:
     fs = FrameSyntax(width, height)
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge)
+    if sao_luma or sao_chroma:
+        from ..codec.sao_enc import SaoPicParams
+
+        fs.sao = SaoPicParams(sc.hctu, sc.wctu, luma_on=sao_luma,
+                              chroma_on=sao_chroma)
     for cy in range(sc.hctu):
         for cx in range(sc.wctu):
+            if fs.sao is not None:
+                _dec_sao_ctu(dec, fs.sao, cx, cy)
             _dec_quadtree(dec, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
                           sc.log2_ctu, 0)
             end = dec.decode_bin_trm()
