@@ -43,6 +43,7 @@ def main():
                 qp=32, intra_period=-1, fme_mode="nn",
                 inter_backend=backend,
                 hash_type="checksum", fetch_recon=False,
+                num_ref_frames=4,
             )
             encode_sequence(_Reader(), cfg, max_frames=6)  # warmup/compile
             t0 = time.time()

@@ -2,15 +2,17 @@
 //
 // Host-side counterpart of tpuhevc/codec/inter_enc.assemble_frame_p +
 // inter_enc._merge_static_cus + codec/mv.py (merge/AMVP derivation per
-// H.265 §8.5.3.2.3/.2.6, P slice / single ref / no TMVP — the same
+// H.265 §8.5.3.2.3/.2.6/.2.8, P slice / L0 multi-ref / no TMVP — the same
 // semantics the Python decoder uses, so the two cannot diverge). The
 // Python walk costs ~35 ms/frame (the whole-frame budget at 30 fps);
 // this replacement runs in well under a millisecond.
 //
-// Inputs: per-16-block and per-32-block MVs + cbf flags and the use32
-// selection grid from the device stage. Outputs: the per-8x8-cell
-// FrameSyntax maps (cu_log2, mv, skip, merge_flag, merge_idx, mvp_flag,
-// mvd). Build: tools/build_native.sh (part of libtpuhevc_entropy.so).
+// Inputs: per-16-block and per-32-block MVs + reference indices + cbf
+// flags and the use32 selection grid from the device stage. References
+// are the previous num_ref frames in display order (POC delta of ref r is
+// r+1), which is what the AMVP scaling uses. Outputs: the per-8x8-cell
+// FrameSyntax maps. Build: tools/build_native.sh (part of
+// libtpuhevc_entropy.so).
 
 #include <algorithm>
 #include <cstdint>
@@ -21,9 +23,9 @@
 namespace {
 
 struct Walk {
-  int W, H, w8, h8, log2_ctu, cps, wctu, max_merge;
-  std::vector<int64_t> order;   // decode order per 8x8 cell
-  std::vector<int32_t> fmvx, fmvy;  // MV field per cell
+  int W, H, w8, h8, log2_ctu, cps, wctu, max_merge, num_ref;
+  std::vector<int64_t> order;
+  std::vector<int32_t> fmvx, fmvy, fref;
   std::vector<uint8_t> fvalid;
 
   int64_t ord(int x8, int y8) const { return order[y8 * w8 + x8]; }
@@ -33,15 +35,15 @@ struct Walk {
     return ord(x8, y8) < ord(cx8, cy8);
   }
 
-  // MV of the PU covering sample (px, py) if already decoded; returns
-  // false if unavailable.
-  bool neighbor(int cx8, int cy8, int px, int py, int mv[2]) const {
+  // (mv, ref) of the PU covering sample (px, py) if already decoded.
+  bool neighbor(int cx8, int cy8, int px, int py, int mv[3]) const {
     if (px < 0 || py < 0) return false;
     int x8 = px >> 3, y8 = py >> 3;
     if (!precedes(x8, y8, cx8, cy8)) return false;
     if (x8 >= w8 || y8 >= h8 || !fvalid[y8 * w8 + x8]) return false;
     mv[0] = fmvx[y8 * w8 + x8];
     mv[1] = fmvy[y8 * w8 + x8];
+    mv[2] = fref[y8 * w8 + x8];
     return true;
   }
 };
@@ -53,30 +55,51 @@ static int64_t morton(int cx, int cy, int bits) {
   return m;
 }
 
-struct Cand { int x, y; bool ok; };
+static inline int clip3(int lo, int hi, int v) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// §8.5.3.2.8 temporal MV scaling (codec/mv.py scale_mv mirror)
+static void scale_mv(int mvx, int mvy, int tb, int td, int out[2]) {
+  if (tb == td) { out[0] = mvx; out[1] = mvy; return; }
+  tb = clip3(-128, 127, tb);
+  td = clip3(-128, 127, td);
+  int tx = (16384 + (abs(td) >> 1)) / td;
+  int dsf = clip3(-4096, 4095, (tb * tx + 32) >> 6);
+  for (int k = 0; k < 2; k++) {
+    int v = k ? mvy : mvx;
+    long long p = (long long)dsf * v;
+    int o = (int)((llabs(p) + 127) >> 8);
+    o = p < 0 ? -o : o;
+    out[k] = clip3(-32768, 32767, o);
+  }
+}
 
 }  // namespace
 
 extern "C" int tpuhevc_decision_walk(
-    // per-16 grid (nh16 x nw16): quarter-pel MVs + cbf
-    const int32_t* mvq16, const uint8_t* cbf16,
-    // per-32 grid (nh32 x nw32): MVs + cbf + selection
-    const int32_t* mvq32, const uint8_t* cbf32, const uint8_t* use32,
-    int W, int H, int log2_ctu, int max_merge,
+    // per-16 grid (nh16 x nw16): quarter-pel MVs + ref + cbf
+    const int32_t* mvq16, const uint8_t* ref16, const uint8_t* cbf16,
+    // per-32 grid (nh32 x nw32)
+    const int32_t* mvq32, const uint8_t* ref32, const uint8_t* cbf32,
+    const uint8_t* use32,
+    int W, int H, int log2_ctu, int max_merge, int num_ref,
     // outputs, all (h8*w8) int32 except mv/mvd (h8*w8*2)
-    int32_t* cu_log2, int32_t* mv_out, int32_t* skip, int32_t* merge_flag,
-    int32_t* merge_idx, int32_t* mvp_flag, int32_t* mvd) {
+    int32_t* cu_log2, int32_t* mv_out, int32_t* ref_out, int32_t* skip,
+    int32_t* merge_flag, int32_t* merge_idx, int32_t* mvp_flag,
+    int32_t* mvd) {
   if (W % 16 || H % 16) return -1;
   const int nw16 = W / 16, nh16 = H / 16;
   const int nw32 = W / 32, nh32 = H / 32;
   Walk wk;
   wk.W = W; wk.H = H; wk.w8 = W / 8; wk.h8 = H / 8;
-  wk.log2_ctu = log2_ctu; wk.max_merge = max_merge;
+  wk.log2_ctu = log2_ctu; wk.max_merge = max_merge; wk.num_ref = num_ref;
   wk.cps = 1 << (log2_ctu - 3);
   wk.wctu = (W + (1 << log2_ctu) - 1) >> log2_ctu;
   wk.order.resize(wk.w8 * wk.h8);
   wk.fmvx.assign(wk.w8 * wk.h8, 0);
   wk.fmvy.assign(wk.w8 * wk.h8, 0);
+  wk.fref.assign(wk.w8 * wk.h8, 0);
   wk.fvalid.assign(wk.w8 * wk.h8, 0);
   const int64_t per_ctu = (int64_t)wk.cps * wk.cps;
   for (int y8 = 0; y8 < wk.h8; y8++)
@@ -87,14 +110,13 @@ extern "C" int tpuhevc_decision_walk(
     }
 
   // ---- CU size map from use32 + static agglomeration (32 then 64) ----
-  // szmap per 16-cell: 16, 32 (origin at even cells), 64. cbfmap per CU
-  // origin. mvs per 16-cell (replicated).
   std::vector<int> sz(nh16 * nw16, 16);
   std::vector<uint8_t> cbf(nh16 * nw16, 0);
-  std::vector<int32_t> mvx(nh16 * nw16), mvy(nh16 * nw16);
+  std::vector<int32_t> mvx(nh16 * nw16), mvy(nh16 * nw16), ref(nh16 * nw16);
   for (int b = 0; b < nh16 * nw16; b++) {
     mvx[b] = mvq16[2 * b];
     mvy[b] = mvq16[2 * b + 1];
+    ref[b] = ref16[b];
     cbf[b] = cbf16[b];
   }
   for (int by = 0; by < nh32; by++)
@@ -107,10 +129,11 @@ extern "C" int tpuhevc_decision_walk(
           sz[b] = 32;
           mvx[b] = mvq32[2 * b32];
           mvy[b] = mvq32[2 * b32 + 1];
+          ref[b] = ref32[b32];
           cbf[b] = cbf32[b32];
         }
     }
-  // agglomerate 4x16 -> 32 when same MV and no residual
+  // agglomerate 4x16 -> 32 when same (MV, ref) and no residual
   for (int by = 0; by + 1 < nh16; by += 2)
     for (int bx = 0; bx + 1 < nw16; bx += 2) {
       int b0 = by * nw16 + bx;
@@ -120,14 +143,14 @@ extern "C" int tpuhevc_decision_walk(
         for (int dx = 0; dx < 2 && ok; dx++) {
           int b = (by + dy) * nw16 + (bx + dx);
           ok = sz[b] == 16 && !cbf[b] && mvx[b] == mvx[b0] &&
-               mvy[b] == mvy[b0];
+               mvy[b] == mvy[b0] && ref[b] == ref[b0];
         }
       if (ok)
         for (int dy = 0; dy < 2; dy++)
           for (int dx = 0; dx < 2; dx++)
             sz[(by + dy) * nw16 + (bx + dx)] = 32;
     }
-  // agglomerate 4x32 -> 64 when same MV and no residual
+  // agglomerate 4x32 -> 64 when same (MV, ref) and no residual
   for (int by = 0; by + 3 < nh16; by += 4)
     for (int bx = 0; bx + 3 < nw16; bx += 4) {
       int b0 = by * nw16 + bx;
@@ -136,7 +159,7 @@ extern "C" int tpuhevc_decision_walk(
         for (int dx = 0; dx < 4 && ok; dx++) {
           int b = (by + dy) * nw16 + (bx + dx);
           ok = sz[b] == 32 && !cbf[b] && mvx[b] == mvx[b0] &&
-               mvy[b] == mvy[b0];
+               mvy[b] == mvy[b0] && ref[b] == ref[b0];
         }
       if (ok)
         for (int dy = 0; dy < 4; dy++)
@@ -152,7 +175,7 @@ extern "C" int tpuhevc_decision_walk(
     for (int bx = 0; bx < nw16; bx++) {
       int s = sz[by * nw16 + bx];
       int x0 = bx * 16, y0 = by * 16;
-      if (x0 % s || y0 % s) continue;  // not the origin
+      if (x0 % s || y0 % s) continue;
       cus.push_back({x0, y0, s, wk.ord(x0 / 8, y0 / 8)});
     }
   std::sort(cus.begin(), cus.end(),
@@ -160,9 +183,7 @@ extern "C" int tpuhevc_decision_walk(
 
   for (const Cu& cu : cus) {
     int b = (cu.y0 / 16) * nw16 + (cu.x0 / 16);
-    int cmx = mvx[b], cmy = mvy[b];
-    // OR of per-cell cbf: use32 CUs replicate cbf32 into each cell,
-    // agglomerated CUs are zero-cbf by construction, plain 16s carry cbf16
+    int cmx = mvx[b], cmy = mvy[b], cref = ref[b];
     bool has_cbf = false;
     for (int dy = 0; dy < cu.size / 16; dy++)
       for (int dx = 0; dx < cu.size / 16; dx++)
@@ -170,33 +191,40 @@ extern "C" int tpuhevc_decision_walk(
 
     int cx8 = cu.x0 / 8, cy8 = cu.y0 / 8;
     int n = cu.size;
-    // merge candidates (§8.5.3.2.3): A1, B1, B0, A0, B2 + zero fill
-    int cand[5][2];
+    // merge candidates (mvx, mvy, ref): A1, B1, B0, A0, B2 + zero fill
+    int cand[5][3];
     int ncand = 0;
-    int a1[2], b1[2], b0[2], a0[2], b2[2];
+    int a1[3], b1[3], b0[3], a0[3], b2[3];
     bool ha1 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n - 1, a1);
     bool hb1 = wk.neighbor(cx8, cy8, cu.x0 + n - 1, cu.y0 - 1, b1);
     bool hb0 = wk.neighbor(cx8, cy8, cu.x0 + n, cu.y0 - 1, b0);
     bool ha0 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n, a0);
     bool hb2 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 - 1, b2);
     auto eq = [](const int* a, const int* b) {
-      return a[0] == b[0] && a[1] == b[1];
+      return a[0] == b[0] && a[1] == b[1] && a[2] == b[2];
     };
-    if (ha1) { cand[ncand][0] = a1[0]; cand[ncand][1] = a1[1]; ncand++; }
-    if (hb1 && !(ha1 && eq(b1, a1))) {
-      cand[ncand][0] = b1[0]; cand[ncand][1] = b1[1]; ncand++; }
-    if (hb0 && !(hb1 && eq(b0, b1))) {
-      cand[ncand][0] = b0[0]; cand[ncand][1] = b0[1]; ncand++; }
-    if (ha0 && !(ha1 && eq(a0, a1))) {
-      cand[ncand][0] = a0[0]; cand[ncand][1] = a0[1]; ncand++; }
-    if (ncand < 4 && hb2 && !(ha1 && eq(b2, a1)) && !(hb1 && eq(b2, b1))) {
-      cand[ncand][0] = b2[0]; cand[ncand][1] = b2[1]; ncand++; }
-    for (; ncand < max_merge; ncand++) {
-      cand[ncand][0] = 0; cand[ncand][1] = 0; }
+    auto push = [&](const int* c) {
+      cand[ncand][0] = c[0]; cand[ncand][1] = c[1]; cand[ncand][2] = c[2];
+      ncand++;
+    };
+    if (ha1) push(a1);
+    if (hb1 && !(ha1 && eq(b1, a1))) push(b1);
+    if (hb0 && !(hb1 && eq(b0, b1))) push(b0);
+    if (ha0 && !(ha1 && eq(a0, a1))) push(a0);
+    if (ncand < 4 && hb2 && !(ha1 && eq(b2, a1)) && !(hb1 && eq(b2, b1)))
+      push(b2);
+    int zero_i = 0;
+    for (; ncand < max_merge; ncand++, zero_i++) {
+      cand[ncand][0] = 0; cand[ncand][1] = 0;
+      cand[ncand][2] = zero_i < num_ref ? zero_i : 0;
+    }
 
     int merge_i = -1;
     for (int k = 0; k < max_merge; k++)
-      if (cand[k][0] == cmx && cand[k][1] == cmy) { merge_i = k; break; }
+      if (cand[k][0] == cmx && cand[k][1] == cmy && cand[k][2] == cref) {
+        merge_i = k;
+        break;
+      }
 
     int s8 = n / 8;
     int lg = 0; while ((1 << lg) < n) lg++;
@@ -206,33 +234,66 @@ extern "C" int tpuhevc_decision_walk(
         cu_log2[c] = lg;
         mv_out[2 * c] = cmx;
         mv_out[2 * c + 1] = cmy;
+        ref_out[c] = cref;
       }
-    if (merge_i >= 0 && !has_cbf) {
+    if (merge_i >= 0) {
       for (int dy = 0; dy < s8; dy++)
         for (int dx = 0; dx < s8; dx++) {
           int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
-          skip[c] = 1; merge_flag[c] = 1; merge_idx[c] = merge_i;
-        }
-    } else if (merge_i >= 0) {
-      for (int dy = 0; dy < s8; dy++)
-        for (int dx = 0; dx < s8; dx++) {
-          int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
-          merge_flag[c] = 1; merge_idx[c] = merge_i;
+          merge_flag[c] = 1;
+          merge_idx[c] = merge_i;
+          if (!has_cbf) skip[c] = 1;
         }
     } else {
-      // AMVP (§8.5.3.2.6): candA = first of {A0, A1}; candB = first of
-      // {B0, B1, B2}; dedup; zero fill to 2
-      int ca[2], cb[2];
-      bool hca = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n, ca) ||
-                 wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n - 1, ca);
-      bool hcb = wk.neighbor(cx8, cy8, cu.x0 + n, cu.y0 - 1, cb) ||
-                 wk.neighbor(cx8, cy8, cu.x0 + n - 1, cu.y0 - 1, cb) ||
-                 wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 - 1, cb);
+      // AMVP per TComDataCU::fillMvpCand:2617 (§8.5.3.2.6): left pass
+      // (unscaled then scaled over A0, A1, only when an A PU exists =
+      // isScaledFlagLX), above unscaled pass (always), scaled above pass
+      // appended only when no A PU exists; dedup when exactly 2; zero
+      // fill. POC delta of ref r is r+1 (refs = previous frames).
+      int apos[2][2] = {{cu.x0 - 1, cu.y0 + n}, {cu.x0 - 1, cu.y0 + n - 1}};
+      int bpos[3][2] = {{cu.x0 + n, cu.y0 - 1}, {cu.x0 + n - 1, cu.y0 - 1},
+                        {cu.x0 - 1, cu.y0 - 1}};
+      bool have_a[2], have_b[3];
+      int mva[2][3], mvb[3][3];
+      for (int i = 0; i < 2; i++)
+        have_a[i] = wk.neighbor(cx8, cy8, apos[i][0], apos[i][1], mva[i]);
+      for (int i = 0; i < 3; i++)
+        have_b[i] = wk.neighbor(cx8, cy8, bpos[i][0], bpos[i][1], mvb[i]);
+      bool is_scaled = have_a[0] || have_a[1];
       int ac[2][2] = {{0, 0}, {0, 0}};
       int na = 0;
-      if (hca) { ac[na][0] = ca[0]; ac[na][1] = ca[1]; na++; }
-      if (hcb && !(hca && cb[0] == ca[0] && cb[1] == ca[1])) {
-        ac[na][0] = cb[0]; ac[na][1] = cb[1]; na++; }
+      auto unscaled = [&](bool* have, int (*mvs)[3], int npos,
+                          int out[2]) -> bool {
+        for (int i = 0; i < npos; i++)
+          if (have[i] && mvs[i][2] == cref) {
+            out[0] = mvs[i][0]; out[1] = mvs[i][1];
+            return true;
+          }
+        return false;
+      };
+      auto scaled = [&](bool* have, int (*mvs)[3], int npos,
+                        int out[2]) -> bool {
+        for (int i = 0; i < npos; i++)
+          if (have[i]) {
+            scale_mv(mvs[i][0], mvs[i][1], cref + 1, mvs[i][2] + 1, out);
+            return true;
+          }
+        return false;
+      };
+      int tmp[2];
+      if (is_scaled &&
+          (unscaled(have_a, mva, 2, tmp) || scaled(have_a, mva, 2, tmp))) {
+        ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
+      }
+      if (unscaled(have_b, mvb, 3, tmp)) {
+        ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
+      }
+      if (!is_scaled && na < 2 && scaled(have_b, mvb, 3, tmp)) {
+        ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
+      }
+      if (na == 2 && ac[0][0] == ac[1][0] && ac[0][1] == ac[1][1]) {
+        na = 1; ac[1][0] = 0; ac[1][1] = 0;
+      }
       int c0 = abs(cmx - ac[0][0]) + abs(cmy - ac[0][1]);
       int c1 = abs(cmx - ac[1][0]) + abs(cmy - ac[1][1]);
       int mvp = c1 < c0 ? 1 : 0;
@@ -244,11 +305,13 @@ extern "C" int tpuhevc_decision_walk(
           mvd[2 * c + 1] = cmy - ac[mvp][1];
         }
     }
-    // update MV field
     for (int dy = 0; dy < s8; dy++)
       for (int dx = 0; dx < s8; dx++) {
         int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
-        wk.fmvx[c] = cmx; wk.fmvy[c] = cmy; wk.fvalid[c] = 1;
+        wk.fmvx[c] = cmx;
+        wk.fmvy[c] = cmy;
+        wk.fref[c] = cref;
+        wk.fvalid[c] = 1;
       }
   }
   return 0;

@@ -220,6 +220,8 @@ struct Frame {
   const int32_t* merge_idx;
   const int32_t* mvp_flag;
   const int32_t* mvd;  // (h8*w8*2)
+  const int32_t* ref_idx;  // (h8*w8), may be null (all ref 0)
+  int num_ref = 1;
   int w, h, w8, h8, cw;
   int log2_ctu, log2_min_cu, log2_min_tu, log2_max_tu, max_tu_depth_intra;
   int max_tu_depth_inter;
@@ -651,6 +653,24 @@ struct SliceEnc {
     }
   }
 
+  // TEncSbac::codeRefFrmIdx:748 binarization
+  void enc_ref_idx(int ref) {
+    if (f.num_ref <= 1) return;
+    c.bin(ref == 0 ? 0 : 1, kOffRefIdx);
+    if (ref > 0) {
+      int rem = f.num_ref - 2;
+      int r = ref - 1;
+      for (int ui = 0; ui < rem; ui++) {
+        int sym = ui == r ? 0 : 1;
+        if (ui == 0)
+          c.bin(sym, kOffRefIdx + 1);
+        else
+          c.ep(sym);
+        if (!sym) break;
+      }
+    }
+  }
+
   void cu_p(int x0, int y0, int log2) {
     int ci = (y0 >> 3) * f.w8 + (x0 >> 3);
     int skip = f.skip[ci];
@@ -667,6 +687,7 @@ struct SliceEnc {
     if (merge_f) {
       enc_merge_idx(f.merge_idx[ci]);
     } else {
+      enc_ref_idx(f.ref_idx ? f.ref_idx[ci] : 0);
       enc_mvd(f.mvd[ci * 2], f.mvd[ci * 2 + 1]);
       c.bin(f.mvp_flag[ci] ? 1 : 0, kOffMvpFlag);
     }
@@ -749,11 +770,11 @@ int tpuhevc_encode_slice_data(
     const int32_t* chroma_mode, const int32_t* coeff_y,
     const int32_t* coeff_cb, const int32_t* coeff_cr,
     const int32_t* skip, const int32_t* merge_flag, const int32_t* merge_idx,
-    const int32_t* mvp_flag, const int32_t* mvd,
+    const int32_t* mvp_flag, const int32_t* mvd, const int32_t* ref_idx,
     int width, int height,
     int log2_ctu, int log2_min_cu, int log2_min_tu, int log2_max_tu,
     int max_tu_depth_intra, int max_tu_depth_inter, int slice_type,
-    int max_merge, int slice_type_row, int qp, int sign_hiding,
+    int max_merge, int slice_type_row, int qp, int sign_hiding, int num_ref,
     uint8_t* out, int out_cap) {
   SliceEnc e;
   e.f.cu_log2 = cu_log2;
@@ -767,6 +788,8 @@ int tpuhevc_encode_slice_data(
   e.f.merge_idx = merge_idx;
   e.f.mvp_flag = mvp_flag;
   e.f.mvd = mvd;
+  e.f.ref_idx = ref_idx;
+  e.f.num_ref = num_ref;
   e.f.max_tu_depth_inter = max_tu_depth_inter;
   e.f.slice_type = slice_type;
   e.f.max_merge = max_merge;

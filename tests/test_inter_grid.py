@@ -73,12 +73,14 @@ def test_native_walk_matches_python():
     enc = Encoder(cfg)
     fn, _, _ = inter_grid.build_ldp_grid_scan(cfg, {32: enc.nn_params}, 3)
     enc.encode_frame(*clip[0], poc=0)
-    ry = jnp.asarray(np.asarray(enc.dpb_recon[0], np.int32))
+    ry = jnp.asarray(np.asarray(enc.dpb_recon[0], np.int32))[None]
     ruv = jnp.concatenate([jnp.asarray(np.asarray(p, np.int32))
-                           for p in enc.dpb_recon[1:]], axis=1)
+                           for p in enc.dpb_recon[1:]], axis=1)[None]
     rows = [np.concatenate([f[0].ravel(), f[1].ravel(), f[2].ravel()])
             for f in clip[1:4]]
-    buf, _, _ = fn(jnp.asarray(np.stack(rows).reshape(3, 1, -1)), ry, ruv)
+    nav = jnp.ones((3, 1), jnp.int32)
+    buf, _, _ = fn(jnp.asarray(np.stack(rows).reshape(3, 1, -1)), nav,
+                   ry, ruv)
     rows = np.asarray(buf)
     for j in range(3):
         nat = inter_grid.assemble_grid_frame(cfg, rows[j])
@@ -102,3 +104,35 @@ def test_checksum_matches_reference_formula():
             xor_mask = (x & 0xFF) ^ (y & 0xFF) ^ (x >> 8) ^ (y >> 8)
             cks = (cks + ((int(p[y, x]) & 0xFF) ^ xor_mask)) & 0xFFFFFFFF
     assert plane_checksum(p) == cks.to_bytes(4, "big")
+
+
+def test_multiref_conformance():
+    """4-reference LD-P: self-decode hash OK; early frames stay within the
+    DPB fill level."""
+    clip = _clip(128, 64, 10)
+    enc, _ = encode_sequence(_Reader(clip),
+                             _cfg(128, 64, num_ref_frames=4), max_frames=10)
+    frames = decode_stream(enc.bitstream())
+    assert len(frames) == 10
+    assert all(f.md5_ok for f in frames)
+
+
+def test_amvp_scaling_matches_walk():
+    """POC-scaled AMVP: python scale_mv matches the spec formula on a
+    sample grid (and implicitly the C++ walk via payload equality in
+    multi-ref e2e)."""
+    from tpuhevc.codec.mv import scale_mv
+
+    for mv in ((12, -7), (0, 0), (-32767, 32767), (100, -100)):
+        for tb, td in ((1, 2), (2, 1), (3, 4), (4, 1), (1, 4)):
+            got = scale_mv(mv, tb, td)
+            tbc = max(-128, min(127, tb))
+            tdc = max(-128, min(127, td))
+            tx_ = (16384 + (abs(tdc) >> 1)) // tdc
+            dsf = max(-4096, min(4095, (tbc * tx_ + 32) >> 6))
+            exp = []
+            for v in mv:
+                p = dsf * v
+                o = (abs(p) + 127) >> 8
+                exp.append(max(-32768, min(32767, -o if p < 0 else o)))
+            assert got == tuple(exp)

@@ -63,18 +63,32 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
             init_row = 2 if hdr.slice_type == I_SLICE else hdr.slice_type
             ctx = ContextSet(init_row, hdr.qp)
             dec = CabacDecoder(rbsp[off:], ctx)
+            if hdr.slice_type != I_SLICE:
+                # L0: negative RPS deltas, closest first, used ones only
+                deltas = sorted([-d for d in hdr.rps.delta_pocs
+                                 if d < 0
+                                 and hdr.rps.used[hdr.rps.delta_pocs.index(d)]])
+                num_ref = hdr.num_ref_idx_l0
+                deltas = (deltas * ((num_ref + len(deltas) - 1)
+                                    // max(1, len(deltas))))[:num_ref]
+            else:
+                deltas, num_ref = [], 1
             fs = decode_slice_data(dec, sps, pps, sps.coded_width,
                                    sps.coded_height, hdr.slice_type,
                                    max_merge, sao_luma=hdr.sao_luma,
-                                   sao_chroma=hdr.sao_chroma)
+                                   sao_chroma=hdr.sao_chroma,
+                                   num_ref=num_ref, ref_deltas=deltas)
             if hdr.slice_type == I_SLICE:
                 y, u, v = reconstruct_frame(fs, sps, hdr.qp)
             else:
                 from .inter_enc import reconstruct_frame_p
 
-                prev = frames[-1]
-                y, u, v = reconstruct_frame_p(
-                    fs, sps, hdr.qp, (prev.y, prev.u, prev.v))
+                by_poc = {f.poc: f for f in frames}
+                refs = []
+                for d in deltas:
+                    f = by_poc.get(hdr.poc - d, frames[-1])
+                    refs.append((f.y, f.u, f.v))
+                y, u, v = reconstruct_frame_p(fs, sps, hdr.qp, refs)
             if not pps.deblocking_disabled:
                 from ..ops.deblock import deblock_frame
 

@@ -137,10 +137,15 @@ class Encoder:
             )
             init_row = 2
         else:
+            n_ref = max(1, min(poc, cfg.num_ref_frames))
+            if fs.ref_idx is not None and fs.ref_idx.max() >= n_ref:
+                n_ref = int(fs.ref_idx.max()) + 1
             hdr = headers.SliceHeader(
                 slice_type=P_SLICE, nal_type=bitio.NAL_TRAIL_R, poc=poc,
-                qp=fqp, rps=headers.ShortTermRPS([-1], [1]),
-                num_ref_idx_l0=1,
+                qp=fqp,
+                rps=headers.ShortTermRPS([-(i + 1) for i in range(n_ref)],
+                                         [1] * n_ref),
+                num_ref_idx_l0=n_ref,
                 five_minus_max_num_merge_cand=5 - max_merge,
             )
             init_row = 1
@@ -148,15 +153,17 @@ class Encoder:
             hdr.sao_luma = fs.sao.luma_on
             hdr.sao_chroma = fs.sao.chroma_on
         w = headers.write_slice_header(hdr, sps, pps)
+        n_ref_slice = hdr.num_ref_idx_l0 if stype == P_SLICE else 1
         payload = (None if fs.sao is not None else
                    encode_slice_data_native(fs, sps, pps, init_row, fqp,
-                                            stype, max_merge))
+                                            stype, max_merge, n_ref_slice))
         if payload is not None:  # native fast path (byte-identical)
             w.write_bytes(payload)
         else:
             ctx = ContextSet(init_row, fqp)
             cab = CabacEncoder(ctx)
-            encode_slice_data(cab, fs, sps, pps, stype, max_merge)
+            encode_slice_data(cab, fs, sps, pps, stype, max_merge,
+                              num_ref=n_ref_slice)
             cab.finish()
             w.write_bytes(bytes(cab.out))
             val, nbits = cab.pending_bits
@@ -289,8 +296,10 @@ def _ldp_scan_pipelined(enc, cfg, frames, finish, chunk_frames: int = 8):
     finish(0, frames[0])  # IDR (device intra path)
     ry, ru, rv = (jnp.asarray(np.asarray(p, dtype=np.int32))
                   for p in enc.dpb_recon)
+    R = max(1, cfg.num_ref_frames) if grid else 1
     if grid:
-        refs = (ry, jnp.concatenate([ru, rv], axis=1))
+        ruv = jnp.concatenate([ru, rv], axis=1)
+        refs = (jnp.repeat(ry[None], R, 0), jnp.repeat(ruv[None], R, 0))
     else:
         refs = (ry, ru, rv)
 
@@ -313,7 +322,12 @@ def _ldp_scan_pipelined(enc, cfg, frames, finish, chunk_frames: int = 8):
             blk = pframes[s : s + K]
             nvalid = len(blk)
             blk = blk + [blk[-1]] * (K - nvalid)
-            out = fn(jnp.asarray(chunk_u8(blk)), *refs)
+            if grid:
+                nav = np.array([max(1, min(s + 1 + j, R)) for j in range(K)],
+                               np.int32).reshape(n_gops, G)
+                out = fn(jnp.asarray(chunk_u8(blk)), jnp.asarray(nav), *refs)
+            else:
+                out = fn(jnp.asarray(chunk_u8(blk)), *refs)
             buf, refs = out[0], out[1:]
             try:
                 buf.copy_to_host_async()
@@ -324,12 +338,13 @@ def _ldp_scan_pipelined(enc, cfg, frames, finish, chunk_frames: int = 8):
             rows = np.asarray(pbuf)
             for j in range(pnv):
                 poc = ps + 1 + j
+                n_ref = max(1, min(poc, R))
                 cfg_f = dataclasses.replace(cfg, qp=enc.frame_qp(poc))
-                pre = (inter_grid.assemble_grid_frame(cfg_f, rows[j])
+                pre = (inter_grid.assemble_grid_frame(cfg_f, rows[j], n_ref)
                        if grid else None)
                 if pre is None:
                     per_cu = collect(cfg_f, rows[j])
-                    pre = assemble_frame_p(cfg_f, per_cu)
+                    pre = assemble_frame_p(cfg_f, per_cu, n_ref)
                 finish(poc, frames[poc], pre)
         pending = (s, nvalid, buf) if ci < len(starts) else None
 

@@ -499,7 +499,9 @@ def _merge_static_cus(per_cu: dict, w: int, h: int) -> dict:
                 if any(s is None or s["size"] != half for s in subs):
                     continue
                 mv0 = subs[0]["mv"]
-                if not all((s["mv"] == mv0).all() for s in subs):
+                ref0 = subs[0].get("ref", 0)
+                if not all((s["mv"] == mv0).all()
+                           and s.get("ref", 0) == ref0 for s in subs):
                     continue
                 if any(s["lvl"].any() or s["lvl_u"].any() or s["lvl_v"].any()
                        for s in subs):
@@ -515,7 +517,7 @@ def _merge_static_cus(per_cu: dict, w: int, h: int) -> dict:
                     rec_u[dy // 2 : dy // 2 + ch, dx // 2 : dx // 2 + ch] = s["rec_u"]
                     rec_v[dy // 2 : dy // 2 + ch, dx // 2 : dx // 2 + ch] = s["rec_v"]
                 per_cu[(x0, y0)] = dict(
-                    size=size, mv=mv0,
+                    size=size, mv=mv0, ref=ref0,
                     lvl=np.zeros((size, size), np.int32), rec=rec,
                     lvl_u=np.zeros((size // 2, size // 2), np.int32),
                     rec_u=rec_u,
@@ -525,13 +527,18 @@ def _merge_static_cus(per_cu: dict, w: int, h: int) -> dict:
     return per_cu
 
 
-def assemble_frame_p(cfg: EncoderConfig, per_cu: dict):
+def assemble_frame_p(cfg: EncoderConfig, per_cu: dict, num_ref: int = 1,
+                     ref_pocs=None):
     """Decode-order decision walk (merge/skip/AMVP) + dense-array assembly.
-    Shared by the synchronous path and the pipelined LD-P loop."""
+    Shared by the synchronous path and the pipelined LD-P loop. per_cu
+    entries may carry "ref" (default 0); num_ref/ref_pocs must match the
+    slice header so AMVP scaling agrees with the decoder."""
     from ..entropy.syntax import FrameSyntax
 
     sps = cfg.sps
     w, h = sps.coded_width, sps.coded_height
+    if ref_pocs is None:
+        ref_pocs = [-(i + 1) for i in range(num_ref)]
     fs = FrameSyntax(w, h)
     rec_y = np.zeros((h, w), dtype=np.int32)
     rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
@@ -548,13 +555,17 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict):
         size = cu["size"]
         log2 = size.bit_length() - 1
         mv = tuple(int(v) for v in cu["mv"])
+        ref = int(cu.get("ref", 0))
         cbf = bool(cu["lvl"].any() or cu["lvl_u"].any() or cu["lvl_v"].any())
-        mcands = merge_candidates(field, order, x0, y0, size, cfg.max_num_merge_cand)
-        merge_i = next((k for k, c in enumerate(mcands) if c == mv), -1)
+        mcands = merge_candidates(field, order, x0, y0, size,
+                                  cfg.max_num_merge_cand, num_ref)
+        mvr = (mv[0], mv[1], ref)
+        merge_i = next((k for k, c in enumerate(mcands) if c == mvr), -1)
         y8, x8 = y0 // 8, x0 // 8
         s8 = size // 8
         fs.cu_log2[y8 : y8 + s8, x8 : x8 + s8] = log2
         fs.mv[y8 : y8 + s8, x8 : x8 + s8] = mv
+        fs.ref_idx[y8 : y8 + s8, x8 : x8 + s8] = ref
         if merge_i >= 0 and not cbf:
             fs.skip[y8 : y8 + s8, x8 : x8 + s8] = 1
             fs.merge_flag[y8 : y8 + s8, x8 : x8 + s8] = 1
@@ -563,13 +574,14 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict):
             fs.merge_flag[y8 : y8 + s8, x8 : x8 + s8] = 1
             fs.merge_idx[y8 : y8 + s8, x8 : x8 + s8] = merge_i
         else:
-            acands = amvp_candidates(field, order, x0, y0, size)
+            acands = amvp_candidates(field, order, x0, y0, size, ref,
+                                     ref_pocs, 0)
             costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in acands]
             mvp = int(np.argmin(costs))
             fs.mvp_flag[y8 : y8 + s8, x8 : x8 + s8] = mvp
             fs.mvd[y8 : y8 + s8, x8 : x8 + s8] = (
                 mv[0] - acands[mvp][0], mv[1] - acands[mvp][1])
-        field.set_cu(x0, y0, size, mv)
+        field.set_cu(x0, y0, size, mv, ref)
         # store coeffs + recon
         if cbf:
             fs.coeff_y[y0 : y0 + size, x0 : x0 + size] = cu["lvl"]
@@ -585,10 +597,15 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict):
 
 def reconstruct_frame_p(fs, sps, qp: int, ref_recon):
     """Decoder-side P-frame reconstruction from parsed FrameSyntax.
+    ref_recon: one (y, u, v) tuple or a list of them (L0 order).
     Invariant: TU = CU (what this framework's encoder emits)."""
     bd = sps.bit_depth
     w, h = fs.width, fs.height
-    ry, ru, rv = (p.astype(np.int32) for p in ref_recon)
+    if isinstance(ref_recon, tuple) or (isinstance(ref_recon, list)
+                                        and len(ref_recon) == 3
+                                        and hasattr(ref_recon[0], "shape")):
+        ref_recon = [ref_recon]
+    refs = [tuple(p.astype(np.int32) for p in r) for r in ref_recon]
     qpc = chroma_qp(qp)
     rec_y = np.zeros((h, w), dtype=np.int32)
     rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
@@ -605,6 +622,7 @@ def reconstruct_frame_p(fs, sps, qp: int, ref_recon):
             seen[y8 : y8 + s8, x8 : x8 + s8] = True
             x0, y0 = x8 * 8, y8 * 8
             mv = fs.mv[y8, x8][None]
+            ry, ru, rv = refs[min(int(fs.ref_idx[y8, x8]), len(refs) - 1)]
             pred = mc_np(ry, np.array([x0]), np.array([y0]), mv, size, True, bd)[0]
             blk = fs.coeff_y[y0 : y0 + size, x0 : x0 + size]
             if blk.any():

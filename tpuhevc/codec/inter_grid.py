@@ -84,8 +84,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     qps = tuple(min(max(cfg.qp + o, 0), 51) for o in offs)
     lvl8 = _lvl8(cfg)
     fetch_recon = cfg.fetch_recon or cfg.hash_type != "checksum"
+    R = max(1, cfg.num_ref_frames)
     key = ("v2", W, H, bd, sr, cfg.fme_mode, qps, n_gops, fetch_recon,
-           cfg.nn_weights_dir, not nn_by_qp.get(qps[0]))
+           R, cfg.nn_weights_dir, not nn_by_qp.get(qps[0]))
     hit = _BUILD_CACHE.get(key)
     if hit is not None:
         return hit
@@ -127,6 +128,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             if p is not None:
                 nn_dev[qp] = {k: jnp.asarray(v) for k, v in p.items()}
     cls2q = jnp.asarray(nnfme.CLASS_TO_QMV)
+
+    _REF_BITS = [min(r + 1, max(1, R - 1)) for r in range(R)]
 
     taps_l = np.asarray(LUMA_TAPS)
     taps_c = np.asarray(CHROMA_TAPS)
@@ -271,9 +274,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                                                1, 1, 1])[None]) * 7
                 + (bdx[:, None] + jnp.asarray([-1, 0, 1] * 3)[None]))
         sad9 = jnp.take_along_axis(sad, idx9, 1)
+        best_cost = jnp.take_along_axis(cost, bi[:, None], 1)[:, 0]
         # clamp mv into [-(sr+3), sr+3] (coarse edge + refine can poke out)
         mv = jnp.clip(mv, -(sr + 3), sr + 3)
-        return mv, sad9
+        return mv, sad9, best_cost
 
     # --- MC phase planes --------------------------------------------------
     def luma_planes(ry):
@@ -321,24 +325,26 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             planes_uv.append(jnp.stack(pl).astype(jnp.int16))
         return planes_uv  # [(8,8,HmC,WmC) U, same V]
 
-    def pred_luma(planes, mvq_pix, hp, wp):
+    def pred_luma(planes, mvq_pix, ref_pix, hp, wp):
+        """planes: (R, 4, 4, HmL, WmL); ref_pix: (hp, wp) ref per pixel."""
         ygrid = jnp.arange(hp)[:, None]
         xgrid = jnp.arange(wp)[None, :]
         fx = mvq_pix[..., 0] & 3
         fy = mvq_pix[..., 1] & 3
         ix = (mvq_pix[..., 0] >> 2) + xgrid + LOOK
         iy = (mvq_pix[..., 1] >> 2) + ygrid + LOOK
-        idx = ((fy * 4 + fx) * HmL + iy) * WmL + ix
+        idx = (((ref_pix * 16 + fy * 4 + fx) * HmL) + iy) * WmL + ix
         return jnp.take(planes.reshape(-1), idx).astype(jnp.int32)
 
-    def pred_chroma(pl, mvq_pix, hp, wp):
+    def pred_chroma(pl, mvq_pix, ref_pix, hp, wp):
+        """pl: (R, 8, 8, HmC, WmC)."""
         ygrid = jnp.arange(hp)[:, None]
         xgrid = jnp.arange(wp)[None, :]
         fx = mvq_pix[..., 0] & 7
         fy = mvq_pix[..., 1] & 7
         ix = (mvq_pix[..., 0] >> 3) + xgrid + LOOKC
         iy = (mvq_pix[..., 1] >> 3) + ygrid + LOOKC
-        idx = ((fy * 8 + fx) * HmC + iy) * WmC + ix
+        idx = (((ref_pix * 64 + fy * 8 + fx) * HmC) + iy) * WmC + ix
         return jnp.take(pl.reshape(-1), idx).astype(jnp.int32)
 
     def nn_refine(qp, sad9, S, nb):
@@ -352,16 +358,17 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return cls2q[jnp.argmax(logits, axis=-1)].astype(jnp.int32)
 
     def class_code(qp, lam_full, oy, ouv, planes_y, pl_u, pl_v,
-                   mv_grid, S, nbh, nbw):
-        """Code every S-block under mv_grid (nbh, nbw, 2 quarter-pel).
-        Returns planes clipped to the covered region + per-block stats."""
+                   mv_grid, ref_grid, S, nbh, nbw):
+        """Code every S-block under mv_grid (nbh, nbw, 2 quarter-pel) and
+        ref_grid (nbh, nbw). Returns planes + per-block stats."""
         qpc = chroma_qp(qp)
         log2 = S.bit_length() - 1
         Hp, Wp = nbh * S, nbw * S
         oy_c = oy[:Hp, :Wp]
         mvq_pix = up(mv_grid[..., 0], S), up(mv_grid[..., 1], S)
         mvq_pix = jnp.stack(mvq_pix, -1)
-        pred_y = pred_luma(planes_y, mvq_pix, Hp, Wp)
+        refp = up(ref_grid, S)
+        pred_y = pred_luma(planes_y, mvq_pix, refp, Hp, Wp)
         coef = fwd_tx(oy_c - pred_y, S)
         lvl = quant_plane(coef, qp, log2)
         rsd = inv_tx(deq_plane(lvl, qp, log2), S)
@@ -385,8 +392,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         Hpc, Wpc = Hp // 2, Wp // 2
         mvq_c = jnp.stack([up(mv_grid[..., 0], Sc), up(mv_grid[..., 1], Sc)],
                           -1)  # (Hpc, Wpc, 2)
-        pu = pred_chroma(pl_u, mvq_c, Hpc, Wpc)
-        pv = pred_chroma(pl_v, mvq_c, Hpc, Wpc)
+        refc = up(ref_grid, Sc)
+        pu = pred_chroma(pl_u, mvq_c, refc, Hpc, Wpc)
+        pv = pred_chroma(pl_v, mvq_c, refc, Hpc, Wpc)
         pred_uv = jnp.concatenate([pu, pv], axis=1)  # (Hpc, 2*Wpc)
         ouv_c = jnp.concatenate([ouv[:Hpc, :Wpc], ouv[:Hpc, Wc : Wc + Wpc]],
                                 axis=1)
@@ -412,48 +420,88 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return dict(lvl=lvl, rec=rec, lvl_c=lvl_c, rec_c=rec_c,
                     d=d_tot, bits=bits_tot, cbf=cbf)
 
-    def frame_step(ref, fu8, gpos):
+    def frame_step(ref, fu8, navail, gpos):
         qp = qps[gpos]
         lam_full = _full_lambda_fp(qp)
         lam_me = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
-        ry, ruv = ref
+        ry_stack, ruv_stack = ref  # (R, H, W), (R, Hc, W)
         oy = fu8[: W * H].reshape(H, W).astype(jnp.int32)
         ou = fu8[W * H : W * H * 5 // 4].reshape(Hc, Wc)
         ov = fu8[W * H * 5 // 4 :].reshape(Hc, Wc)
         ouv = jnp.concatenate([ou, ov], axis=1).astype(jnp.int32)
 
-        # ME
+        # ME over every L0 reference; per-block best ref by RD cost.
+        # Dense coarse search only on ref 0; farther refs seed their
+        # refinement from the POC-scaled ref-0 coarse winner (+ the zero
+        # candidate inside refine), like TZ predictor seeding.
         oy2 = tile_sum(oy, 2).astype(jnp.int16)
-        ry2 = tile_sum(ry, 2).astype(jnp.int16)
-        ry2p = jnp.pad(ry2, R2, mode="edge")
-        s16c = coarse_stack(oy2, ry2p)
-        cx16, cy16 = pick_coarse(s16c, lam_me, nh16, nw16, False)
-        mv16, sad9_16 = refine(ry, oy, cx16, cy16, 16, nh16, nw16, lam_me)
+        m16, m32 = [], []
+        cx16 = cy16 = cx32 = cy32 = None
+        for r in range(R):
+            ryr = ry_stack[r]
+            if r == 0:
+                ry2p = jnp.pad(tile_sum(ryr, 2).astype(jnp.int16), R2,
+                               mode="edge")
+                s16c = coarse_stack(oy2, ry2p)
+                cx16, cy16 = pick_coarse(s16c, lam_me, nh16, nw16, False)
+                if has32:
+                    cx32, cy32 = pick_coarse(s16c, lam_me, nh32, nw32, True)
+            sc = r + 1
+            cxr = jnp.clip(cx16 * sc, -R2, R2)
+            cyr = jnp.clip(cy16 * sc, -R2, R2)
+            m16.append(refine(ryr, oy, cxr, cyr, 16, nh16, nw16, lam_me))
+            if has32:
+                cxr32 = jnp.clip(cx32 * sc, -R2, R2)
+                cyr32 = jnp.clip(cy32 * sc, -R2, R2)
+                m32.append(refine(ryr, oy, cxr32, cyr32, 32, nh32, nw32,
+                                  lam_me))
+
+        def pick_ref(ms):
+            if R == 1:
+                mv, sad9, _ = ms[0]
+                return mv, sad9, jnp.zeros(mv.shape[0], jnp.int32)
+            cost = jnp.stack([m[2] + ((_REF_BITS[r] * lam_me) >> 8)
+                              for r, m in enumerate(ms)], axis=1)
+            # refs beyond the DPB fill level (early frames) are invalid
+            mask = jnp.arange(R)[None] >= navail
+            cost = jnp.where(mask, jnp.int32(1 << 30), cost)
+            ref = jnp.argmin(cost, axis=1).astype(jnp.int32)
+            mv = jnp.stack([m[0] for m in ms], 1)
+            sad9 = jnp.stack([m[1] for m in ms], 1)
+            mv = jnp.take_along_axis(mv, ref[:, None, None].repeat(2, 2),
+                                     1)[:, 0]
+            sad9 = jnp.take_along_axis(
+                sad9, ref[:, None, None].repeat(9, 2), 1)[:, 0]
+            return mv, sad9, ref
+
+        mv16, sad9_16, ref16 = pick_ref(m16)
         mvq16 = mv16 * 4
         if cfg.fme_mode == "nn":
             off = nn_refine(qp, sad9_16, 16, n16)
             if off is not None:
                 mvq16 = mvq16 + off
         if has32:
-            cx32, cy32 = pick_coarse(s16c, lam_me, nh32, nw32, True)
-            mv32, sad9_32 = refine(ry, oy, cx32, cy32, 32, nh32, nw32,
-                                   lam_me)
+            mv32, sad9_32, ref32 = pick_ref(m32)
             mvq32 = mv32 * 4
             if cfg.fme_mode == "nn":
                 off = nn_refine(qp, sad9_32, 32, n32)
                 if off is not None:
                     mvq32 = mvq32 + off
 
-        # MC phase planes from the reference recon
-        planes_y = luma_planes(ry)
-        pl_u, pl_v = chroma_planes(ruv)
+        # MC phase planes for every reference
+        planes_y = jnp.stack([luma_planes(ry_stack[r]) for r in range(R)])
+        pls = [chroma_planes(ruv_stack[r]) for r in range(R)]
+        pl_u = jnp.stack([p[0] for p in pls])
+        pl_v = jnp.stack([p[1] for p in pls])
 
         c16 = class_code(qp, lam_full, oy, ouv, planes_y, pl_u, pl_v,
-                         mvq16.reshape(nh16, nw16, 2), 16, nh16, nw16)
+                         mvq16.reshape(nh16, nw16, 2),
+                         ref16.reshape(nh16, nw16), 16, nh16, nw16)
         use32 = None
         if has32:
             c32 = class_code(qp, lam_full, oy, ouv, planes_y, pl_u, pl_v,
-                             mvq32.reshape(nh32, nw32, 2), 32, nh32, nw32)
+                             mvq32.reshape(nh32, nw32, 2),
+                             ref32.reshape(nh32, nw32), 32, nh32, nw32)
             d16_ = c16["d"][: nh32 * 2, : nw32 * 2]
             b16_ = c16["bits"][: nh32 * 2, : nw32 * 2]
             c16cost = (d16_ + ((lam_full * (b16_ + _OVH)) >> 8)).reshape(
@@ -502,29 +550,35 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 ((ouv[:, Wc:] - rec_uv[:, Wc:]) ** 2).astype(jnp.float32).sum()])
             parts += [u8(cks), u8(sse3)]
         parts += [u8(mvq16.astype(jnp.int16)),
-                 u8(sad9_16.astype(jnp.int32)),
-                 u8(mv16.astype(jnp.int16)),
-                 c16["cbf"].astype(jnp.uint8).reshape(-1)]
+                  u8(sad9_16.astype(jnp.int32)),
+                  u8(mv16.astype(jnp.int16)),
+                  ref16.astype(jnp.uint8).reshape(-1),
+                  c16["cbf"].astype(jnp.uint8).reshape(-1)]
         if has32:
             parts += [u8(mvq32.astype(jnp.int16)),
                       u8(sad9_32.astype(jnp.int32)),
                       u8(mv32.astype(jnp.int16)),
+                      ref32.astype(jnp.uint8).reshape(-1),
                       c32["cbf"].astype(jnp.uint8).reshape(-1),
                       use32.astype(jnp.uint8).reshape(-1)]
-        return (rec_y, rec_uv), jnp.concatenate(parts)
+        new_ry = jnp.concatenate([rec_y[None], ry_stack[:-1]])
+        new_ruv = jnp.concatenate([rec_uv[None], ruv_stack[:-1]])
+        return (new_ry, new_ruv), jnp.concatenate(parts)
 
-    def gop_step(carry, frames_g):
+    def gop_step(carry, xs):
+        frames_g, navail_g = xs
         outs = []
         for g in range(G):
-            carry, pk = frame_step(carry, frames_g[g], g)
+            carry, pk = frame_step(carry, frames_g[g], navail_g[g], g)
             outs.append(pk)
         return carry, jnp.stack(outs)
 
-    def run(frames_u8, ry, ruv):
-        (ry, ruv), packed = jax.lax.scan(gop_step, (ry, ruv), frames_u8)
-        return packed.reshape(n_gops * G, -1), ry, ruv
+    def run(frames_u8, navail, ry_stack, ruv_stack):
+        (ry_stack, ruv_stack), packed = jax.lax.scan(
+            gop_step, (ry_stack, ruv_stack), (frames_u8, navail))
+        return packed.reshape(n_gops * G, -1), ry_stack, ruv_stack
 
-    fn = jax.jit(run, donate_argnums=(1, 2))
+    fn = jax.jit(run, donate_argnums=(2, 3))
     out = (fn, dict(W=W, H=H), qps)
     _BUILD_CACHE[key] = out
     return out
@@ -564,6 +618,7 @@ def _parse_frame_buf(cfg, buf: np.ndarray) -> dict:
         mvq16=take(n16 * 4, np.int16, (n16, 2)).astype(np.int32),
         sad9_16=take(n16 * 36, np.int32, (n16, 9)),
         mv16=take(n16 * 4, np.int16, (n16, 2)).astype(np.int32),
+        ref16=take(n16, np.uint8, (n16,)),
         cbf16=take(n16, np.uint8, (n16,)),
     )
     if n32:
@@ -571,16 +626,17 @@ def _parse_frame_buf(cfg, buf: np.ndarray) -> dict:
             mvq32=take(n32 * 4, np.int16, (n32, 2)).astype(np.int32),
             sad9_32=take(n32 * 36, np.int32, (n32, 9)),
             mv32=take(n32 * 4, np.int16, (n32, 2)).astype(np.int32),
+            ref32=take(n32, np.uint8, (n32,)),
             cbf32=take(n32, np.uint8, (n32,)),
             use32=take(n32, np.uint8, (n32,)).reshape(nh32, nw32),
         )
     return d
 
 
-def assemble_grid_frame(cfg, buf: np.ndarray):
-    """Fetched frame row -> (FrameSyntax, recon) via the native decision
-    walk; returns None when the native library is unavailable (callers
-    fall back to collect_grid_frame + assemble_frame_p)."""
+def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
+    """Fetched frame row -> (FrameSyntax, recon[, stats]) via the native
+    decision walk; returns None when the native library is unavailable
+    (callers fall back to collect_grid_frame + assemble_frame_p)."""
     from ..entropy.native import decision_walk_native
     from ..entropy.syntax import FrameSyntax
 
@@ -593,13 +649,15 @@ def assemble_grid_frame(cfg, buf: np.ndarray):
         return None  # tiny frames: python walk handles the 16-only case
     maps = decision_walk_native(
         d["mvq16"], d["cbf16"], d["mvq32"], d["cbf32"], d["use32"],
-        W, H, sps.log2_ctu, cfg.max_num_merge_cand)
+        W, H, sps.log2_ctu, cfg.max_num_merge_cand,
+        d["ref16"], d["ref32"], num_ref)
     if maps is None:
         return None
     fs = FrameSyntax(
         W, H, cu_log2=maps["cu_log2"], mv=maps["mv"], skip=maps["skip"],
         merge_flag=maps["merge_flag"], merge_idx=maps["merge_idx"],
         mvp_flag=maps["mvp_flag"], mvd=maps["mvd"],
+        ref_idx=maps["ref"],
         coeff_y=np.ascontiguousarray(d["lvl_y"]),
         coeff_cb=np.ascontiguousarray(d["lvl_uv"][:, :Wc]),
         coeff_cr=np.ascontiguousarray(d["lvl_uv"][:, Wc:]),
@@ -626,19 +684,21 @@ def collect_grid_frame(cfg, buf: np.ndarray):
     d = _parse_frame_buf(cfg, buf)
     lvl_y, rec_y = d["lvl_y"], d["rec_y"]
     mvq16, mv16, sad9_16 = d["mvq16"], d["mv16"], d["sad9_16"]
+    ref16 = d["ref16"]
     if has32:
         mvq32, mv32, sad9_32 = d["mvq32"], d["mv32"], d["sad9_32"]
+        ref32 = d["ref32"]
         use32 = d["use32"].astype(bool)
 
     lvl_u, lvl_v = d["lvl_uv"][:, :Wc], d["lvl_uv"][:, Wc:]
     rec_u, rec_v = d["rec_uv"][:, :Wc], d["rec_uv"][:, Wc:]
     per_cu = {}
 
-    def emit(x0, y0, size, mv, mvi, s9):
+    def emit(x0, y0, size, mv, mvi, s9, ref=0):
         cs = size // 2
         cx, cy = x0 // 2, y0 // 2
         per_cu[(x0, y0)] = dict(
-            size=size, mv=mv, mv_int=mvi, sad9=s9,
+            size=size, mv=mv, mv_int=mvi, sad9=s9, ref=int(ref),
             lvl=lvl_y[y0 : y0 + size, x0 : x0 + size],
             rec=rec_y[y0 : y0 + size, x0 : x0 + size].astype(np.int32),
             lvl_u=lvl_u[cy : cy + cs, cx : cx + cs],
@@ -652,10 +712,12 @@ def collect_grid_frame(cfg, buf: np.ndarray):
         if has32 and by < nh32 * 2 and bx < nw32 * 2 \
                 and use32[by // 2, bx // 2]:
             continue
-        emit(bx * 16, by * 16, 16, mvq16[b], mv16[b], sad9_16[b])
+        emit(bx * 16, by * 16, 16, mvq16[b], mv16[b], sad9_16[b],
+             ref16[b])
     if has32:
         for b in range(n32):
             by, bx = b // nw32, b % nw32
             if use32[by, bx]:
-                emit(bx * 32, by * 32, 32, mvq32[b], mv32[b], sad9_32[b])
+                emit(bx * 32, by * 32, 32, mvq32[b], mv32[b], sad9_32[b],
+                     ref32[b])
     return per_cu

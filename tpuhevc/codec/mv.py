@@ -1,14 +1,17 @@
 """Motion-vector prediction: merge and AMVP candidate derivation.
 
 Counterpart of TComDataCU's getInterMergeCandidates / fillMvpCand
-(SURVEY.md §2.1 "CU data model"), per H.265 §8.5.3.2.3/.2.6, specialized to
-the P-slice single-reference configuration this framework currently emits
-(one list, refIdx 0, no TMVP -> no scaling paths). Shared verbatim by the
-encoder's decision pass, the syntax coder, and the decoder, so derivation
-cannot diverge.
+(SURVEY.md §2.1 "CU data model"), per H.265 §8.5.3.2.3/.2.6, for P slices
+with one list (L0) and multiple short-term references, no TMVP. Shared
+verbatim by the encoder's decision pass, the syntax coder, and the
+decoder, so derivation cannot diverge.
 
-MV field granularity: one MV per 8x8 cell (the minimum PU this framework
-emits); a CU spanning k cells replicates its MV into each.
+Merge candidates carry (mvx, mvy, ref_idx) and are used as-is (no
+scaling). AMVP candidates scale a different-ref neighbor MV by POC
+distance (§8.5.3.2.8 temporal scaling formula, all short-term).
+
+MV field granularity: one (MV, ref) per 8x8 cell (the minimum PU this
+framework emits); a CU spanning k cells replicates into each.
 """
 
 from __future__ import annotations
@@ -18,27 +21,49 @@ import numpy as np
 from .refsamples import BlockOrder
 
 
+def scale_mv(mv: tuple[int, int], tb: int, td: int) -> tuple[int, int]:
+    """§8.5.3.2.8: scale mv by POC distances tb (target) / td (neighbor)."""
+    if tb == td:
+        return mv
+    tb = max(-128, min(127, tb))
+    td = max(-128, min(127, td))
+    tx = (16384 + (abs(td) >> 1)) // td
+    dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
+
+    def s(v):
+        p = dsf * v
+        out = (abs(p) + 127) >> 8
+        out = -out if p < 0 else out
+        return max(-32768, min(32767, out))
+
+    return (s(mv[0]), s(mv[1]))
+
+
 class MvField:
     def __init__(self, w8: int, h8: int):
         self.mv = np.zeros((h8, w8, 2), dtype=np.int32)  # quarter-pel
+        self.ref = np.zeros((h8, w8), dtype=np.int32)
         self.valid = np.zeros((h8, w8), dtype=bool)  # coded + inter
         self.w8 = w8
         self.h8 = h8
 
-    def set_cu(self, x0: int, y0: int, size: int, mv) -> None:
+    def set_cu(self, x0: int, y0: int, size: int, mv, ref: int = 0) -> None:
         s8 = size // 8
         x8, y8 = x0 // 8, y0 // 8
         self.mv[y8 : y8 + s8, x8 : x8 + s8] = mv
+        self.ref[y8 : y8 + s8, x8 : x8 + s8] = ref
         self.valid[y8 : y8 + s8, x8 : x8 + s8] = True
 
     def at(self, x8: int, y8: int):
+        """(mvx, mvy, ref) or None."""
         if 0 <= x8 < self.w8 and 0 <= y8 < self.h8 and self.valid[y8, x8]:
-            return tuple(int(v) for v in self.mv[y8, x8])
+            return (int(self.mv[y8, x8, 0]), int(self.mv[y8, x8, 1]),
+                    int(self.ref[y8, x8]))
         return None
 
 
 def _neighbor(field: MvField, order: BlockOrder, cur_cell, px: int, py: int):
-    """MV of the PU covering sample (px, py), if available in decode order."""
+    """(mv, ref) of the PU covering sample (px, py), if decoded."""
     if px < 0 or py < 0:
         return None
     x8, y8 = px // 8, py // 8
@@ -48,8 +73,10 @@ def _neighbor(field: MvField, order: BlockOrder, cur_cell, px: int, py: int):
 
 
 def merge_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
-                     size: int, max_cand: int = 5) -> list[tuple[int, int]]:
-    """Spatial merge list (§8.5.3.2.3) + zero fill. P slice, refIdx 0."""
+                     size: int, max_cand: int = 5,
+                     num_ref: int = 1) -> list[tuple[int, int, int]]:
+    """Spatial merge list (§8.5.3.2.3) + zero fill; entries (mvx, mvy, ref).
+    P slice, L0 only."""
     cur = (x0 // 8, y0 // 8)
     n = size
     a1 = _neighbor(field, order, cur, x0 - 1, y0 + n - 1)
@@ -57,7 +84,7 @@ def merge_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
     b0 = _neighbor(field, order, cur, x0 + n, y0 - 1)
     a0 = _neighbor(field, order, cur, x0 - 1, y0 + n)
     b2 = _neighbor(field, order, cur, x0 - 1, y0 - 1)
-    out: list[tuple[int, int]] = []
+    out: list[tuple[int, int, int]] = []
     if a1 is not None:
         out.append(a1)
     if b1 is not None and b1 != a1:
@@ -68,32 +95,66 @@ def merge_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
         out.append(a0)
     if len(out) < 4 and b2 is not None and b2 != a1 and b2 != b1:
         out.append(b2)
+    # zero candidates with increasing ref, then ref 0 (HM's zero-mv fill)
+    zero_i = 0
     while len(out) < max_cand:
-        out.append((0, 0))
+        out.append((0, 0, zero_i if zero_i < num_ref else 0))
+        zero_i += 1
     return out[:max_cand]
 
 
 def amvp_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
-                    size: int) -> list[tuple[int, int]]:
-    """AMVP list (§8.5.3.2.6): candA = first of {A0, A1}, candB = first of
-    {B0, B1, B2}, dedup, zero-fill to 2. Single ref -> no scaling."""
+                    size: int, target_ref: int = 0,
+                    ref_pocs: list[int] | None = None,
+                    cur_poc: int = 0) -> list[tuple[int, int]]:
+    """AMVP list (§8.5.3.2.6) for target_ref: candA from {A0, A1}, candB
+    from {B0, B1, B2}; same-ref MVs preferred, otherwise POC-scaled;
+    dedup; zero-fill to 2. ref_pocs: POC of each L0 entry (None = single
+    ref, no scaling)."""
     cur = (x0 // 8, y0 // 8)
     n = size
-    cand_a = None
-    for px, py in ((x0 - 1, y0 + n), (x0 - 1, y0 + n - 1)):
-        cand_a = _neighbor(field, order, cur, px, py)
-        if cand_a is not None:
-            break
-    cand_b = None
-    for px, py in ((x0 + n, y0 - 1), (x0 + n - 1, y0 - 1), (x0 - 1, y0 - 1)):
-        cand_b = _neighbor(field, order, cur, px, py)
-        if cand_b is not None:
-            break
+
+    def poc_of(r):
+        return ref_pocs[r] if ref_pocs is not None else cur_poc - 1
+
+    nb_a = [_neighbor(field, order, cur, x0 - 1, y0 + n),      # A0
+            _neighbor(field, order, cur, x0 - 1, y0 + n - 1)]  # A1
+    nb_b = [_neighbor(field, order, cur, x0 + n, y0 - 1),      # B0
+            _neighbor(field, order, cur, x0 + n - 1, y0 - 1),  # B1
+            _neighbor(field, order, cur, x0 - 1, y0 - 1)]      # B2
+    # isScaledFlagLX (TComDataCU::fillMvpCand:2630): A0 or A1 coded inter
+    is_scaled = any(nb is not None for nb in nb_a)
+
+    def unscaled(nbs):
+        for nb in nbs:
+            if nb is not None and poc_of(nb[2]) == poc_of(target_ref):
+                return (nb[0], nb[1])
+        return None
+
+    def scaled(nbs):
+        for nb in nbs:
+            if nb is not None:
+                tb = cur_poc - poc_of(target_ref)
+                td = cur_poc - poc_of(nb[2])
+                return scale_mv((nb[0], nb[1]), tb, td)
+        return None
+
     out = []
-    if cand_a is not None:
-        out.append(cand_a)
-    if cand_b is not None and cand_b != cand_a:
-        out.append(cand_b)
+    if is_scaled:  # left predictor (unscaled then scaled over A0, A1)
+        c = unscaled(nb_a)
+        if c is None:
+            c = scaled(nb_a)
+        if c is not None:
+            out.append(c)
+    c = unscaled(nb_b)  # above predictor, unscaled pass (always)
+    if c is not None:
+        out.append(c)
+    if not is_scaled:  # scaled above pass appends independently
+        c = scaled(nb_b)
+        if c is not None:
+            out.append(c)
+    if len(out) == 2 and out[0] == out[1]:
+        out = out[:1]
     while len(out) < 2:
         out.append((0, 0))
     return out[:2]

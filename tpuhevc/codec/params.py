@@ -124,6 +124,7 @@ class EncoderConfig:
     fme_mode: str = "nn"         # nn | dctif | none (TEncSearch.cpp:4534-4590 A/B)
     nn_weights_dir: str | None = None
     max_num_merge_cand: int = 5
+    num_ref_frames: int = 1      # active L0 refs (anchor LD-P uses 4)
 
     inter_backend: str = "np"    # "jax" = device compute stage for P frames
     hash_type: str = "md5"       # decoded-picture-hash SEI: md5 | checksum

@@ -41,27 +41,34 @@ def get_lib():
         return None
     lib.tpuhevc_encode_slice_data.restype = ctypes.c_int
     lib.tpuhevc_encode_slice_data.argtypes = [
-        ctypes.POINTER(ctypes.c_int32)] * 11 + [ctypes.c_int] * 13 + [
+        ctypes.POINTER(ctypes.c_int32)] * 12 + [ctypes.c_int] * 14 + [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     if hasattr(lib, "tpuhevc_decision_walk"):
         lib.tpuhevc_decision_walk.restype = ctypes.c_int
         lib.tpuhevc_decision_walk.argtypes = (
             [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+             ctypes.POINTER(ctypes.c_uint8),
              ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
-             ctypes.POINTER(ctypes.c_uint8)] + [ctypes.c_int] * 4
-            + [ctypes.POINTER(ctypes.c_int32)] * 7)
+             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+            + [ctypes.c_int] * 5
+            + [ctypes.POINTER(ctypes.c_int32)] * 8)
     _LIB = lib
     return _LIB
 
 
 def decision_walk_native(mvq16, cbf16, mvq32, cbf32, use32, W, H,
-                         log2_ctu, max_merge):
+                         log2_ctu, max_merge, ref16=None, ref32=None,
+                         num_ref: int = 1):
     """Native decode-order merge/skip/AMVP walk (inter_grid fast path).
     Returns the per-8x8 FrameSyntax maps, or None if unavailable."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "tpuhevc_decision_walk"):
         return None
     h8, w8 = H // 8, W // 8
+    if ref16 is None:
+        ref16 = np.zeros(np.asarray(cbf16).shape, np.uint8)
+    if ref32 is None:
+        ref32 = np.zeros(np.asarray(cbf32).shape, np.uint8)
 
     def i32p(a):
         a = np.ascontiguousarray(a, dtype=np.int32)
@@ -71,25 +78,27 @@ def decision_walk_native(mvq16, cbf16, mvq32, cbf32, use32, W, H,
         a = np.ascontiguousarray(a, dtype=np.uint8)
         return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
-    ins = [i32p(mvq16), u8p(cbf16), i32p(mvq32), u8p(cbf32), u8p(use32)]
-    outs = [np.zeros((h8, w8), np.int32) for _ in range(5)]
+    ins = [i32p(mvq16), u8p(ref16), u8p(cbf16), i32p(mvq32), u8p(ref32),
+           u8p(cbf32), u8p(use32)]
+    outs = [np.zeros((h8, w8), np.int32) for _ in range(6)]
     mv = np.zeros((h8, w8, 2), np.int32)
     mvd = np.zeros((h8, w8, 2), np.int32)
-    outp = [a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-            for a in outs[:1] + [mv] + outs[1:] + [mvd]]
-    # order: cu_log2, mv, skip, merge_flag, merge_idx, mvp_flag, mvd
+    # order: cu_log2, mv, ref, skip, merge_flag, merge_idx, mvp_flag, mvd
+    arrs = [outs[0], mv, outs[1], outs[2], outs[3], outs[4], outs[5], mvd]
+    outp = [a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs]
     rc = lib.tpuhevc_decision_walk(
-        *[p for _, p in ins], W, H, log2_ctu, max_merge,
-        outp[0], outp[1], outp[2], outp[3], outp[4], outp[5], outp[6])
+        *[p for _, p in ins], W, H, log2_ctu, max_merge, num_ref, *outp)
     if rc != 0:
         return None
-    cu_log2, skipf, merge_flag, merge_idx, mvp_flag = outs
-    return dict(cu_log2=cu_log2, mv=mv, skip=skipf, merge_flag=merge_flag,
-                merge_idx=merge_idx, mvp_flag=mvp_flag, mvd=mvd)
+    cu_log2, ref, skipf, merge_flag, merge_idx, mvp_flag = outs
+    return dict(cu_log2=cu_log2, mv=mv, ref=ref, skip=skipf,
+                merge_flag=merge_flag, merge_idx=merge_idx,
+                mvp_flag=mvp_flag, mvd=mvd)
 
 
 def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
-                             slice_type: int = 2, max_merge: int = 5) -> bytes | None:
+                             slice_type: int = 2, max_merge: int = 5,
+                             num_ref: int = 1) -> bytes | None:
     """Full slice-data payload (CABAC bytes + rbsp trailing), or None if
     the native library is unavailable. slice_type: 2 = I, 1 = P."""
     lib = get_lib()
@@ -104,7 +113,7 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
     ptrs = []
     for arr in (fs.cu_log2, fs.luma_mode, fs.chroma_mode, fs.coeff_y,
                 fs.coeff_cb, fs.coeff_cr, fs.skip, fs.merge_flag,
-                fs.merge_idx, fs.mvp_flag, fs.mvd):
+                fs.merge_idx, fs.mvp_flag, fs.mvd, fs.ref_idx):
         a, p = ptr(arr)
         keep.append(a)
         ptrs.append(p)
@@ -114,7 +123,7 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
         *ptrs, fs.width, fs.height, sps.log2_ctu, sps.log2_min_cu,
         sps.log2_min_tu, sps.log2_max_tu, sps.max_tu_depth_intra,
         sps.max_tu_depth_inter, slice_type, max_merge,
-        slice_type_row, qp, 1 if pps.sign_data_hiding else 0,
+        slice_type_row, qp, 1 if pps.sign_data_hiding else 0, num_ref,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
         return None

@@ -43,6 +43,7 @@ class FrameSyntax:
     mvp_flag: np.ndarray = None
     mv: np.ndarray = None          # (h8, w8, 2) quarter-pel, final MV
     mvd: np.ndarray = None         # (h8, w8, 2)
+    ref_idx: np.ndarray = None     # (h8, w8) L0 reference index
     sao: object = None             # codec.sao_enc.SaoPicParams, or None
 
     def __post_init__(self):
@@ -69,6 +70,8 @@ class FrameSyntax:
             self.mvp_flag = np.zeros((h8, w8), dtype=np.int32)
         if self.mv is None:
             self.mv = np.zeros((h8, w8, 2), dtype=np.int32)
+        if self.ref_idx is None:
+            self.ref_idx = np.zeros((h8, w8), dtype=np.int32)
         if self.mvd is None:
             self.mvd = np.zeros((h8, w8, 2), dtype=np.int32)
 
@@ -77,12 +80,18 @@ class _SliceCoder:
     """Shared geometry + context bookkeeping for encode/decode."""
 
     def __init__(self, fs: FrameSyntax, sps: SeqParams, pps: PicParams,
-                 slice_type: int = I_SLICE, max_merge: int = 5):
+                 slice_type: int = I_SLICE, max_merge: int = 5,
+                 num_ref: int = 1, ref_deltas=None):
         self.fs = fs
         self.sps = sps
         self.pps = pps
         self.slice_type = slice_type
         self.max_merge = max_merge
+        self.num_ref = num_ref
+        # POC deltas (cur - ref) per L0 entry, for AMVP scaling
+        self.ref_deltas = list(ref_deltas) if ref_deltas else list(
+            range(1, num_ref + 1))
+        self.ref_pocs = [-d for d in self.ref_deltas]
         self.ctu = sps.ctu_size
         self.log2_ctu = sps.log2_ctu
         self.w = fs.width
@@ -142,8 +151,10 @@ class _SliceCoder:
 
 def encode_slice_data(enc: CabacEncoder, fs: FrameSyntax, sps: SeqParams,
                       pps: PicParams, slice_type: int = I_SLICE,
-                      max_merge: int = 5) -> None:
-    sc = _SliceCoder(fs, sps, pps, slice_type, max_merge)
+                      max_merge: int = 5, num_ref: int = 1,
+                      ref_deltas=None) -> None:
+    sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
+                     ref_deltas)
     for cy in range(sc.hctu):
         for cx in range(sc.wctu):
             if fs.sao is not None:
@@ -408,9 +419,11 @@ def _enc_transform_unit(enc, sc, x0, y0, log2, depth, mode, cmode,
 def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
                       width: int, height: int, slice_type: int = I_SLICE,
                       max_merge: int = 5, sao_luma: bool = False,
-                      sao_chroma: bool = False) -> FrameSyntax:
+                      sao_chroma: bool = False, num_ref: int = 1,
+                      ref_deltas=None) -> FrameSyntax:
     fs = FrameSyntax(width, height)
-    sc = _SliceCoder(fs, sps, pps, slice_type, max_merge)
+    sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
+                     ref_deltas)
     if sao_luma or sao_chroma:
         from ..codec.sao_enc import SaoPicParams
 
@@ -532,7 +545,8 @@ def _dec_transform_unit(dec, sc, x0, y0, log2, depth, mode, cmode,
 
 # --- inter (P slice) CU coding ----------------------------------------------
 
-def _mark_inter_cu(sc, x0, y0, log2, mv, skip, merge_f, merge_i, mvp_f, mvd):
+def _mark_inter_cu(sc, x0, y0, log2, mv, skip, merge_f, merge_i, mvp_f,
+                   mvd, ref=0):
     fs = sc.fs
     s8 = 1 << (log2 - 3)
     y8, x8 = y0 // 8, x0 // 8
@@ -544,7 +558,8 @@ def _mark_inter_cu(sc, x0, y0, log2, mv, skip, merge_f, merge_i, mvp_f, mvd):
     fs.mvp_flag[y8 : y8 + s8, x8 : x8 + s8] = mvp_f
     fs.mv[y8 : y8 + s8, x8 : x8 + s8] = mv
     fs.mvd[y8 : y8 + s8, x8 : x8 + s8] = mvd
-    sc.mvfield.set_cu(x0, y0, 1 << log2, mv)
+    fs.ref_idx[y8 : y8 + s8, x8 : x8 + s8] = ref
+    sc.mvfield.set_cu(x0, y0, 1 << log2, mv, ref)
 
 
 def _skip_ctx(sc, x0, y0):
@@ -632,6 +647,40 @@ def _dec_eg1(dec):
     return base + (dec.decode_bins_ep(k) if k else 0)
 
 
+
+def _enc_ref_idx(enc, ref, num_ref):
+    if num_ref <= 1:
+        return
+    enc.encode_bin(0 if ref == 0 else 1, CTX_OFFSET["ref_idx"])
+    if ref > 0:
+        rem = num_ref - 2
+        r = ref - 1
+        for ui in range(rem):
+            sym = 0 if ui == r else 1
+            if ui == 0:
+                enc.encode_bin(sym, CTX_OFFSET["ref_idx"] + 1)
+            else:
+                enc.encode_bin_ep(sym)
+            if sym == 0:
+                break
+
+
+def _dec_ref_idx(dec, num_ref):
+    if num_ref <= 1:
+        return 0
+    if dec.decode_bin(CTX_OFFSET["ref_idx"]) == 0:
+        return 0
+    ref = 1
+    rem = num_ref - 2
+    for ui in range(rem):
+        sym = (dec.decode_bin(CTX_OFFSET["ref_idx"] + 1) if ui == 0
+               else dec.decode_bin_ep())
+        if sym == 0:
+            break
+        ref += 1
+    return ref
+
+
 def _enc_cu_p(enc, sc, x0, y0, log2):
     from ..codec.mv import amvp_candidates, merge_candidates
 
@@ -643,12 +692,13 @@ def _enc_cu_p(enc, sc, x0, y0, log2):
     mvp_f = int(fs.mvp_flag[y8, x8])
     mv = fs.mv[y8, x8].copy()
     mvd = fs.mvd[y8, x8].copy()
+    ref = int(fs.ref_idx[y8, x8])
     size = 1 << log2
 
     enc.encode_bin(skip, _skip_ctx(sc, x0, y0))
     if skip:
         _enc_merge_idx(enc, merge_i, sc.max_merge)
-        _mark_inter_cu(sc, x0, y0, log2, mv, 1, 1, merge_i, 0, (0, 0))
+        _mark_inter_cu(sc, x0, y0, log2, mv, 1, 1, merge_i, 0, (0, 0), ref)
         return
     enc.encode_bin(0, CTX_OFFSET["pred_mode_flag"])  # inter
     enc.encode_bin(1, CTX_OFFSET["part_mode"])       # 2Nx2N
@@ -656,9 +706,11 @@ def _enc_cu_p(enc, sc, x0, y0, log2):
     if merge_f:
         _enc_merge_idx(enc, merge_i, sc.max_merge)
     else:
+        _enc_ref_idx(enc, ref, sc.num_ref)
         _enc_mvd(enc, mvd)
         enc.encode_bin(mvp_f, CTX_OFFSET["mvp_flag"])
-    _mark_inter_cu(sc, x0, y0, log2, mv, 0, merge_f, merge_i, mvp_f, mvd)
+    _mark_inter_cu(sc, x0, y0, log2, mv, 0, merge_f, merge_i, mvp_f, mvd,
+                   ref)
     cbf_y, cbf_cb, cbf_cr = _tu_cbfs(sc, x0, y0, log2)
     root_cbf = 1 if (cbf_y or cbf_cb or cbf_cr) else 0
     if not merge_f:  # 2Nx2N merge infers rqt_root_cbf = 1
@@ -675,9 +727,10 @@ def _dec_cu_p(dec, sc, x0, y0, log2):
     if skip:
         merge_i = _dec_merge_idx(dec, sc.max_merge)
         cands = merge_candidates(sc.mvfield, sc.order, x0, y0, size,
-                                 sc.max_merge)
-        mv = np.array(cands[merge_i], dtype=np.int32)
-        _mark_inter_cu(sc, x0, y0, log2, mv, 1, 1, merge_i, 0, (0, 0))
+                                 sc.max_merge, sc.num_ref)
+        mv = np.array(cands[merge_i][:2], dtype=np.int32)
+        _mark_inter_cu(sc, x0, y0, log2, mv, 1, 1, merge_i, 0, (0, 0),
+                       cands[merge_i][2])
         return
     pred_mode = dec.decode_bin(CTX_OFFSET["pred_mode_flag"])
     assert pred_mode == 0, "intra CU in P slice not yet emitted"
@@ -685,18 +738,23 @@ def _dec_cu_p(dec, sc, x0, y0, log2):
     assert part == 1
     merge_f = dec.decode_bin(CTX_OFFSET["merge_flag"])
     merge_i = mvp_f = 0
+    ref = 0
     mvd = np.zeros(2, dtype=np.int32)
     if merge_f:
         merge_i = _dec_merge_idx(dec, sc.max_merge)
         cands = merge_candidates(sc.mvfield, sc.order, x0, y0, size,
-                                 sc.max_merge)
-        mv = np.array(cands[merge_i], dtype=np.int32)
+                                 sc.max_merge, sc.num_ref)
+        mv = np.array(cands[merge_i][:2], dtype=np.int32)
+        ref = cands[merge_i][2]
     else:
+        ref = _dec_ref_idx(dec, sc.num_ref)
         mvd = np.array(_dec_mvd(dec), dtype=np.int32)
         mvp_f = dec.decode_bin(CTX_OFFSET["mvp_flag"])
-        cands = amvp_candidates(sc.mvfield, sc.order, x0, y0, size)
+        cands = amvp_candidates(sc.mvfield, sc.order, x0, y0, size, ref,
+                                sc.ref_pocs, 0)
         mv = mvd + np.array(cands[mvp_f], dtype=np.int32)
-    _mark_inter_cu(sc, x0, y0, log2, mv, 0, merge_f, merge_i, mvp_f, mvd)
+    _mark_inter_cu(sc, x0, y0, log2, mv, 0, merge_f, merge_i, mvp_f, mvd,
+                   ref)
     root_cbf = 1
     if not merge_f:
         root_cbf = dec.decode_bin(CTX_OFFSET["rqt_root_cbf"])
