@@ -169,6 +169,16 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
             gop.append(parse_gop_entry(v))
         else:
             unknown[k] = v
+    # apply the GOP table (cfg Frame1..FrameN rows): low-delay tables (all
+    # poc_offset ascending by 1) drive per-position QP offsets and the
+    # active-reference count (encoder_lowdelay_P_main.cfg:23-28)
+    gop.sort(key=lambda e: e.poc_offset)
+    if gop and all(e.slice_type == "P" for e in gop) \
+            and [e.poc_offset for e in gop] == list(range(1, len(gop) + 1)):
+        cfg.gop_qp_offsets = tuple(e.qp_offset for e in gop)
+        nact = max((e.num_ref_pics_active for e in gop), default=1)
+        if nact > 1:
+            cfg.num_ref_frames = nact
     io = {
         "InputFile": opts.get("InputFile"),
         "BitstreamFile": opts.get("BitstreamFile"),
