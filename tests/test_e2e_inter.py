@@ -131,3 +131,37 @@ def test_me_jax_matches_np():
         6, 77)
     assert (np.asarray(mv_j) == mv_np).all()
     assert (np.asarray(s9_j) == s9_np).all()
+
+
+def test_ra_hierarchical_b(tmp_path):
+    """Random-access GOP4 with B slices: bi-pred conformance via
+    self-decode + HM oracle."""
+    import os
+    import subprocess
+
+    from tpuhevc.codec.decoder import decode_stream
+    from tpuhevc.codec.encoder import encode_sequence
+    from tpuhevc.codec.params import EncoderConfig, SeqParams
+
+    clip = _moving_clip(128, 64, 9)
+    cfg = EncoderConfig(
+        sps=SeqParams(width=128, height=64, max_tu_depth_intra=0),
+        qp=30, intra_period=-1, fme_mode="none", inter_backend="np",
+        gop_structure="ra")
+
+    class R:
+        def read_frame(self, i):
+            return clip[i] if i < len(clip) else None
+
+    enc, _ = encode_sequence(R(), cfg, max_frames=9)
+    bs = enc.bitstream()
+    frames = decode_stream(bs)
+    assert [f.poc for f in frames] == [0, 4, 2, 1, 3, 8, 6, 5, 7]
+    assert all(f.md5_ok for f in frames)
+    if os.path.exists(HM_DEC):
+        p = tmp_path / "ra.bin"
+        p.write_bytes(bs)
+        out = subprocess.run([HM_DEC, "-b", str(p)], capture_output=True,
+                             text=True, timeout=120).stdout
+        assert out.count("(OK)") == 9 and "ERROR" not in out
+        assert "B-SLICE" in out

@@ -97,7 +97,8 @@ def main_decode(argv: list[str]) -> int:
         print(f"POC {f.poc:4d} [MD5:({status})]")
         ok &= f.md5_ok is not False
     if out_path and frames:
-        write_yuv(out_path, [(f.y, f.u, f.v) for f in frames])
+        disp = sorted(frames, key=lambda f: f.poc)
+        write_yuv(out_path, [(f.y, f.u, f.v) for f in disp])
     return 0 if ok else 1
 
 

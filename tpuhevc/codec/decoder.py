@@ -64,31 +64,53 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
             ctx = ContextSet(init_row, hdr.qp)
             dec = CabacDecoder(rbsp[off:], ctx)
             if hdr.slice_type != I_SLICE:
-                # L0: negative RPS deltas, closest first, used ones only
-                deltas = sorted([-d for d in hdr.rps.delta_pocs
-                                 if d < 0
-                                 and hdr.rps.used[hdr.rps.delta_pocs.index(d)]])
+                used = [(d, u) for d, u in zip(hdr.rps.delta_pocs,
+                                               hdr.rps.used) if u]
+                past = sorted([-d for d, _ in used if d < 0])     # cur-ref
+                fut = sorted([-d for d, _ in used if d > 0])      # negative
+                fut = sorted(fut, key=abs)
                 num_ref = hdr.num_ref_idx_l0
-                deltas = (deltas * ((num_ref + len(deltas) - 1)
-                                    // max(1, len(deltas))))[:num_ref]
+                l0 = past + fut
+                deltas = (l0 * ((num_ref + len(l0) - 1)
+                                // max(1, len(l0))))[:num_ref]
+                num_ref_l1 = (hdr.num_ref_idx_l1
+                              if hdr.slice_type == B_SLICE else 0)
+                l1 = fut + past
+                l1_deltas = (l1 * ((num_ref_l1 + len(l1) - 1)
+                                   // max(1, len(l1))))[:num_ref_l1] \
+                    if num_ref_l1 else []
             else:
-                deltas, num_ref = [], 1
+                deltas, num_ref, l1_deltas, num_ref_l1 = [], 1, [], 0
             fs = decode_slice_data(dec, sps, pps, sps.coded_width,
                                    sps.coded_height, hdr.slice_type,
                                    max_merge, sao_luma=hdr.sao_luma,
                                    sao_chroma=hdr.sao_chroma,
-                                   num_ref=num_ref, ref_deltas=deltas)
+                                   num_ref=num_ref, ref_deltas=deltas,
+                                   num_ref_l1=num_ref_l1,
+                                   l1_deltas=l1_deltas)
             if hdr.slice_type == I_SLICE:
                 y, u, v = reconstruct_frame(fs, sps, hdr.qp)
             else:
-                from .inter_enc import reconstruct_frame_p
-
                 by_poc = {f.poc: f for f in frames}
-                refs = []
-                for d in deltas:
-                    f = by_poc.get(hdr.poc - d, frames[-1])
-                    refs.append((f.y, f.u, f.v))
-                y, u, v = reconstruct_frame_p(fs, sps, hdr.qp, refs)
+
+                def ref_list(ds):
+                    out = []
+                    for d in ds:
+                        f = by_poc.get(hdr.poc - d, frames[-1])
+                        out.append((f.y, f.u, f.v))
+                    return out
+
+                if hdr.slice_type == B_SLICE:
+                    from .inter_b import reconstruct_frame_b
+
+                    y, u, v = reconstruct_frame_b(
+                        fs, sps, hdr.qp, ref_list(deltas),
+                        ref_list(l1_deltas))
+                else:
+                    from .inter_enc import reconstruct_frame_p
+
+                    y, u, v = reconstruct_frame_p(fs, sps, hdr.qp,
+                                                  ref_list(deltas))
             if not pps.deblocking_disabled:
                 from ..ops.deblock import deblock_frame
 
@@ -101,7 +123,7 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                                             sps.ctu_size, sps.bit_depth)
             pending = DecodedFrame(poc=hdr.poc, y=y, u=u, v=v)
             frames.append(pending)
-    return frames
+    return frames  # decode order; callers sort by .poc for display order
 
 
 def cropped_output(frames: list[DecodedFrame], width: int, height: int):

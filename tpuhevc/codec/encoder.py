@@ -20,7 +20,7 @@ from ..entropy.cabac import CabacEncoder, ContextSet
 from ..entropy.native import encode_slice_data_native
 from ..entropy.syntax import encode_slice_data
 from ..utils.yuv import picture_md5, psnr
-from .params import I_SLICE, P_SLICE, EncoderConfig
+from .params import B_SLICE, I_SLICE, P_SLICE, EncoderConfig
 from .recon import encode_frame_intra
 
 
@@ -83,7 +83,8 @@ class Encoder:
         self.first_of_au.append(first_of_au)
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                     poc: int, precomputed=None) -> FrameResult:
+                     poc: int, precomputed=None,
+                     slice_info: dict | None = None) -> FrameResult:
         cfg, sps, pps = self.cfg, self.cfg.sps, self.cfg.pps
         t0 = time.time()
         if not self._wrote_ps:
@@ -92,8 +93,12 @@ class Encoder:
             self._emit(bitio.make_nal(bitio.NAL_PPS, headers.write_pps(pps)))
             self._wrote_ps = True
 
-        stype = self._slice_type(poc)
-        fqp = self.frame_qp(poc)
+        if slice_info is not None:
+            stype = slice_info["stype"]
+            fqp = slice_info["qp"]
+        else:
+            stype = self._slice_type(poc)
+            fqp = self.frame_qp(poc)
         stats = None
         if precomputed is not None:
             if len(precomputed) == 3:
@@ -130,7 +135,16 @@ class Encoder:
                                            sps.ctu_size, sps.bit_depth)
 
         max_merge = cfg.max_num_merge_cand
-        if stype == I_SLICE:
+        if slice_info is not None and stype != I_SLICE:
+            hdr = headers.SliceHeader(
+                slice_type=stype, nal_type=bitio.NAL_TRAIL_R, poc=poc,
+                qp=fqp, rps=slice_info["rps"],
+                num_ref_idx_l0=slice_info["num_ref_l0"],
+                num_ref_idx_l1=slice_info.get("num_ref_l1", 0),
+                five_minus_max_num_merge_cand=5 - max_merge,
+            )
+            init_row = stype  # 0 = B, 1 = P (reference init-table layout)
+        elif stype == I_SLICE:
             hdr = headers.SliceHeader(
                 slice_type=I_SLICE, nal_type=bitio.NAL_IDR_W_RADL, poc=poc,
                 qp=fqp,
@@ -153,8 +167,13 @@ class Encoder:
             hdr.sao_luma = fs.sao.luma_on
             hdr.sao_chroma = fs.sao.chroma_on
         w = headers.write_slice_header(hdr, sps, pps)
-        n_ref_slice = hdr.num_ref_idx_l0 if stype == P_SLICE else 1
-        payload = (None if fs.sao is not None else
+        n_ref_slice = hdr.num_ref_idx_l0 if stype != I_SLICE else 1
+        n_ref_l1 = hdr.num_ref_idx_l1 if stype == B_SLICE else 0
+        l0d = l1d = None
+        if slice_info is not None:
+            l0d = slice_info.get("l0_deltas")
+            l1d = slice_info.get("l1_deltas")
+        payload = (None if fs.sao is not None or stype == B_SLICE else
                    encode_slice_data_native(fs, sps, pps, init_row, fqp,
                                             stype, max_merge, n_ref_slice))
         if payload is not None:  # native fast path (byte-identical)
@@ -163,7 +182,8 @@ class Encoder:
             ctx = ContextSet(init_row, fqp)
             cab = CabacEncoder(ctx)
             encode_slice_data(cab, fs, sps, pps, stype, max_merge,
-                              num_ref=n_ref_slice)
+                              num_ref=n_ref_slice, ref_deltas=l0d,
+                              num_ref_l1=n_ref_l1, l1_deltas=l1d)
             cab.finish()
             w.write_bytes(bytes(cab.out))
             val, nbits = cab.pending_bits
@@ -228,8 +248,9 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
         frames.append(fr)
     recons = []
 
-    def _finish(i, fr, pre=None):
-        res = enc.encode_frame(*fr, poc=i, precomputed=pre)
+    def _finish(i, fr, pre=None, slice_info=None):
+        res = enc.encode_frame(*fr, poc=i, precomputed=pre,
+                               slice_info=slice_info)
         recons.append(enc._recon)
         if verbose:
             print(
@@ -248,6 +269,8 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
             pre = encode_frames_intra_jax_batch(chunk, cfg)
             for j, p in enumerate(pre[: min(device_batch, len(frames) - s)]):
                 _finish(s + j, frames[s + j], p)
+    elif cfg.gop_structure == "ra" and len(frames) > 1:
+        _ra_gop4(enc, cfg, frames, _finish)
     elif (cfg.intra_period == -1 and cfg.inter_backend == "jax"
           and len(frames) > 1 and not cfg.deblocking
           and not cfg.sps.sao_enabled):
@@ -256,6 +279,58 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
         for i, fr in enumerate(frames):
             _finish(i, fr)
     return enc, recons
+
+
+def _ra_gop4(enc, cfg, frames, finish):
+    """Random-access hierarchical GOP4: decode order [b+4, b+2, b+1, b+3]
+    with one reference per list for B pictures (key pictures are P).
+    Counterpart of TEncGOP::compressGOP's RA traversal (TEncGOP.cpp:1077)
+    with the encoder_randomaccess GOP-table structure collapsed to GOP4."""
+    from ..entropy.headers import ShortTermRPS
+    from .inter_b import encode_frame_b
+
+    n = len(frames)
+    cfg.sps.num_reorder_pics = max(cfg.sps.num_reorder_pics, 2)
+    dpb: dict = {}
+
+    def enc_b(poc, qp_off, l0_poc, l1_poc, rps_deltas, rps_used):
+        qp = min(max(cfg.qp + qp_off, 0), 51)
+        fs, recon = encode_frame_b(
+            frames[poc], dpb[l0_poc], dpb[l1_poc], cfg, qp,
+            [l0_poc], [l1_poc], poc, enc._nn_for_qp(qp))
+        si = dict(stype=B_SLICE, qp=qp,
+                  rps=ShortTermRPS(rps_deltas, rps_used),
+                  num_ref_l0=1, num_ref_l1=1,
+                  l0_deltas=[poc - l0_poc], l1_deltas=[poc - l1_poc])
+        finish(poc, frames[poc], (fs, recon), si)
+        dpb[poc] = enc._recon
+
+    finish(0, frames[0])
+    dpb[0] = enc._recon
+    base = 0
+    while base + 4 < n:
+        b = base
+        # key picture: P referencing the previous key
+        qp = min(max(cfg.qp + 1, 0), 51)
+        enc.dpb_recon = dpb[b]
+        si = dict(stype=P_SLICE, qp=qp, rps=ShortTermRPS([-4], [1]),
+                  num_ref_l0=1, l0_deltas=[4])
+        finish(b + 4, frames[b + 4], None, si)
+        dpb[b + 4] = enc._recon
+        enc_b(b + 2, 2, b, b + 4, [-2, 2], [1, 1])
+        enc_b(b + 1, 3, b, b + 2, [-1, 1, 3], [1, 1, 0])
+        enc_b(b + 3, 3, b + 2, b + 4, [-1, 1], [1, 1])
+        for p in (b, b + 1, b + 2, b + 3):  # no longer referenced
+            dpb.pop(p, None)
+        base += 4
+    # tail: plain LD-P chain from the last key picture
+    for poc in range(base + 1, n):
+        qp = min(max(cfg.qp + 3, 0), 51)
+        enc.dpb_recon = dpb.get(poc - 1, enc._recon)
+        si = dict(stype=P_SLICE, qp=qp, rps=ShortTermRPS([-1], [1]),
+                  num_ref_l0=1, l0_deltas=[1])
+        finish(poc, frames[poc], None, si)
+        dpb[poc] = enc._recon
 
 
 def _ldp_scan_pipelined(enc, cfg, frames, finish, chunk_frames: int = 8):

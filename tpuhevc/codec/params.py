@@ -125,6 +125,7 @@ class EncoderConfig:
     nn_weights_dir: str | None = None
     max_num_merge_cand: int = 5
     num_ref_frames: int = 1      # active L0 refs (anchor LD-P uses 4)
+    gop_structure: str = "ldp"   # ldp | ra (hierarchical-B GOP4)
 
     inter_backend: str = "np"    # "jax" = device compute stage for P frames
     hash_type: str = "md5"       # decoded-picture-hash SEI: md5 | checksum

@@ -179,6 +179,8 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
         nact = max((e.num_ref_pics_active for e in gop), default=1)
         if nact > 1:
             cfg.num_ref_frames = nact
+    elif gop and any(e.slice_type == "B" for e in gop):
+        cfg.gop_structure = "ra"  # hierarchical-B random access
     io = {
         "InputFile": opts.get("InputFile"),
         "BitstreamFile": opts.get("BitstreamFile"),

@@ -44,6 +44,12 @@ class FrameSyntax:
     mv: np.ndarray = None          # (h8, w8, 2) quarter-pel, final MV
     mvd: np.ndarray = None         # (h8, w8, 2)
     ref_idx: np.ndarray = None     # (h8, w8) L0 reference index
+    # B slices (two lists):
+    inter_dir: np.ndarray = None   # 1 = L0, 2 = L1, 3 = BI
+    mv_l1: np.ndarray = None
+    mvd_l1: np.ndarray = None
+    ref_idx_l1: np.ndarray = None
+    mvp_flag_l1: np.ndarray = None
     sao: object = None             # codec.sao_enc.SaoPicParams, or None
 
     def __post_init__(self):
@@ -72,6 +78,16 @@ class FrameSyntax:
             self.mv = np.zeros((h8, w8, 2), dtype=np.int32)
         if self.ref_idx is None:
             self.ref_idx = np.zeros((h8, w8), dtype=np.int32)
+        if self.inter_dir is None:
+            self.inter_dir = np.ones((h8, w8), dtype=np.int32)
+        if self.mv_l1 is None:
+            self.mv_l1 = np.zeros((h8, w8, 2), dtype=np.int32)
+        if self.mvd_l1 is None:
+            self.mvd_l1 = np.zeros((h8, w8, 2), dtype=np.int32)
+        if self.ref_idx_l1 is None:
+            self.ref_idx_l1 = np.zeros((h8, w8), dtype=np.int32)
+        if self.mvp_flag_l1 is None:
+            self.mvp_flag_l1 = np.zeros((h8, w8), dtype=np.int32)
         if self.mvd is None:
             self.mvd = np.zeros((h8, w8, 2), dtype=np.int32)
 
@@ -92,6 +108,9 @@ class _SliceCoder:
         self.ref_deltas = list(ref_deltas) if ref_deltas else list(
             range(1, num_ref + 1))
         self.ref_pocs = [-d for d in self.ref_deltas]
+        # B slices: L1 deltas (negative = future picture)
+        self.num_ref_l1 = 0
+        self.l1_pocs = []
         self.ctu = sps.ctu_size
         self.log2_ctu = sps.log2_ctu
         self.w = fs.width
@@ -102,10 +121,12 @@ class _SliceCoder:
         self.depth8 = np.full((self.h // 8, self.w // 8), -1, dtype=np.int32)
         if slice_type != I_SLICE:
             from ..codec.mv import MvField
+            from ..codec.mv_b import MvFieldB
             from ..codec.refsamples import BlockOrder
 
             self.order = BlockOrder(self.w, self.h, self.log2_ctu)
             self.mvfield = MvField(self.w // 8, self.h // 8)
+            self.mvfield_b = MvFieldB(self.w // 8, self.h // 8)
 
     # --- context helpers ---------------------------------------------------
     def split_ctx(self, x0: int, y0: int, depth: int) -> int:
@@ -152,9 +173,13 @@ class _SliceCoder:
 def encode_slice_data(enc: CabacEncoder, fs: FrameSyntax, sps: SeqParams,
                       pps: PicParams, slice_type: int = I_SLICE,
                       max_merge: int = 5, num_ref: int = 1,
-                      ref_deltas=None) -> None:
+                      ref_deltas=None, num_ref_l1: int = 0,
+                      l1_deltas=None) -> None:
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
                      ref_deltas)
+    if num_ref_l1:
+        sc.num_ref_l1 = num_ref_l1
+        sc.l1_pocs = [-d for d in l1_deltas]
     for cy in range(sc.hctu):
         for cx in range(sc.wctu):
             if fs.sao is not None:
@@ -312,6 +337,8 @@ def _enc_quadtree(enc, sc, x0, y0, log2, depth):
         return
     if sc.slice_type == I_SLICE:
         _enc_cu(enc, sc, x0, y0, log2)
+    elif sc.num_ref_l1:
+        _enc_cu_b(enc, sc, x0, y0, log2)
     else:
         _enc_cu_p(enc, sc, x0, y0, log2)
 
@@ -420,10 +447,14 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
                       width: int, height: int, slice_type: int = I_SLICE,
                       max_merge: int = 5, sao_luma: bool = False,
                       sao_chroma: bool = False, num_ref: int = 1,
-                      ref_deltas=None) -> FrameSyntax:
+                      ref_deltas=None, num_ref_l1: int = 0,
+                      l1_deltas=None) -> FrameSyntax:
     fs = FrameSyntax(width, height)
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
                      ref_deltas)
+    if num_ref_l1:
+        sc.num_ref_l1 = num_ref_l1
+        sc.l1_pocs = [-d for d in l1_deltas]
     if sao_luma or sao_chroma:
         from ..codec.sao_enc import SaoPicParams
 
@@ -460,6 +491,8 @@ def _dec_quadtree(dec, sc, x0, y0, log2, depth):
         return
     if sc.slice_type == I_SLICE:
         _dec_cu(dec, sc, x0, y0, log2)
+    elif sc.num_ref_l1:
+        _dec_cu_b(dec, sc, x0, y0, log2)
     else:
         _dec_cu_p(dec, sc, x0, y0, log2)
 
@@ -866,3 +899,156 @@ def _dec_transform_unit_p(dec, sc, x0, y0, log2, cbf_y, cbf_cb, cbf_cr):
         if cbf_cr:
             fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
                 dec, clog2, False, SCAN_DIAG, pps.sign_data_hiding)
+
+
+# --- B slices (two lists) ---------------------------------------------------
+
+def _mark_inter_cu_b(sc, x0, y0, log2, inter_dir, mv0, ref0, mv1, ref1,
+                     skip, merge_f, merge_i, mvp0, mvd0, mvp1, mvd1):
+    fs = sc.fs
+    s8 = 1 << (log2 - 3)
+    y8, x8 = y0 // 8, x0 // 8
+    sc.depth8[y8 : y8 + s8, x8 : x8 + s8] = sc.log2_ctu - log2
+    fs.cu_log2[y8 : y8 + s8, x8 : x8 + s8] = log2
+    fs.skip[y8 : y8 + s8, x8 : x8 + s8] = skip
+    fs.merge_flag[y8 : y8 + s8, x8 : x8 + s8] = merge_f
+    fs.merge_idx[y8 : y8 + s8, x8 : x8 + s8] = merge_i
+    fs.inter_dir[y8 : y8 + s8, x8 : x8 + s8] = inter_dir
+    fs.mv[y8 : y8 + s8, x8 : x8 + s8] = mv0
+    fs.ref_idx[y8 : y8 + s8, x8 : x8 + s8] = max(ref0, 0)
+    fs.mvp_flag[y8 : y8 + s8, x8 : x8 + s8] = mvp0
+    fs.mvd[y8 : y8 + s8, x8 : x8 + s8] = mvd0
+    fs.mv_l1[y8 : y8 + s8, x8 : x8 + s8] = mv1
+    fs.ref_idx_l1[y8 : y8 + s8, x8 : x8 + s8] = max(ref1, 0)
+    fs.mvp_flag_l1[y8 : y8 + s8, x8 : x8 + s8] = mvp1
+    fs.mvd_l1[y8 : y8 + s8, x8 : x8 + s8] = mvd1
+    sc.mvfield_b.set_cu(x0, y0, 1 << log2, inter_dir, mv0, ref0, mv1, ref1)
+
+
+def _enc_inter_dir(enc, inter_dir, depth):
+    # TEncSbac::codeInterDir: first bin "is BI" ctx[depth]; else L0/L1
+    # with ctx[4]
+    enc.encode_bin(1 if inter_dir == 3 else 0,
+                   CTX_OFFSET["inter_pred_idc"] + depth)
+    if inter_dir != 3:
+        enc.encode_bin(inter_dir - 1, CTX_OFFSET["inter_pred_idc"] + 4)
+
+
+def _dec_inter_dir(dec, depth):
+    if dec.decode_bin(CTX_OFFSET["inter_pred_idc"] + depth):
+        return 3
+    return 1 + dec.decode_bin(CTX_OFFSET["inter_pred_idc"] + 4)
+
+
+def _enc_cu_b(enc, sc, x0, y0, log2):
+    from ..codec.mv_b import merge_candidates_b
+
+    fs = sc.fs
+    y8, x8 = y0 // 8, x0 // 8
+    skip = int(fs.skip[y8, x8])
+    merge_f = int(fs.merge_flag[y8, x8])
+    merge_i = int(fs.merge_idx[y8, x8])
+    inter_dir = int(fs.inter_dir[y8, x8])
+    mv0 = fs.mv[y8, x8].copy()
+    mv1 = fs.mv_l1[y8, x8].copy()
+    ref0 = int(fs.ref_idx[y8, x8]) if inter_dir & 1 else -1
+    ref1 = int(fs.ref_idx_l1[y8, x8]) if inter_dir & 2 else -1
+
+    enc.encode_bin(skip, _skip_ctx(sc, x0, y0))
+    if skip:
+        _enc_merge_idx(enc, merge_i, sc.max_merge)
+        _mark_inter_cu_b(sc, x0, y0, log2, inter_dir, mv0, ref0, mv1, ref1,
+                         1, 1, merge_i, 0, (0, 0), 0, (0, 0))
+        return
+    enc.encode_bin(0, CTX_OFFSET["pred_mode_flag"])  # inter
+    enc.encode_bin(1, CTX_OFFSET["part_mode"])       # 2Nx2N
+    enc.encode_bin(merge_f, CTX_OFFSET["merge_flag"])
+    mvp0 = mvp1 = 0
+    mvd0 = np.zeros(2, np.int32)
+    mvd1 = np.zeros(2, np.int32)
+    if merge_f:
+        _enc_merge_idx(enc, merge_i, sc.max_merge)
+    else:
+        depth = sc.log2_ctu - log2
+        _enc_inter_dir(enc, inter_dir, depth)
+        mvp0 = int(fs.mvp_flag[y8, x8])
+        mvp1 = int(fs.mvp_flag_l1[y8, x8])
+        mvd0 = fs.mvd[y8, x8].copy()
+        mvd1 = fs.mvd_l1[y8, x8].copy()
+        if inter_dir & 1:
+            _enc_ref_idx(enc, ref0, sc.num_ref)
+            _enc_mvd(enc, mvd0)
+            enc.encode_bin(mvp0, CTX_OFFSET["mvp_flag"])
+        if inter_dir & 2:
+            _enc_ref_idx(enc, ref1, sc.num_ref_l1)
+            _enc_mvd(enc, mvd1)
+            enc.encode_bin(mvp1, CTX_OFFSET["mvp_flag"])
+    _mark_inter_cu_b(sc, x0, y0, log2, inter_dir, mv0, ref0, mv1, ref1,
+                     0, merge_f, merge_i, mvp0, mvd0, mvp1, mvd1)
+    cbf_y, cbf_cb, cbf_cr = _tu_cbfs(sc, x0, y0, log2)
+    root_cbf = 1 if (cbf_y or cbf_cb or cbf_cr) else 0
+    if not merge_f:
+        enc.encode_bin(root_cbf, CTX_OFFSET["rqt_root_cbf"])
+    if root_cbf:
+        _enc_transform_tree_p(enc, sc, x0, y0, log2, 0, True, True)
+
+
+def _dec_cu_b(dec, sc, x0, y0, log2):
+    from ..codec.mv_b import amvp_candidates_b, merge_candidates_b
+
+    size = 1 << log2
+    list_pocs = [sc.ref_pocs, sc.l1_pocs]
+    skip = dec.decode_bin(_skip_ctx(sc, x0, y0))
+    if skip:
+        merge_i = _dec_merge_idx(dec, sc.max_merge)
+        cands = merge_candidates_b(sc.mvfield_b, sc.order, x0, y0, size,
+                                   sc.max_merge, sc.num_ref, sc.num_ref_l1,
+                                   sc.ref_pocs, sc.l1_pocs)
+        c = cands[merge_i]
+        _mark_inter_cu_b(sc, x0, y0, log2, c[0], (c[1], c[2]), c[3],
+                         (c[4], c[5]), c[6], 1, 1, merge_i, 0, (0, 0),
+                         0, (0, 0))
+        return
+    pred_mode = dec.decode_bin(CTX_OFFSET["pred_mode_flag"])
+    assert pred_mode == 0
+    part = dec.decode_bin(CTX_OFFSET["part_mode"])
+    assert part == 1
+    merge_f = dec.decode_bin(CTX_OFFSET["merge_flag"])
+    merge_i = mvp0 = mvp1 = 0
+    mvd0 = np.zeros(2, np.int32)
+    mvd1 = np.zeros(2, np.int32)
+    if merge_f:
+        merge_i = _dec_merge_idx(dec, sc.max_merge)
+        cands = merge_candidates_b(sc.mvfield_b, sc.order, x0, y0, size,
+                                   sc.max_merge, sc.num_ref, sc.num_ref_l1,
+                                   sc.ref_pocs, sc.l1_pocs)
+        c = cands[merge_i]
+        inter_dir, mv0, ref0 = c[0], np.array(c[1:3], np.int32), c[3]
+        mv1, ref1 = np.array(c[4:6], np.int32), c[6]
+    else:
+        depth = sc.log2_ctu - log2
+        inter_dir = _dec_inter_dir(dec, depth)
+        mv0 = np.zeros(2, np.int32)
+        mv1 = np.zeros(2, np.int32)
+        ref0 = ref1 = -1
+        if inter_dir & 1:
+            ref0 = _dec_ref_idx(dec, sc.num_ref)
+            mvd0 = np.array(_dec_mvd(dec), np.int32)
+            mvp0 = dec.decode_bin(CTX_OFFSET["mvp_flag"])
+            cands = amvp_candidates_b(sc.mvfield_b, sc.order, x0, y0, size,
+                                      0, ref0, list_pocs, 0)
+            mv0 = mvd0 + np.array(cands[mvp0], np.int32)
+        if inter_dir & 2:
+            ref1 = _dec_ref_idx(dec, sc.num_ref_l1)
+            mvd1 = np.array(_dec_mvd(dec), np.int32)
+            mvp1 = dec.decode_bin(CTX_OFFSET["mvp_flag"])
+            cands = amvp_candidates_b(sc.mvfield_b, sc.order, x0, y0, size,
+                                      1, ref1, list_pocs, 0)
+            mv1 = mvd1 + np.array(cands[mvp1], np.int32)
+    _mark_inter_cu_b(sc, x0, y0, log2, inter_dir, mv0, ref0, mv1, ref1,
+                     0, merge_f, merge_i, mvp0, mvd0, mvp1, mvd1)
+    root_cbf = 1
+    if not merge_f:
+        root_cbf = dec.decode_bin(CTX_OFFSET["rqt_root_cbf"])
+    if root_cbf:
+        _dec_transform_tree_p(dec, sc, x0, y0, log2, 0, True, True)

@@ -86,6 +86,53 @@ def mc_np(plane: np.ndarray, xs, ys, mvs_q: np.ndarray, size: int,
     return np.clip((acc + 32) >> 6, 0, maxv).astype(np.int32)
 
 
+def mc_np14(plane: np.ndarray, xs, ys, mvs_q: np.ndarray, size: int,
+            is_luma: bool) -> np.ndarray:
+    """MC at the 14-bit intermediate scale (§8.5.3.3.3: isLast=false),
+    for bi-prediction averaging. Returns (N, S, S) int32 (14-bit range)."""
+    taps_tab = LUMA_TAPS if is_luma else CHROMA_TAPS
+    ntaps = taps_tab.shape[1]
+    off = 3 if is_luma else 1
+    fmask = 3 if is_luma else 7
+    fshift = 2 if is_luma else 3
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    mvs = np.asarray(mvs_q)
+    ix = xs + (mvs[:, 0] >> fshift)
+    iy = ys + (mvs[:, 1] >> fshift)
+    fx = mvs[:, 0] & fmask
+    fy = mvs[:, 1] & fmask
+    win = size + ntaps - 1
+    w = _gather_windows_np(plane, ix - off, iy - off, win).astype(np.int64)
+    th = taps_tab[fx].astype(np.int64)
+    tv = taps_tab[fy].astype(np.int64)
+    acc_h = np.zeros((len(xs), win, size), dtype=np.int64)
+    for i in range(ntaps):
+        acc_h += th[:, i, None, None] * w[:, :, i : i + size]
+    acc = np.zeros((len(xs), size, size), dtype=np.int64)
+    for i in range(ntaps):
+        acc += tv[:, i, None, None] * acc_h[:, i : i + size, :]
+    return (acc >> 6).astype(np.int32)  # 14-bit scale
+
+
+def bi_average_np(p0_14: np.ndarray, p1_14: np.ndarray,
+                  bit_depth: int = 8) -> np.ndarray:
+    """Default bi-prediction combine (§8.5.3.3.3.2): shift2 = 15 - bd."""
+    shift = 15 - bit_depth
+    off = 1 << (shift - 1)
+    maxv = (1 << bit_depth) - 1
+    return np.clip((p0_14.astype(np.int64) + p1_14 + off) >> shift,
+                   0, maxv).astype(np.int32)
+
+
+def uni_from14_np(p14: np.ndarray, bit_depth: int = 8) -> np.ndarray:
+    shift = 14 - bit_depth
+    off = 1 << (shift - 1)
+    maxv = (1 << bit_depth) - 1
+    return np.clip((p14.astype(np.int64) + off) >> shift, 0, maxv
+                   ).astype(np.int32)
+
+
 def mc(plane, xs, ys, mvs_q, size: int, is_luma: bool, bit_depth: int = 8):
     """JAX batched MC, semantics identical to mc_np."""
     import jax.numpy as jnp
