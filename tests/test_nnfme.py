@@ -119,3 +119,76 @@ def test_train_fme_smoke():
     assert set(params) == set(nnfme.PARAM_KEYS)
     # far better than chance (1/49 ~ 2%)
     assert acc > 0.25, acc
+
+
+def test_extract_train_encode_loop(tmp_path):
+    """Dataset extraction -> JAX training -> encoder inference round trip
+    (the reference's DL/Extract_data.sh + NN_training.ipynb + NN_pred
+    pipeline, SURVEY.md §2.4/§3.5)."""
+    import numpy as np
+
+    from tools.extract_fme_dataset import extract
+    from tools.make_test_clip import make_clip
+    from tpuhevc.models import nnfme
+
+    w, h, n = 128, 64, 6
+    raw = make_clip(w, h, n)
+    fsz = w * h * 3 // 2
+    frames = []
+    for i in range(n):
+        b = np.frombuffer(raw[i * fsz : (i + 1) * fsz], np.uint8)
+        frames.append((b[: w * h].reshape(h, w),
+                       b[w * h : w * h * 5 // 4].reshape(h // 2, w // 2),
+                       b[w * h * 5 // 4 :].reshape(h // 2, w // 2)))
+    sads, dims, labels = extract(frames, 32, sr=8)
+    assert sads.shape[1] == 9 and labels.min() >= 0 and labels.max() < 49
+    cfg = nnfme.TrainConfig(epochs=8, batch_size=64)
+    params, acc = nnfme.train_fme(sads.astype(np.float32), labels,
+                                  dims[:, 1], dims[:, 0], cfg)
+    # trained params drive the exact inference path
+    off = nnfme.predict_np(params, sads[:8].astype(np.float32),
+                           np.full(8, 16), np.full(8, 16))
+    assert off.shape == (8, 2) and np.abs(off).max() <= 3
+    nnfme.save_npz(str(tmp_path / "w.npz"), {32: params})
+    loaded = nnfme.select_qp_params(
+        nnfme.load_npz(str(tmp_path / "w.npz")), 32)
+    off2 = nnfme.predict_np(loaded, sads[:8].astype(np.float32),
+                            np.full(8, 16), np.full(8, 16))
+    assert np.array_equal(off, off2)
+
+
+def test_dctif_beats_integer_rd():
+    """The DCT-IF A/B arm (xPatternSearchFracDIF equivalent) must improve
+    RD over integer-only MVs."""
+    import numpy as np
+
+    from tools.make_test_clip import make_clip
+    from tpuhevc.codec.decoder import decode_stream
+    from tpuhevc.codec.encoder import encode_sequence
+    from tpuhevc.codec.params import EncoderConfig, SeqParams
+
+    w, h, n = 128, 64, 5
+    raw = make_clip(w, h, n, seed=3)
+    fsz = w * h * 3 // 2
+    clip = []
+    for i in range(n):
+        b = np.frombuffer(raw[i * fsz : (i + 1) * fsz], np.uint8)
+        clip.append((b[: w * h].reshape(h, w),
+                     b[w * h : w * h * 5 // 4].reshape(h // 2, w // 2),
+                     b[w * h * 5 // 4 :].reshape(h // 2, w // 2)))
+
+    class R:
+        def read_frame(self, i):
+            return clip[i] if i < len(clip) else None
+
+    out = {}
+    for mode in ("none", "dctif"):
+        cfg = EncoderConfig(
+            sps=SeqParams(width=w, height=h, max_tu_depth_intra=0),
+            qp=32, intra_period=-1, fme_mode=mode, inter_backend="np")
+        enc, _ = encode_sequence(R(), cfg, max_frames=n)
+        assert all(f.md5_ok for f in decode_stream(enc.bitstream()))
+        out[mode] = (sum(r.bits for r in enc.results[1:]),
+                     np.mean([r.psnr_y for r in enc.results[1:]]))
+    assert out["dctif"][1] >= out["none"][1] - 0.05  # PSNR not worse
+    assert out["dctif"][0] < out["none"][0] * 1.02   # bits not blown up

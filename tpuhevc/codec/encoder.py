@@ -273,7 +273,7 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
         _ra_gop4(enc, cfg, frames, _finish)
     elif (cfg.intra_period == -1 and cfg.inter_backend == "jax"
           and len(frames) > 1 and not cfg.deblocking
-          and not cfg.sps.sao_enabled):
+          and not cfg.sps.sao_enabled and cfg.fme_mode != "dctif"):
         _ldp_scan_pipelined(enc, cfg, frames, _finish)
     else:
         for i, fr in enumerate(frames):

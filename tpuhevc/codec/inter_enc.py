@@ -135,6 +135,11 @@ def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
                     for x, y in zip(xs_np, ys_np)])
     mv_int, sad9 = F["me"](ry, cur, xs, ys, sr, lambda_fp)
     mvq = mv_int * 4
+    if cfg.fme_mode == "dctif" and F["xp"] is np:
+        from ..ops.me import fracdif_refine_np
+
+        mvq = fracdif_refine_np(ry, np.asarray(cur), xs_np, ys_np,
+                                np.asarray(mv_int), lambda_fp, bd)
     if nn_params is not None and cfg.fme_mode == "nn":
         from ..models import nnfme
 
@@ -478,6 +483,8 @@ def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None,
     ov = _pad_to(np.asarray(orig[2]), h // 2, w // 2)
     ry, ru, rv = (p.astype(np.int32) for p in ref_recon)
     lambda_fp = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
+    if cfg.fme_mode == "dctif":
+        backend = "np"  # DCT-IF refinement arm is host-side for now
     stage = _compute_stage_jax if backend == "jax" else _compute_stage_np
     per_cu = stage(cfg, (oy, ou, ov), (ry, ru, rv), nn_params, lambda_fp)
     return assemble_frame_p(cfg, per_cu)

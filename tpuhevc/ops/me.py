@@ -76,6 +76,50 @@ def sad_surface_np(sad_map, best_idx):
     return out
 
 
+def fracdif_refine_np(ref, cur, xs, ys, mv_int, lambda_fp256: int = 0,
+                      bit_depth: int = 8):
+    """DCT-IF fractional refinement (xPatternSearchFracDIF,
+    TEncSearch.cpp:5232): 9-point half-pel SATD search around the integer
+    MV, then 9-point quarter-pel around the best half-pel. This is the
+    standard search the reference computes (and NN-FME replaces); it is
+    both the 'dctif' A/B arm and the ground-truth labeler for NN-FME
+    training (TEncSearch.cpp:4561-4582).
+
+    cur: (N, S, S); mv_int: (N, 2) full-pel. Returns (N, 2) quarter-pel.
+    """
+    from .cost import satd_np
+    from .interp import mc_np
+
+    n, s, _ = cur.shape
+    # HM s_acMvRefineH/Q visit order (ties resolve to earlier entries)
+    offs = np.array([(0, 0), (0, -1), (0, 1), (-1, 0), (1, 0),
+                     (-1, -1), (1, -1), (-1, 1), (1, 1)], np.int32)
+    sub = max(1, s // 8)  # SATD over 8x8 subblocks (4x4 for tiny PUs)
+    bs = 8 if s >= 8 else 4
+
+    def satd_pu(pred):
+        a = cur.reshape(n, s // bs, bs, s // bs, bs).transpose(0, 1, 3, 2, 4)
+        b = pred.reshape(n, s // bs, bs, s // bs, bs).transpose(0, 1, 3, 2, 4)
+        return satd_np(a, b).reshape(n, -1).sum(axis=1)
+
+    mvq = mv_int.astype(np.int32) * 4
+    for step in (2, 1):
+        costs = np.empty((9, n), np.int64)
+        for k, (dx, dy) in enumerate(offs):
+            cand = mvq + np.array([dx * step, dy * step], np.int32)
+            pred = mc_np(ref, xs, ys, cand, s, True, bit_depth)
+            bits = (_mv_bits(cand[:, 0]) + _mv_bits(cand[:, 1]))
+            costs[k] = satd_pu(pred) + ((bits * lambda_fp256) >> 8)
+        best = np.argmin(costs, axis=0)
+        mvq = mvq + offs[best] * step
+    return mvq
+
+
+def _mv_bits(v):
+    return (2 * np.ceil(np.log2(2 * np.abs(v).astype(np.int64) + 1))
+            .astype(np.int64) + 1)
+
+
 def integer_me(ref, cur, xs, ys, sr: int, lambda_fp256: int):
     """JAX batched dense-SAD search; returns (mv_full (N,2), sad9 (N,9))."""
     import jax
