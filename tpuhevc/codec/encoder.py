@@ -269,6 +269,8 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
             pre = encode_frames_intra_jax_batch(chunk, cfg)
             for j, p in enumerate(pre[: min(device_batch, len(frames) - s)]):
                 _finish(s + j, frames[s + j], p)
+    elif cfg.target_bitrate > 0:
+        _rate_controlled(enc, cfg, frames, _finish)
     elif cfg.gop_structure == "ra" and len(frames) > 1:
         _ra_gop4(enc, cfg, frames, _finish)
     elif (cfg.intra_period == -1 and cfg.inter_backend == "jax"
@@ -279,6 +281,33 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
         for i, fr in enumerate(frames):
             _finish(i, fr)
     return enc, recons
+
+
+def _rate_controlled(enc, cfg, frames, finish):
+    """Picture-level R-lambda rate control (RateControl=1): QP per frame
+    from the model, model updated with actual bits (TEncRateCtrl
+    counterpart; SURVEY.md §2.2)."""
+    from ..entropy.headers import ShortTermRPS
+    from .params import I_SLICE
+    from .ratectrl import RateControl
+
+    sps = cfg.sps
+    rc = RateControl(cfg.target_bitrate, cfg.frame_rate, sps.coded_width,
+                     sps.coded_height, len(cfg.gop_qp_offsets) or 4,
+                     len(frames))
+    for i, fr in enumerate(frames):
+        stype = enc._slice_type(i)
+        qp, lam, _ = rc.pick(i, stype == I_SLICE)
+        if stype == I_SLICE:
+            si = None
+            enc.cfg = dataclasses.replace(cfg, qp=qp)
+            finish(i, fr)
+            enc.cfg = cfg
+        else:
+            si = dict(stype=P_SLICE, qp=qp, rps=ShortTermRPS([-1], [1]),
+                      num_ref_l0=1, l0_deltas=[1])
+            finish(i, fr, None, si)
+        rc.update(enc.results[-1].bits)
 
 
 def _ra_gop4(enc, cfg, frames, finish):

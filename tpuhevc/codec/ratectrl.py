@@ -1,0 +1,106 @@
+"""Rate control: the R-lambda model.
+
+Counterpart of TEncRateCtrl.{h,cpp} (TEncRCSeq/TEncRCGOP/TEncRCPic,
+SURVEY.md §2.2 "Rate control"): picture-level R-lambda rate control
+(LCU-level allocation off, matching RateControl=1 LCULevelRC=0).
+
+Model: lambda = alpha * bpp^beta per hierarchy level, with HM's adaptive
+updates after each picture (updateAfterPicture):
+    lambda_comp = alpha * bpp_real^beta
+    alpha += 0.10 * (ln lambda_used - ln lambda_comp) * alpha
+    beta  += 0.05 * (ln lambda_used - ln lambda_comp) * ln bpp_real
+QP from lambda: QP = 4.2005 ln(lambda) + 13.7122 (TEncRateCtrl's
+xEstPicQP), clipped to +-3 of the same-level previous picture and [0, 51].
+
+Bit allocation: remaining-bits smoothing over a sliding window plus
+per-level weights inside the GOP (the low-delay allocation shape).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+class RateControl:
+    # low-delay GOP4 per-position weights (key frame heavier), normalized
+    LD_WEIGHTS = (3.0, 2.0, 3.0, 6.0)
+
+    def __init__(self, target_bps: float, frame_rate: float, width: int,
+                 height: int, gop_size: int = 4, total_frames: int = 0):
+        self.pixels = width * height
+        self.avg_bits = target_bps / frame_rate
+        self.gop_size = max(1, gop_size)
+        self.total_frames = total_frames
+        self.spent = 0.0
+        self.coded = 0
+        # per-level model state: level 0 = intra, 1.. = gop positions
+        self.alpha = {}
+        self.beta = {}
+        self.last_lambda = {}
+        self.last_qp = {}
+
+    def _model(self, level):
+        return (self.alpha.get(level, 6.7542 if level == 0 else 3.2003),
+                self.beta.get(level, -1.7860 if level == 0 else -1.367))
+
+    def _level(self, poc: int, is_intra: bool) -> int:
+        if is_intra:
+            return 0
+        return 1 + (poc - 1) % self.gop_size
+
+    def frame_target(self, poc: int, is_intra: bool) -> float:
+        """Target bits for this picture (sliding-window leftover
+        smoothing + LD level weights)."""
+        # leftover redistribution: pay back over the remaining frames
+        # (bounded by a 16-frame window for open-ended runs)
+        leftover = self.coded * self.avg_bits - self.spent
+        win = 16
+        if self.total_frames:
+            win = max(1, min(16, self.total_frames - self.coded))
+        base = self.avg_bits + leftover / win
+        if is_intra:
+            return max(base * 3.0, 100.0)  # intra weight
+        pos = (poc - 1) % self.gop_size
+        w = self.LD_WEIGHTS[pos % len(self.LD_WEIGHTS)]
+        wsum = sum(self.LD_WEIGHTS[i % len(self.LD_WEIGHTS)]
+                   for i in range(self.gop_size))
+        return max(base * self.gop_size * w / wsum, 100.0)
+
+    def pick(self, poc: int, is_intra: bool) -> tuple[int, float, float]:
+        """(qp, lambda, target_bits) for the next picture."""
+        level = self._level(poc, is_intra)
+        target = self.frame_target(poc, is_intra)
+        bpp = target / self.pixels
+        alpha, beta = self._model(level)
+        lam = alpha * (bpp ** beta)
+        # clip lambda vs same-level previous (2x down / 2x up, HM's bounds)
+        prev = self.last_lambda.get(level)
+        if prev is not None:
+            lam = min(max(lam, prev * 2 ** (-3.0 / 3.0)),
+                      prev * 2 ** (3.0 / 3.0))
+        lam = min(max(lam, 0.1), 10000.0)
+        qp = int(round(4.2005 * math.log(lam) + 13.7122))
+        pq = self.last_qp.get(level)
+        if pq is not None:
+            qp = min(max(qp, pq - 3), pq + 3)
+        qp = min(max(qp, 0), 51)
+        self._pending = (level, lam, bpp)
+        return qp, lam, target
+
+    def update(self, actual_bits: int) -> None:
+        """After coding the picture (updateAfterPicture)."""
+        level, lam_used, _ = self._pending
+        bpp_real = max(actual_bits / self.pixels, 1e-7)
+        alpha, beta = self._model(level)
+        lam_comp = alpha * (bpp_real ** beta)
+        delta = math.log(lam_used) - math.log(min(max(lam_comp, 0.1),
+                                                  10000.0))
+        alpha += 0.10 * delta * alpha
+        beta += 0.05 * delta * math.log(bpp_real)
+        self.alpha[level] = min(max(alpha, 0.05), 500.0)
+        self.beta[level] = min(max(beta, -3.0), -0.1)
+        self.last_lambda[level] = lam_used
+        self.last_qp[level] = int(round(4.2005 * math.log(lam_used)
+                                        + 13.7122))
+        self.spent += actual_bits
+        self.coded += 1

@@ -142,6 +142,11 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
             sps.sao_enabled = _b(v)
         elif k == "NumRefFrames":  # active L0 refs (HM GOP-table column)
             cfg.num_ref_frames = int(v)
+        elif k == "RateControl":
+            if not _b(v):
+                cfg.target_bitrate = 0
+        elif k == "TargetBitrate":
+            cfg.target_bitrate = int(v)
         elif k == "LoopFilterDisable":
             cfg.deblocking = not _b(v)
         elif k == "AMP":
