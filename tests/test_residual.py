@@ -99,3 +99,53 @@ def test_sign_hiding_roundtrip_abs():
         log2 = int(rng.choice([2, 3, 4, 5]))
         blocks.append((_rand_block(rng, log2, 0.6, 6), log2, True, 0))
     _roundtrip_blocks(blocks, sign_hiding=True)
+
+
+def test_sign_bit_hiding_roundtrip():
+    """SBH: encoder parity post-pass makes every CG's hidden sign
+    decodable; python coder round-trips bit-exactly."""
+    import numpy as np
+
+    from tpuhevc.entropy.cabac import CabacDecoder, CabacEncoder, ContextSet
+    from tpuhevc.entropy.residual import (SBH_THRESHOLD, _Grid,
+                                          apply_sign_bit_hiding,
+                                          decode_residual, encode_residual)
+    from tpuhevc.utils.tables import SCAN_DIAG
+
+    rng = np.random.default_rng(9)
+    for log2 in (2, 3, 4):
+        s = 1 << log2
+        for _ in range(8):
+            blk = rng.integers(-6, 7, (s, s)).astype(np.int32)
+            if not blk.any():
+                blk[0, 0] = 1
+            ideal = blk + rng.uniform(-0.49, 0.49, blk.shape)
+            adj = apply_sign_bit_hiding(blk, log2, SCAN_DIAG, ideal)
+            # parity invariant: every qualifying CG encodes its first sign
+            g = _Grid(log2, SCAN_DIAG)
+            svals = adj.reshape(-1)[g.scan]
+            for cg in range(g.num_cgs):
+                seg = svals[cg * 16 : (cg + 1) * 16]
+                nz = np.nonzero(seg)[0]
+                if len(nz) == 0:
+                    continue
+                if int(nz[-1]) - int(nz[0]) < SBH_THRESHOLD:
+                    continue
+                want = 1 if seg[int(nz[0])] < 0 else 0
+                assert int(np.abs(seg).sum()) & 1 == want
+            if not adj.any():
+                continue
+            from tpuhevc.entropy import bitio
+
+            ctx = ContextSet(1, 30)
+            enc = CabacEncoder(ctx)
+            encode_residual(enc, adj, log2, True, SCAN_DIAG, True)
+            enc.finish()
+            w = bitio.BitWriter()
+            w.write_bytes(bytes(enc.out))
+            val, nbits = enc.pending_bits
+            w.write(val, nbits)
+            w.rbsp_trailing_bits()
+            dec = CabacDecoder(w.getvalue(), ContextSet(1, 30))
+            got = decode_residual(dec, log2, True, SCAN_DIAG, True)
+            assert np.array_equal(got, adj)

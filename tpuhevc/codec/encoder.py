@@ -46,7 +46,8 @@ class Encoder:
         self.first_of_au: list[bool] = []
         self.results: list[FrameResult] = []
         self._wrote_ps = False
-        if frame_encoder is None and cfg.inter_backend == "jax":
+        if (frame_encoder is None and cfg.inter_backend == "jax"
+                and not cfg.pps.sign_data_hiding):
             from .intra_jax import encode_frame_intra_jax
 
             frame_encoder = encode_frame_intra_jax
@@ -275,7 +276,8 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
         _ra_gop4(enc, cfg, frames, _finish)
     elif (cfg.intra_period == -1 and cfg.inter_backend == "jax"
           and len(frames) > 1 and not cfg.deblocking
-          and not cfg.sps.sao_enabled and cfg.fme_mode != "dctif"):
+          and not cfg.sps.sao_enabled and cfg.fme_mode != "dctif"
+          and not cfg.pps.sign_data_hiding):
         _ldp_scan_pipelined(enc, cfg, frames, _finish)
     else:
         for i, fr in enumerate(frames):

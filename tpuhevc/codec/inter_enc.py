@@ -131,6 +131,7 @@ def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
     n = len(xs_np)
     xs = xp.asarray(xs_np)
     ys = xp.asarray(ys_np)
+    sbh = cfg.pps.sign_data_hiding and F["xp"] is np
     cur = xp.stack([oy[int(y) : int(y) + size, int(x) : int(x) + size]
                     for x, y in zip(xs_np, ys_np)])
     mv_int, sad9 = F["me"](ry, cur, xs, ys, sr, lambda_fp)
@@ -151,6 +152,11 @@ def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
     log2 = size.bit_length() - 1
     coef = F["fwd"](cur.astype(xp.int32) - pred, bd)
     lvl = F["quant"](coef, qp, log2, bd, False)
+    if sbh:
+        from ..entropy.residual import SCAN_DIAG, apply_sign_bit_hiding
+
+        lvl = apply_sign_bit_hiding(lvl, log2, SCAN_DIAG,
+                                    tx.ideal_levels_np(coef, qp, log2, bd))
     rsd = F["inv"](F["deq"](lvl, qp, log2, bd), bd)
     rec = xp.clip(pred + rsd, 0, (1 << bd) - 1)
     nz = (lvl != 0).reshape(n, -1).any(axis=1)
@@ -175,6 +181,12 @@ def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
         pred_c = F["mc"](refp, cxs, cys, mvq, cs, False, bd)
         cc = F["fwd"](cur_c.astype(xp.int32) - pred_c, bd)
         clvl = F["quant"](cc, qpc, clog2, bd, False)
+        if sbh:
+            from ..entropy.residual import SCAN_DIAG, apply_sign_bit_hiding
+
+            clvl = apply_sign_bit_hiding(
+                clvl, clog2, SCAN_DIAG,
+                tx.ideal_levels_np(cc, qpc, clog2, bd))
         crs = F["inv"](F["deq"](clvl, qpc, clog2, bd), bd)
         crec = xp.clip(pred_c + crs, 0, (1 << bd) - 1)
         cnz = (clvl != 0).reshape(n, -1).any(axis=1)
@@ -483,8 +495,8 @@ def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None,
     ov = _pad_to(np.asarray(orig[2]), h // 2, w // 2)
     ry, ru, rv = (p.astype(np.int32) for p in ref_recon)
     lambda_fp = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
-    if cfg.fme_mode == "dctif":
-        backend = "np"  # DCT-IF refinement arm is host-side for now
+    if cfg.fme_mode == "dctif" or cfg.pps.sign_data_hiding:
+        backend = "np"  # DCT-IF arm / SBH parity fix are host-side for now
     stage = _compute_stage_jax if backend == "jax" else _compute_stage_np
     per_cu = stage(cfg, (oy, ou, ov), (ry, ru, rv), nn_params, lambda_fp)
     return assemble_frame_p(cfg, per_cu)

@@ -132,6 +132,12 @@ def encode_frame_intra(orig_y, orig_u, orig_v, cfg: EncoderConfig):
         resi = oblk - preds[mode]
         c = tx.forward_transform_np(resi[None], bd)[0]
         lvl = tx.quantize_np(c[None], qp, 3, bd, True)[0]
+        if cfg.pps.sign_data_hiding:
+            from ..entropy.residual import apply_sign_bit_hiding
+            from ..utils.tables import intra_scan_idx
+
+            lvl = apply_sign_bit_hiding(lvl, 3, intra_scan_idx(mode, 3, True),
+                                        tx.ideal_levels_np(c, qp, 3, bd))
         fs.coeff_y[y0 : y0 + 8, x0 : x0 + 8] = lvl
         if lvl.any():
             d = tx.dequantize_np(lvl[None], qp, 3, bd)[0]
@@ -148,6 +154,13 @@ def encode_frame_intra(orig_y, orig_u, orig_v, cfg: EncoderConfig):
             cresi = oplane[cy : cy + 4, cx : cx + 4].astype(np.int32) - cpred
             cc = tx.forward_transform_np(cresi[None], bd)[0]
             clvl = tx.quantize_np(cc[None], qpc, 2, bd, True)[0]
+            if cfg.pps.sign_data_hiding:
+                from ..entropy.residual import apply_sign_bit_hiding
+                from ..utils.tables import intra_scan_idx
+
+                clvl = apply_sign_bit_hiding(
+                    clvl, 2, intra_scan_idx(mode, 2, False),
+                    tx.ideal_levels_np(cc, qpc, 2, bd))
             coeff[cy : cy + 4, cx : cx + 4] = clvl
             if clvl.any():
                 cd = tx.dequantize_np(clvl[None], qpc, 2, bd)[0]

@@ -154,12 +154,7 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
         elif k == "HadamardME":
             cfg.hadamard_me = _b(v)
         elif k == "SignHideFlag":
-            if _b(v):
-                import warnings
-
-                warnings.warn("SignHideFlag requested but SBH quantizer "
-                              "parity not implemented; coding without SBH")
-            cfg.pps.sign_data_hiding = False
+            cfg.pps.sign_data_hiding = _b(v)
         elif k == "MaxNumMergeCand":
             cfg.max_num_merge_cand = int(v)
         elif k == "TemporalMVP" or k == "TMVPMode":

@@ -416,3 +416,65 @@ def _esc_base(length: int, rice: int) -> int:
     for k in range(rice, length):
         base += 1 << k
     return base
+
+
+def apply_sign_bit_hiding(levels: np.ndarray, log2: int, scan_idx: int,
+                          ideal: np.ndarray | None = None) -> np.ndarray:
+    """Encoder-side SBH quantizer post-pass (signBitHidingHDQ,
+    TComTrQuant.cpp:991): per 4x4 coefficient group where the span between
+    first and last nonzero scan position >= SBH_THRESHOLD, adjust one
+    level's magnitude by one so the CG's abs-level-sum parity encodes the
+    sign of the first-in-scan coefficient (which the decoder then infers).
+
+    levels: (..., S, S). ideal (same shape): the real-valued unclamped
+    quantization |coef|*scale/2^qbits, used to pick the adjustment with
+    the smallest requantization error (HM's deltaU criterion); without it
+    a magnitude heuristic is used. Returns the adjusted copy.
+    """
+    g = _Grid(log2, scan_idx)
+    out = np.array(levels, copy=True)
+    blocks = out.reshape(-1, g.size, g.size)
+    iblocks = ideal.reshape(-1, g.size, g.size) if ideal is not None else None
+    for b in range(blocks.shape[0]):
+        flat = blocks[b].reshape(-1)
+        svals = flat[g.scan]
+        ivals = (iblocks[b].reshape(-1)[g.scan]
+                 if iblocks is not None else None)
+        for cg in range(g.num_cgs):
+            seg = svals[cg * 16 : (cg + 1) * 16]
+            nz = np.nonzero(seg)[0]
+            if len(nz) == 0:
+                continue
+            first, last = int(nz[0]), int(nz[-1])
+            if last - first < SBH_THRESHOLD:
+                continue
+            abs_sum = int(np.abs(seg).sum())
+            want = 1 if seg[first] < 0 else 0
+            if (abs_sum & 1) == want:
+                continue
+            if ivals is not None:
+                iseg = ivals[cg * 16 : (cg + 1) * 16]
+                best = None  # (err, pos, new_abs)
+                for p in range(first, last + 1):
+                    la = abs(int(seg[p]))
+                    for na in (la + 1, la - 1):
+                        if na < 0 or (p == first and na == 0):
+                            continue
+                        err = abs(na - abs(float(iseg[p])))
+                        if best is None or err < best[0]:
+                            best = (err, p, na)
+                _, p, na = best
+                sgn = np.sign(seg[p]) if seg[p] else (
+                    1 if iseg[p] >= 0 else -1)
+                seg[p] = int(sgn) * na
+            else:
+                big = nz[np.abs(seg[nz]) >= 2]
+                if len(big):
+                    p = int(big[0])
+                    seg[p] -= np.sign(seg[p])
+                else:
+                    seg[last] += np.sign(seg[last])
+            svals[cg * 16 : (cg + 1) * 16] = seg
+        flat[g.scan] = svals
+        blocks[b] = flat.reshape(g.size, g.size)
+    return out

@@ -139,3 +139,14 @@ def dequantize(level, qp: int, log2_size: int, bit_depth: int = 8):
     else:
         d = x << (per - bdshift)
     return jnp.clip(d, -32768, 32767).astype(jnp.int32)
+
+
+def ideal_levels_np(coeff: np.ndarray, qp: int, log2_size: int,
+                    bit_depth: int = 8) -> np.ndarray:
+    """Real-valued SIGNED coef*scale/2^qbits (the quantizer's
+    pre-rounding value) — the reference point for SBH's minimal-damage
+    adjustment (magnitude) and the sign of newly created coefficients."""
+    per, rem = qp // 6, qp % 6
+    tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = 14 + per + tshift
+    return coeff.astype(np.float64) * int(QUANT_SCALES[rem]) / (1 << qbits)
