@@ -140,12 +140,16 @@ def test_sign_bit_hiding_roundtrip():
             ctx = ContextSet(1, 30)
             enc = CabacEncoder(ctx)
             encode_residual(enc, adj, log2, True, SCAN_DIAG, True)
+            enc.encode_bin_trm(1)  # slice-end flush (as encode_slice_data)
             enc.finish()
             w = bitio.BitWriter()
             w.write_bytes(bytes(enc.out))
             val, nbits = enc.pending_bits
             w.write(val, nbits)
             w.rbsp_trailing_bits()
-            dec = CabacDecoder(w.getvalue(), ContextSet(1, 30))
+            # slack for the decoder's bypass lookahead at raw-stream end
+            # (real slices end with the terminate bin; this is test-only)
+            dec = CabacDecoder(w.getvalue() + b"\x00\x00",
+                               ContextSet(1, 30))
             got = decode_residual(dec, log2, True, SCAN_DIAG, True)
             assert np.array_equal(got, adj)
