@@ -165,3 +165,34 @@ def test_ra_hierarchical_b(tmp_path):
                              text=True, timeout=120).stdout
         assert out.count("(OK)") == 9 and "ERROR" not in out
         assert "B-SLICE" in out
+
+
+def test_wpp_substreams(tmp_path):
+    """Wavefront parallel processing: per-CTU-row substreams with context
+    inheritance + entry points; HM-oracle verified."""
+    import os
+    import subprocess
+
+    from tpuhevc.codec.decoder import decode_stream
+    from tpuhevc.codec.encoder import encode_sequence
+    from tpuhevc.codec.params import EncoderConfig, PicParams, SeqParams
+
+    clip = _moving_clip(256, 128, 4)
+    cfg = EncoderConfig(
+        sps=SeqParams(width=256, height=128, max_tu_depth_intra=0),
+        pps=PicParams(entropy_coding_sync=True),
+        qp=30, intra_period=-1, fme_mode="none", inter_backend="np")
+
+    class R:
+        def read_frame(self, i):
+            return clip[i] if i < len(clip) else None
+
+    enc, _ = encode_sequence(R(), cfg, max_frames=4)
+    bs = enc.bitstream()
+    assert all(f.md5_ok for f in decode_stream(bs))
+    if os.path.exists(HM_DEC):
+        p = tmp_path / "wpp.bin"
+        p.write_bytes(bs)
+        out = subprocess.run([HM_DEC, "-b", str(p)], capture_output=True,
+                             text=True, timeout=120).stdout
+        assert out.count("(OK)") == 4 and "ERROR" not in out

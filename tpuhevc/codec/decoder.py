@@ -81,13 +81,24 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                     if num_ref_l1 else []
             else:
                 deltas, num_ref, l1_deltas, num_ref_l1 = [], 1, [], 0
-            fs = decode_slice_data(dec, sps, pps, sps.coded_width,
-                                   sps.coded_height, hdr.slice_type,
-                                   max_merge, sao_luma=hdr.sao_luma,
-                                   sao_chroma=hdr.sao_chroma,
-                                   num_ref=num_ref, ref_deltas=deltas,
-                                   num_ref_l1=num_ref_l1,
-                                   l1_deltas=l1_deltas)
+            if pps.entropy_coding_sync:
+                from ..entropy.syntax import decode_slice_data_wpp
+
+                fs = decode_slice_data_wpp(
+                    rbsp[off:], hdr.entry_points or [], sps, pps,
+                    sps.coded_width, sps.coded_height, init_row, hdr.qp,
+                    hdr.slice_type, max_merge, sao_luma=hdr.sao_luma,
+                    sao_chroma=hdr.sao_chroma, num_ref=num_ref,
+                    ref_deltas=deltas, num_ref_l1=num_ref_l1,
+                    l1_deltas=l1_deltas)
+            else:
+                fs = decode_slice_data(dec, sps, pps, sps.coded_width,
+                                       sps.coded_height, hdr.slice_type,
+                                       max_merge, sao_luma=hdr.sao_luma,
+                                       sao_chroma=hdr.sao_chroma,
+                                       num_ref=num_ref, ref_deltas=deltas,
+                                       num_ref_l1=num_ref_l1,
+                                       l1_deltas=l1_deltas)
             if hdr.slice_type == I_SLICE:
                 y, u, v = reconstruct_frame(fs, sps, hdr.qp)
             else:

@@ -167,29 +167,42 @@ class Encoder:
         if fs.sao is not None:
             hdr.sao_luma = fs.sao.luma_on
             hdr.sao_chroma = fs.sao.chroma_on
-        w = headers.write_slice_header(hdr, sps, pps)
         n_ref_slice = hdr.num_ref_idx_l0 if stype != I_SLICE else 1
         n_ref_l1 = hdr.num_ref_idx_l1 if stype == B_SLICE else 0
         l0d = l1d = None
         if slice_info is not None:
             l0d = slice_info.get("l0_deltas")
             l1d = slice_info.get("l1_deltas")
-        payload = (None if fs.sao is not None or stype == B_SLICE else
-                   encode_slice_data_native(fs, sps, pps, init_row, fqp,
-                                            stype, max_merge, n_ref_slice))
-        if payload is not None:  # native fast path (byte-identical)
-            w.write_bytes(payload)
+        if pps.entropy_coding_sync:
+            from ..entropy.syntax import encode_slice_data_wpp
+
+            subs = encode_slice_data_wpp(
+                fs, sps, pps, init_row, fqp, stype, max_merge,
+                num_ref=n_ref_slice, ref_deltas=l0d,
+                num_ref_l1=n_ref_l1, l1_deltas=l1d)
+            hdr.entry_points = [len(s) for s in subs[:-1]]
+            w = headers.write_slice_header(hdr, sps, pps)
+            for s in subs:
+                w.write_bytes(s)
         else:
-            ctx = ContextSet(init_row, fqp)
-            cab = CabacEncoder(ctx)
-            encode_slice_data(cab, fs, sps, pps, stype, max_merge,
-                              num_ref=n_ref_slice, ref_deltas=l0d,
-                              num_ref_l1=n_ref_l1, l1_deltas=l1d)
-            cab.finish()
-            w.write_bytes(bytes(cab.out))
-            val, nbits = cab.pending_bits
-            w.write(val, nbits)
-            w.rbsp_trailing_bits()
+            w = headers.write_slice_header(hdr, sps, pps)
+            payload = (None if fs.sao is not None or stype == B_SLICE else
+                       encode_slice_data_native(fs, sps, pps, init_row, fqp,
+                                                stype, max_merge,
+                                                n_ref_slice))
+            if payload is not None:  # native fast path (byte-identical)
+                w.write_bytes(payload)
+            else:
+                ctx = ContextSet(init_row, fqp)
+                cab = CabacEncoder(ctx)
+                encode_slice_data(cab, fs, sps, pps, stype, max_merge,
+                                  num_ref=n_ref_slice, ref_deltas=l0d,
+                                  num_ref_l1=n_ref_l1, l1_deltas=l1d)
+                cab.finish()
+                w.write_bytes(bytes(cab.out))
+                val, nbits = cab.pending_bits
+                w.write(val, nbits)
+                w.rbsp_trailing_bits()
         self._emit(bitio.make_nal(hdr.nal_type, w.getvalue()), first_of_au=True)
         bits = (len(self.nals[-1]) + 4) * 8
 

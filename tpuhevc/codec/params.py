@@ -105,6 +105,7 @@ class PicParams:
     beta_offset_div2: int = 0
     tc_offset_div2: int = 0
     log2_parallel_merge_level: int = 2  # minus2 coded
+    entropy_coding_sync: bool = False   # WPP: per-CTU-row substreams
 
 
 @dataclass

@@ -265,7 +265,7 @@ def write_pps(pps: PicParams) -> bytes:
     w.write_flag(pps.weighted_bipred)
     w.write_flag(pps.transquant_bypass_enabled)
     w.write_flag(0)  # tiles_enabled_flag
-    w.write_flag(0)  # entropy_coding_sync_enabled_flag
+    w.write_flag(pps.entropy_coding_sync)
     w.write_flag(pps.loop_filter_across_slices)
     w.write_flag(pps.deblocking_control_present)
     if pps.deblocking_control_present:
@@ -308,7 +308,7 @@ def parse_pps(data: bytes) -> PicParams:
     pps.weighted_bipred = bool(r.read_flag())
     pps.transquant_bypass_enabled = bool(r.read_flag())
     assert r.read_flag() == 0  # tiles
-    assert r.read_flag() == 0  # wpp
+    pps.entropy_coding_sync = bool(r.read_flag())  # WPP
     pps.loop_filter_across_slices = bool(r.read_flag())
     pps.deblocking_control_present = bool(r.read_flag())
     if pps.deblocking_control_present:
@@ -345,6 +345,7 @@ class SliceHeader:
     five_minus_max_num_merge_cand: int = 0
     collocated_from_l0: bool = True
     temporal_id: int = 0
+    entry_points: list | None = None  # WPP substream byte sizes
 
 
 def write_slice_header(
@@ -403,7 +404,15 @@ def write_slice_header(
         hdr.sao_luma or hdr.sao_chroma or not pps.deblocking_disabled
     ):
         w.write_flag(1)  # slice_loop_filter_across_slices_enabled_flag
-    # no tiles/wpp: no entry points
+    if pps.entropy_coding_sync:
+        # entry_point_offset per WPP substream after the first
+        offs = hdr.entry_points or []
+        w.write_ue(len(offs))
+        if offs:
+            maxlen = max(1, max(offs).bit_length())
+            w.write_ue(maxlen - 1)
+            for o in offs:
+                w.write(o - 1, maxlen)
     # byte_alignment() (§7.3.2.8): the one-bit is unconditional — even when
     # already aligned it adds a full 0x80 byte
     w.write(1, 1)
@@ -464,6 +473,12 @@ def parse_slice_header(
         hdr.sao_luma or hdr.sao_chroma or not pps.deblocking_disabled
     ):
         r.read_flag()
+    if pps.entropy_coding_sync:
+        n = r.read_ue()
+        hdr.entry_points = []
+        if n:
+            ln = r.read_ue() + 1
+            hdr.entry_points = [r.read(ln) + 1 for _ in range(n)]
     # byte alignment
     one = r.read_flag()
     assert one == 1

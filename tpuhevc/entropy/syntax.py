@@ -1052,3 +1052,99 @@ def _dec_cu_b(dec, sc, x0, y0, log2):
         root_cbf = dec.decode_bin(CTX_OFFSET["rqt_root_cbf"])
     if root_cbf:
         _dec_transform_tree_p(dec, sc, x0, y0, log2, 0, True, True)
+
+
+# --- WPP (entropy_coding_sync): per-CTU-row substreams ----------------------
+
+def encode_slice_data_wpp(fs: FrameSyntax, sps: SeqParams, pps: PicParams,
+                          init_row: int, qp: int, slice_type: int = I_SLICE,
+                          max_merge: int = 5, num_ref: int = 1,
+                          ref_deltas=None, num_ref_l1: int = 0,
+                          l1_deltas=None) -> list[bytes]:
+    """Wavefront slice data: one CABAC substream per CTU row, contexts
+    inherited from the snapshot taken after the second CTU of the row
+    above (§9.3.1 sync process; TEncSlice substream loop /
+    TEncSbac loadContexts — SURVEY.md §2.5 "Wavefront"). Returns the list
+    of byte-aligned substream payloads (entry points = their sizes)."""
+    from .bitio import BitWriter
+    from .cabac import CabacEncoder, ContextSet
+
+    sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
+                     ref_deltas)
+    if num_ref_l1:
+        sc.num_ref_l1 = num_ref_l1
+        sc.l1_pocs = [-d for d in l1_deltas]
+    subs = []
+    saved = None
+    sync_x = min(1, sc.wctu - 1)
+    for cy in range(sc.hctu):
+        ctx = ContextSet(init_row, qp)
+        if cy > 0 and saved is not None:
+            ctx.restore(saved)
+        cab = CabacEncoder(ctx)
+        for cx in range(sc.wctu):
+            if fs.sao is not None:
+                _enc_sao_ctu(cab, fs.sao, cx, cy)
+            _enc_quadtree(cab, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
+                          sc.log2_ctu, 0)
+            if cx == sync_x:
+                saved = ctx.snapshot()
+            last = (cy == sc.hctu - 1) and (cx == sc.wctu - 1)
+            cab.encode_bin_trm(1 if last else 0)
+            if cx == sc.wctu - 1 and not last:
+                cab.encode_bin_trm(1)  # end_of_subset_one_bit
+        cab.finish()
+        w = BitWriter()
+        w.write_bytes(bytes(cab.out))
+        val, nbits = cab.pending_bits
+        w.write(val, nbits)
+        w.rbsp_trailing_bits()  # byte_alignment()
+        subs.append(w.getvalue())
+    return subs
+
+
+def decode_slice_data_wpp(payload: bytes, entry_points: list[int],
+                          sps: SeqParams, pps: PicParams, width: int,
+                          height: int, init_row: int, qp: int,
+                          slice_type: int = I_SLICE, max_merge: int = 5,
+                          sao_luma: bool = False, sao_chroma: bool = False,
+                          num_ref: int = 1, ref_deltas=None,
+                          num_ref_l1: int = 0, l1_deltas=None) -> FrameSyntax:
+    from .cabac import CabacDecoder, ContextSet
+
+    fs = FrameSyntax(width, height)
+    sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
+                     ref_deltas)
+    if num_ref_l1:
+        sc.num_ref_l1 = num_ref_l1
+        sc.l1_pocs = [-d for d in l1_deltas]
+    if sao_luma or sao_chroma:
+        from ..codec.sao_enc import SaoPicParams
+
+        fs.sao = SaoPicParams(sc.hctu, sc.wctu, luma_on=sao_luma,
+                              chroma_on=sao_chroma)
+    # split substreams by entry points
+    offs = [0]
+    for e in entry_points:
+        offs.append(offs[-1] + e)
+    offs.append(len(payload))
+    saved = None
+    sync_x = min(1, sc.wctu - 1)
+    for cy in range(sc.hctu):
+        sub = payload[offs[cy] : offs[cy + 1]]
+        ctx = ContextSet(init_row, qp)
+        if cy > 0 and saved is not None:
+            ctx.restore(saved)
+        dec = CabacDecoder(sub, ctx)
+        for cx in range(sc.wctu):
+            if fs.sao is not None:
+                _dec_sao_ctu(dec, fs.sao, cx, cy)
+            _dec_quadtree(dec, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
+                          sc.log2_ctu, 0)
+            if cx == sync_x:
+                saved = ctx.snapshot()
+            dec.decode_bin_trm()
+            if cx == sc.wctu - 1 and cx != sc.wctu * sc.hctu:
+                pass  # end_of_subset bin is consumed implicitly: the
+                # substream boundary resets the engine; nothing to read
+    return fs
