@@ -100,8 +100,8 @@ def encode_frame_b(orig, ref_l0, ref_l1, cfg: EncoderConfig, qp: int,
 
     mvq0 = _me_uni(r0[0], cur, xs, ys, sr, lam_me, nn_params)
     mvq1 = _me_uni(r1[0], cur, xs, ys, sr, lam_me, nn_params)
-    p0_14 = mc_np14(r0[0], xs, ys, mvq0, 16, True)
-    p1_14 = mc_np14(r1[0], xs, ys, mvq1, 16, True)
+    p0_14 = mc_np14(r0[0], xs, ys, mvq0, 16, True, bd)
+    p1_14 = mc_np14(r1[0], xs, ys, mvq1, 16, True, bd)
     pred0 = mc_np(r0[0], xs, ys, mvq0, 16, True, bd)
     pred1 = mc_np(r1[0], xs, ys, mvq1, 16, True, bd)
     pred_bi = bi_average_np(p0_14, p1_14, bd)
@@ -129,8 +129,8 @@ def encode_frame_b(orig, ref_l0, ref_l1, cfg: EncoderConfig, qp: int,
                                  ("v", ov, r0[2], r1[2])):
         cur_c = np.stack([plane[y : y + 8, x : x + 8]
                           for x, y in zip(cxs, cys)])
-        c0_14 = mc_np14(rp0, cxs, cys, mvq0, 8, False)
-        c1_14 = mc_np14(rp1, cxs, cys, mvq1, 8, False)
+        c0_14 = mc_np14(rp0, cxs, cys, mvq0, 8, False, bd)
+        c1_14 = mc_np14(rp1, cxs, cys, mvq1, 8, False, bd)
         c0 = mc_np(rp0, cxs, cys, mvq0, 8, False, bd)
         c1 = mc_np(rp1, cxs, cys, mvq1, 8, False, bd)
         cbi = bi_average_np(c0_14, c1_14, bd)
@@ -257,9 +257,9 @@ def reconstruct_frame_b(fs, sps, qp: int, l0_refs, l1_refs):
                 py = (y0 if lum else y0 // 2)
                 if d == 3:
                     a = mc_np14(r0[ci], np.array([px]), np.array([py]),
-                                mv0, s, lum)[0]
+                                mv0, s, lum, bd)[0]
                     b = mc_np14(r1[ci], np.array([px]), np.array([py]),
-                                mv1, s, lum)[0]
+                                mv1, s, lum, bd)[0]
                     pred = bi_average_np(a[None], b[None], bd)[0]
                 else:
                     rr, mv = (r0, mv0) if d == 1 else (r1, mv1)

@@ -112,8 +112,12 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
         elif k == "SourceHeight":
             sps.height = int(v)
         elif k == "InternalBitDepth" or k == "InputBitDepth":
-            if int(v) != 8:
-                raise NotImplementedError("only 8-bit supported so far")
+            bd = int(v)
+            if bd not in (8, 10):
+                raise NotImplementedError("bit depth must be 8 or 10")
+            sps.bit_depth = bd
+            if bd == 10:
+                sps.profile_idc = 2  # Main10
         elif k == "FrameRate":
             cfg.frame_rate = int(float(v))
         elif k == "FramesToBeEncoded":

@@ -74,20 +74,24 @@ def mc_np(plane: np.ndarray, xs, ys, mvs_q: np.ndarray, size: int,
     w = _gather_windows_np(plane, ix - off, iy - off, win).astype(np.int64)
     th = taps_tab[fx].astype(np.int64)  # (N, ntaps)
     tv = taps_tab[fy].astype(np.int64)
-    # horizontal pass (14-bit scale for 8-bit input)
+    # horizontal pass, truncated to the 14-bit intermediate scale
+    # (shift1 = bd - 8, §8.5.3.3.3 / TComInterpolationFilter shifts)
     acc_h = np.zeros((len(xs), win, size), dtype=np.int64)
     for i in range(ntaps):
         acc_h += th[:, i, None, None] * w[:, :, i : i + size]
+    acc_h >>= bit_depth - 8
     acc = np.zeros((len(xs), size, size), dtype=np.int64)
     for i in range(ntaps):
         acc += tv[:, i, None, None] * acc_h[:, i : i + size, :]
     acc >>= 6
+    sh2 = 14 - bit_depth
     maxv = (1 << bit_depth) - 1
-    return np.clip((acc + 32) >> 6, 0, maxv).astype(np.int32)
+    return np.clip((acc + (1 << (sh2 - 1))) >> sh2, 0, maxv
+                   ).astype(np.int32)
 
 
 def mc_np14(plane: np.ndarray, xs, ys, mvs_q: np.ndarray, size: int,
-            is_luma: bool) -> np.ndarray:
+            is_luma: bool, bit_depth: int = 8) -> np.ndarray:
     """MC at the 14-bit intermediate scale (§8.5.3.3.3: isLast=false),
     for bi-prediction averaging. Returns (N, S, S) int32 (14-bit range)."""
     taps_tab = LUMA_TAPS if is_luma else CHROMA_TAPS
@@ -109,6 +113,7 @@ def mc_np14(plane: np.ndarray, xs, ys, mvs_q: np.ndarray, size: int,
     acc_h = np.zeros((len(xs), win, size), dtype=np.int64)
     for i in range(ntaps):
         acc_h += th[:, i, None, None] * w[:, :, i : i + size]
+    acc_h >>= bit_depth - 8
     acc = np.zeros((len(xs), size, size), dtype=np.int64)
     for i in range(ntaps):
         acc += tv[:, i, None, None] * acc_h[:, i : i + size, :]
@@ -154,8 +159,10 @@ def mc(plane, xs, ys, mvs_q, size: int, is_luma: bool, bit_depth: int = 8):
     th = taps_tab[fx]  # (N, ntaps)
     tv = taps_tab[fy]
     hs = jnp.stack([wnd[:, :, i : i + size] for i in range(ntaps)], axis=-1)
-    acc_h = jnp.einsum("nrci,ni->nrc", hs, th)
+    acc_h = jnp.einsum("nrci,ni->nrc", hs, th) >> (bit_depth - 8)
     vs = jnp.stack([acc_h[:, i : i + size, :] for i in range(ntaps)], axis=-1)
     acc = jnp.einsum("nrci,ni->nrc", vs, tv) >> 6
+    sh2 = 14 - bit_depth
     maxv = (1 << bit_depth) - 1
-    return jnp.clip((acc + 32) >> 6, 0, maxv).astype(jnp.int32)
+    return jnp.clip((acc + (1 << (sh2 - 1))) >> sh2, 0, maxv
+                    ).astype(jnp.int32)

@@ -58,7 +58,9 @@ def quantize_np(
     coeff: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8,
     is_intra_slice: bool = True,
 ) -> np.ndarray:
-    """HM's scalar quantizer with its rounding offsets (non-normative side)."""
+    """HM's scalar quantizer with its rounding offsets (non-normative side).
+    qp is the display-range QP; Qp' = qp + QpBdOffset is applied here."""
+    qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     qbits = 14 + per + tshift
@@ -70,7 +72,9 @@ def quantize_np(
 
 
 def dequantize_np(level: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8) -> np.ndarray:
-    """Normative scaling process (§8.6.3), flat scaling list (m=16)."""
+    """Normative scaling process (§8.6.3), flat scaling list (m=16).
+    qp is the display-range QP; Qp' = qp + QpBdOffset is applied here."""
+    qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     bdshift = bit_depth + log2_size - 5
     scale = (16 * int(INV_QUANT_SCALES[rem])) << per
@@ -115,6 +119,7 @@ def inverse_transform(coeff, bit_depth: int = 8, is_dst: bool = False):
 def quantize(coeff, qp: int, log2_size: int, bit_depth: int = 8, is_intra_slice: bool = True):
     # int32-safe: |coeff| <= 2^15, scale <= 26214 -> product < 2^30
     jnp = _jnp()
+    qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     qbits = 14 + per + tshift
@@ -129,6 +134,7 @@ def dequantize(level, qp: int, log2_size: int, bit_depth: int = 8):
     # int32-safe reformulation of §8.6.3: fold the <<(qp/6) into the final
     # shift (exact; see test_transforms golden check vs the int64 core)
     jnp = _jnp()
+    qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     bdshift = bit_depth + log2_size - 5
     scale = 16 * int(INV_QUANT_SCALES[rem])
@@ -146,6 +152,7 @@ def ideal_levels_np(coeff: np.ndarray, qp: int, log2_size: int,
     """Real-valued SIGNED coef*scale/2^qbits (the quantizer's
     pre-rounding value) — the reference point for SBH's minimal-damage
     adjustment (magnitude) and the sign of newly created coefficients."""
+    qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     qbits = 14 + per + tshift
