@@ -110,6 +110,20 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             coarse_bits[dy, dx] = (_mvd_bits_np(8 * (dx - R2))
                                    + _mvd_bits_np(8 * (dy - R2)))
     ref_off = np.arange(-3, 4)
+
+    _IDX49_CACHE: dict = {}
+
+    def _idx49(S, win):
+        key = (S, win)
+        hit = _IDX49_CACHE.get(key)
+        if hit is None:
+            base = (np.arange(S)[:, None] * win + np.arange(S)[None]
+                    ).reshape(1, S, S)
+            offs = (np.repeat(np.arange(7), 7)[:, None, None] * win
+                    + np.tile(np.arange(7), 7)[:, None, None])
+            hit = jnp.asarray((base + offs).astype(np.int32))
+            _IDX49_CACHE[key] = hit
+        return hit
     rdxs = np.tile(ref_off, 7)      # (49,) offset x per refine point
     rdys = np.repeat(ref_off, 7)    # (49,) offset y
 
@@ -226,8 +240,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                       + jnp.arange(win)[None], 0, W - 1)
         wnd = jnp.take(ry.reshape(-1),
                        yy[:, :, None] * W + xx[:, None, :]).astype(jnp.int16)
-        sl = jnp.stack([wnd[:, dy : dy + S, dx : dx + S]
-                        for dy in range(7) for dx in range(7)], axis=1)
+        # one static gather for all 49 offset windows (was 49 slice ops)
+        i49 = _idx49(S, win)
+        sl = jnp.take(wnd.reshape(wnd.shape[0], -1), i49, axis=1)
         sad = jnp.abs(sl - cur[:, None]).astype(jnp.int32).sum((-1, -2))
         mvx = ccx[:, None] + jnp.asarray(rdxs)[None]
         mvy = ccy[:, None] + jnp.asarray(rdys)[None]
@@ -240,11 +255,11 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         cost = jnp.where(jnp.asarray(inner)[None], cost, jnp.int32(1 << 30))
         return sad, cost, mvx, mvy
 
-    def refine(ry, oy, cx4, cy4, S, nbh, nbw, lam_me):
-        """Full-pel refinement: 7x7 grids around the coarse winner AND the
-        zero MV (the TZ predictor set's start candidates), best of both;
-        argmin restricted to each grid's inner 5x5 so the 3x3 SAD surface
-        exists. Returns (mv_int (nb,2), sad9 (nb,9))."""
+    def refine(ry, oy, cx4, cy4, S, nbh, nbw, lam_me, with_zero=True):
+        """Full-pel refinement: 7x7 grids around the coarse winner AND
+        (optionally) the zero MV (the TZ predictor set's start candidates),
+        best of both; argmin restricted to each grid's inner 5x5 so the
+        3x3 SAD surface exists. Returns (mv_int, sad9, best_cost)."""
         nb = nbh * nbw
         bx = jnp.asarray((np.arange(nbw) * S)[None, :].repeat(nbh, 0)
                          .reshape(-1))
@@ -255,9 +270,11 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         cur = oy[: nbh * S, : nbw * S].reshape(
             nbh, S, nbw, S).transpose(0, 2, 1, 3).reshape(nb, S, S)
         cur = cur.astype(jnp.int16)
-        zero = jnp.zeros_like(ccx)
-        grids = [_refine_grid(ry, cur, bx, by, ccx, ccy, S, lam_me),
-                 _refine_grid(ry, cur, bx, by, zero, zero, S, lam_me)]
+        grids = [_refine_grid(ry, cur, bx, by, ccx, ccy, S, lam_me)]
+        if with_zero:
+            zero = jnp.zeros_like(ccx)
+            grids.append(_refine_grid(ry, cur, bx, by, zero, zero, S,
+                                      lam_me))
         sad = jnp.concatenate([g[0] for g in grids], axis=1)
         cost = jnp.concatenate([g[1] for g in grids], axis=1)
         mvx = jnp.concatenate([g[2] for g in grids], axis=1)
@@ -280,50 +297,38 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return mv, sad9, best_cost
 
     # --- MC phase planes --------------------------------------------------
-    def luma_planes(ry):
-        rp = jnp.pad(ry, PADL, mode="edge")
-        hs = []
-        for fx in range(4):
-            acc = jnp.zeros((H + 2 * PADL, WmL), jnp.int32)
-            for i in range(8):
-                t = int(taps_l[fx, i])
-                if t:
-                    acc = acc + t * rp[:, i + 1 : i + 1 + WmL]
-            hs.append(acc)
-        hst = jnp.stack(hs)  # (4, H+2PADL, WmL) 14-bit scale
-        planes = []
-        for fy in range(4):
-            acc = jnp.zeros((4, HmL, WmL), jnp.int32)
-            for j in range(8):
-                t = int(taps_l[fy, j])
-                if t:
-                    acc = acc + t * hst[:, j + 1 : j + 1 + HmL, :]
-            planes.append(jnp.clip(((acc >> 6) + 32) >> 6, 0, maxv))
-        return jnp.stack(planes).astype(jnp.int16)  # (fy, fx, HmL, WmL)
+    # einsum-batched: every ref / phase / shift in a handful of ops instead
+    # of hundreds of per-phase slice+MAC chains (per-op overhead dominated)
+    tl_j = jnp.asarray(taps_l)  # (4, 8)
+    tc_j = jnp.asarray(taps_c)  # (8, 4)
 
-    def chroma_planes(ruv):
-        planes_uv = []
-        for half in (ruv[:, :Wc], ruv[:, Wc:]):
-            rp = jnp.pad(half, PADC, mode="edge")
-            hs = []
-            for fx in range(8):
-                acc = jnp.zeros((Hc + 2 * PADC, WmC), jnp.int32)
-                for i in range(4):
-                    t = int(taps_c[fx, i])
-                    if t:
-                        acc = acc + t * rp[:, i + 1 : i + 1 + WmC]
-                hs.append(acc)
-            hst = jnp.stack(hs)
-            pl = []
-            for fy in range(8):
-                acc = jnp.zeros((8, HmC, WmC), jnp.int32)
-                for j in range(4):
-                    t = int(taps_c[fy, j])
-                    if t:
-                        acc = acc + t * hst[:, j + 1 : j + 1 + HmC, :]
-                pl.append(jnp.clip(((acc >> 6) + 32) >> 6, 0, maxv))
-            planes_uv.append(jnp.stack(pl).astype(jnp.int16))
-        return planes_uv  # [(8,8,HmC,WmC) U, same V]
+    def luma_planes_all(ry_stack):
+        """(R, H, W) -> (R, 4, 4, HmL, WmL) int16 phase planes."""
+        rp = jnp.pad(ry_stack, ((0, 0), (PADL, PADL), (PADL, PADL)),
+                     mode="edge")
+        hsh = jnp.stack([rp[:, :, i + 1 : i + 1 + WmL] for i in range(8)],
+                        axis=1)  # (R, 8, H+2PADL, WmL)
+        hst = jnp.einsum("fi,rihw->rfhw", tl_j, hsh)  # (R, 4, ...)
+        vsh = jnp.stack([hst[:, :, j + 1 : j + 1 + HmL, :] for j in range(8)],
+                        axis=1)  # (R, 8, 4, HmL, WmL)
+        pl = jnp.einsum("gj,rjfhw->rgfhw", tl_j, vsh)
+        return jnp.clip(((pl >> 6) + 32) >> 6, 0, maxv).astype(jnp.int16)
+
+    def chroma_planes_all(ruv_stack):
+        """(R, Hc, W) packed [U|V] -> (pl_u, pl_v) each
+        (R, 8, 8, HmC, WmC) int16."""
+        halves = jnp.stack([ruv_stack[:, :, :Wc], ruv_stack[:, :, Wc:]],
+                           axis=1)  # (R, 2, Hc, Wc)
+        rp = jnp.pad(halves, ((0, 0), (0, 0), (PADC, PADC), (PADC, PADC)),
+                     mode="edge")
+        hsh = jnp.stack([rp[..., i + 1 : i + 1 + WmC] for i in range(4)],
+                        axis=2)  # (R, 2, 4, Hc+2PADC, WmC)
+        hst = jnp.einsum("fi,ruihw->rufhw", tc_j, hsh)  # (R, 2, 8, ...)
+        vsh = jnp.stack([hst[:, :, :, j + 1 : j + 1 + HmC, :]
+                         for j in range(4)], axis=2)  # (R, 2, 4, 8, ...)
+        pl = jnp.einsum("gj,rujfhw->rugfhw", tc_j, vsh)
+        pl = jnp.clip(((pl >> 6) + 32) >> 6, 0, maxv).astype(jnp.int16)
+        return pl[:, 0], pl[:, 1]
 
     def pred_luma(planes, mvq_pix, ref_pix, hp, wp):
         """planes: (R, 4, 4, HmL, WmL); ref_pix: (hp, wp) ref per pixel."""
@@ -449,12 +454,13 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             sc = r + 1
             cxr = jnp.clip(cx16 * sc, -R2, R2)
             cyr = jnp.clip(cy16 * sc, -R2, R2)
-            m16.append(refine(ryr, oy, cxr, cyr, 16, nh16, nw16, lam_me))
+            m16.append(refine(ryr, oy, cxr, cyr, 16, nh16, nw16, lam_me,
+                              with_zero=(r == 0)))
             if has32:
                 cxr32 = jnp.clip(cx32 * sc, -R2, R2)
                 cyr32 = jnp.clip(cy32 * sc, -R2, R2)
                 m32.append(refine(ryr, oy, cxr32, cyr32, 32, nh32, nw32,
-                                  lam_me))
+                                  lam_me, with_zero=(r == 0)))
 
         def pick_ref(ms):
             if R == 1:
@@ -488,11 +494,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 if off is not None:
                     mvq32 = mvq32 + off
 
-        # MC phase planes for every reference
-        planes_y = jnp.stack([luma_planes(ry_stack[r]) for r in range(R)])
-        pls = [chroma_planes(ruv_stack[r]) for r in range(R)]
-        pl_u = jnp.stack([p[0] for p in pls])
-        pl_v = jnp.stack([p[1] for p in pls])
+        # MC phase planes for every reference (einsum-batched)
+        planes_y = luma_planes_all(ry_stack)
+        pl_u, pl_v = chroma_planes_all(ruv_stack)
 
         c16 = class_code(qp, lam_full, oy, ouv, planes_y, pl_u, pl_v,
                          mvq16.reshape(nh16, nw16, 2),
