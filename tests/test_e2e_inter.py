@@ -196,3 +196,46 @@ def test_wpp_substreams(tmp_path):
         out = subprocess.run([HM_DEC, "-b", str(p)], capture_output=True,
                              text=True, timeout=120).stdout
         assert out.count("(OK)") == 4 and "ERROR" not in out
+
+
+def test_intra_in_p_slices(tmp_path):
+    """Intra 8x8 fallback CUs inside P slices: conformant both in our
+    decoder and the HM oracle; engages on scene-change content."""
+    import os
+    import subprocess
+
+    import numpy as np
+
+    from tools.make_test_clip import make_clip
+    from tpuhevc.codec.decoder import decode_stream
+    from tpuhevc.codec.encoder import encode_sequence
+    from tpuhevc.codec.params import EncoderConfig, SeqParams
+
+    w, h, n = 128, 64, 4
+    clip = []
+    for i in range(n):
+        b = np.frombuffer(make_clip(w, h, 1, seed=5), np.uint8)
+        y = b[: w * h].reshape(h, w).copy()
+        if i % 2 == 1:
+            y = 255 - y  # hard scene flip
+        clip.append((y, b[w * h : w * h * 5 // 4].reshape(h // 2, w // 2)
+                     .copy(),
+                     b[w * h * 5 // 4 :].reshape(h // 2, w // 2).copy()))
+
+    class R:
+        def read_frame(self, i):
+            return clip[i] if i < len(clip) else None
+
+    cfg = EncoderConfig(
+        sps=SeqParams(width=w, height=h, max_tu_depth_intra=0),
+        qp=30, intra_period=-1, fme_mode="none", inter_backend="np",
+        intra_in_inter=True)
+    enc, _ = encode_sequence(R(), cfg, max_frames=n)
+    bs = enc.bitstream()
+    assert all(f.md5_ok for f in decode_stream(bs))
+    if os.path.exists(HM_DEC):
+        p = tmp_path / "iip.bin"
+        p.write_bytes(bs)
+        out = subprocess.run([HM_DEC, "-b", str(p)], capture_output=True,
+                             text=True, timeout=120).stdout
+        assert out.count("(OK)") == n and "ERROR" not in out

@@ -122,6 +122,11 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
 
                     y, u, v = reconstruct_frame_p(fs, sps, hdr.qp,
                                                   ref_list(deltas))
+                if (fs.inter_dir == 0).any():
+                    from .recon import reconstruct_intra_cus_inter_frame
+
+                    reconstruct_intra_cus_inter_frame(fs, sps, hdr.qp,
+                                                      (y, u, v))
             if not pps.deblocking_disabled:
                 from ..ops.deblock import deblock_frame
 

@@ -186,7 +186,10 @@ class Encoder:
                 w.write_bytes(s)
         else:
             w = headers.write_slice_header(hdr, sps, pps)
-            payload = (None if fs.sao is not None or stype == B_SLICE else
+            has_intra_cu = (stype != I_SLICE
+                            and bool((fs.inter_dir == 0).any()))
+            payload = (None if fs.sao is not None or stype == B_SLICE
+                       or has_intra_cu else
                        encode_slice_data_native(fs, sps, pps, init_row, fqp,
                                                 stype, max_merge,
                                                 n_ref_slice))
@@ -290,7 +293,7 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
     elif (cfg.intra_period == -1 and cfg.inter_backend == "jax"
           and len(frames) > 1 and not cfg.deblocking
           and not cfg.sps.sao_enabled and cfg.fme_mode != "dctif"
-          and not cfg.pps.sign_data_hiding):
+          and not cfg.pps.sign_data_hiding and not cfg.intra_in_inter):
         _ldp_scan_pipelined(enc, cfg, frames, _finish)
     else:
         for i, fr in enumerate(frames):

@@ -499,7 +499,9 @@ def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None,
         backend = "np"  # DCT-IF arm / SBH parity fix are host-side for now
     stage = _compute_stage_jax if backend == "jax" else _compute_stage_np
     per_cu = stage(cfg, (oy, ou, ov), (ry, ru, rv), nn_params, lambda_fp)
-    return assemble_frame_p(cfg, per_cu)
+    return assemble_frame_p(
+        cfg, per_cu,
+        orig=(oy, ou, ov) if cfg.intra_in_inter else None)
 
 
 def _merge_static_cus(per_cu: dict, w: int, h: int) -> dict:
@@ -547,7 +549,7 @@ def _merge_static_cus(per_cu: dict, w: int, h: int) -> dict:
 
 
 def assemble_frame_p(cfg: EncoderConfig, per_cu: dict, num_ref: int = 1,
-                     ref_pocs=None):
+                     ref_pocs=None, orig=None):
     """Decode-order decision walk (merge/skip/AMVP) + dense-array assembly.
     Shared by the synchronous path and the pipelined LD-P loop. per_cu
     entries may carry "ref" (default 0); num_ref/ref_pocs must match the
@@ -569,6 +571,7 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict, num_ref: int = 1,
     # --- decision walk in decode order (merge/skip/AMVP + store) ---------
     cells = sorted(per_cu.keys(), key=lambda p: order.order[p[1] // 8, p[0] // 8])
     h8w8 = fs.cu_log2
+    lam_intra = _full_lambda_fp(cfg.qp)
     for x0, y0 in cells:
         cu = per_cu[(x0, y0)]
         size = cu["size"]
@@ -576,6 +579,69 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict, num_ref: int = 1,
         mv = tuple(int(v) for v in cu["mv"])
         ref = int(cu.get("ref", 0))
         cbf = bool(cu["lvl"].any() or cu["lvl_u"].any() or cu["lvl_v"].any())
+        if (orig is not None and cfg.intra_in_inter and size <= 32):
+            bits_inter = int(_bits_est_np(cu["lvl"][None])[0]
+                             + _bits_est_np(cu["lvl_u"][None])[0]
+                             + _bits_est_np(cu["lvl_v"][None])[0])
+            if bits_inter > 40 * (size // 8) ** 2:  # pricey: evaluate intra
+                from .recon import encode_intra_cu8
+
+                ob = orig[0][y0 : y0 + size, x0 : x0 + size].astype(np.int32)
+                sse_inter = int(((ob - cu["rec"]) ** 2).sum())
+                cost_inter = 256 * sse_inter + lam_intra * (bits_inter + 24)
+                cs = size // 2
+                snap = (fs.coeff_y[y0 : y0 + size, x0 : x0 + size].copy(),
+                        fs.coeff_cb[y0 // 2 : y0 // 2 + cs,
+                                    x0 // 2 : x0 // 2 + cs].copy(),
+                        fs.coeff_cr[y0 // 2 : y0 // 2 + cs,
+                                    x0 // 2 : x0 // 2 + cs].copy(),
+                        rec_y[y0 : y0 + size, x0 : x0 + size].copy(),
+                        rec_u[y0 // 2 : y0 // 2 + cs,
+                              x0 // 2 : x0 // 2 + cs].copy(),
+                        rec_v[y0 // 2 : y0 // 2 + cs,
+                              x0 // 2 : x0 // 2 + cs].copy())
+                s8 = size // 8
+                y8_, x8_ = y0 // 8, x0 // 8
+                snap_modes = (
+                    fs.luma_mode[y8_ : y8_ + s8, x8_ : x8_ + s8].copy(),
+                    fs.chroma_mode[y8_ : y8_ + s8, x8_ : x8_ + s8].copy())
+                rec_y[y0 : y0 + size, x0 : x0 + size] = cu["rec"]
+                rec_u[y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs] = \
+                    cu["rec_u"]
+                rec_v[y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs] = \
+                    cu["rec_v"]
+                sse_intra = 0
+                sub = sorted(
+                    ((x0 + dx, y0 + dy) for dy in range(0, size, 8)
+                     for dx in range(0, size, 8)),
+                    key=lambda p_: order.order[p_[1] // 8, p_[0] // 8])
+                for sx, sy in sub:  # decode order over the 8-cells
+                    sse_intra += encode_intra_cu8(
+                        fs, sps, cfg.qp, (rec_y, rec_u, rec_v), orig,
+                        sx // 8, sy // 8, order, lam_intra)
+                bits_intra = int(
+                    _bits_est_np(fs.coeff_y[y0 : y0 + size,
+                                            x0 : x0 + size][None])[0]
+                ) + 10 * (size // 8) ** 2
+                cost_intra = 256 * sse_intra + lam_intra * bits_intra
+                if cost_intra < cost_inter:
+                    continue  # keep intra; cells stay out of the MV field
+                # undo: restore coeffs/recon and fall through to inter
+                fs.coeff_y[y0 : y0 + size, x0 : x0 + size] = snap[0]
+                fs.coeff_cb[y0 // 2 : y0 // 2 + cs,
+                            x0 // 2 : x0 // 2 + cs] = snap[1]
+                fs.coeff_cr[y0 // 2 : y0 // 2 + cs,
+                            x0 // 2 : x0 // 2 + cs] = snap[2]
+                rec_y[y0 : y0 + size, x0 : x0 + size] = snap[3]
+                rec_u[y0 // 2 : y0 // 2 + cs,
+                      x0 // 2 : x0 // 2 + cs] = snap[4]
+                rec_v[y0 // 2 : y0 // 2 + cs,
+                      x0 // 2 : x0 // 2 + cs] = snap[5]
+                fs.inter_dir[y8_ : y8_ + s8, x8_ : x8_ + s8] = 1
+                fs.cu_log2[y8_ : y8_ + s8, x8_ : x8_ + s8] = log2
+                fs.luma_mode[y8_ : y8_ + s8, x8_ : x8_ + s8] = snap_modes[0]
+                fs.chroma_mode[y8_ : y8_ + s8, x8_ : x8_ + s8] = \
+                    snap_modes[1]
         mcands = merge_candidates(field, order, x0, y0, size,
                                   cfg.max_num_merge_cand, num_ref)
         mvr = (mv[0], mv[1], ref)

@@ -128,6 +128,7 @@ class EncoderConfig:
     num_ref_frames: int = 1      # active L0 refs (anchor LD-P uses 4)
     gop_structure: str = "ldp"   # ldp | ra (hierarchical-B GOP4)
     target_bitrate: int = 0      # bps; > 0 enables R-lambda rate control
+    intra_in_inter: bool = False # intra 8x8 fallback CUs in P frames
 
     inter_backend: str = "np"    # "jax" = device compute stage for P frames
     hash_type: str = "md5"       # decoded-picture-hash SEI: md5 | checksum

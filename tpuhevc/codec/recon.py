@@ -183,3 +183,91 @@ def _pad_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
     if ph < h:
         out[ph:, :] = out[ph - 1 : ph, :]
     return out
+
+
+def reconstruct_intra_cus_inter_frame(fs, sps, qp: int, planes) -> None:
+    """Second reconstruction pass for inter frames: intra CUs
+    (fs.inter_dir == 0) reconstructed in decode order in-place on the
+    already-inter-filled planes (availability still follows decode order,
+    so later-in-order samples are never referenced). 8x8 TB granularity
+    (what the encoder's intra-in-inter fallback emits)."""
+    w, h = fs.width, fs.height
+    bd = sps.bit_depth
+    order = BlockOrder(w, h, sps.log2_ctu)
+    qpc = chroma_qp(qp)
+    y, u, v = planes
+    resolve = _chroma_mode_resolver(fs)
+    for x8, y8 in _decode_order_cells(w // 8, h // 8, order):
+        if int(fs.inter_dir[y8, x8]) != 0:
+            continue
+        mode = int(fs.luma_mode[y8, x8])
+        _recon_block(y, fs.coeff_y, x8 * 8, y8 * 8, 8, mode, (x8, y8),
+                     order, qp, True, bd, sps.strong_intra_smoothing, False)
+        cmode = resolve(x8, y8)
+        _recon_block(u, fs.coeff_cb, x8 * 4, y8 * 4, 4, cmode, (x8, y8),
+                     order, qpc, False, bd, False, False)
+        _recon_block(v, fs.coeff_cr, x8 * 4, y8 * 4, 4, cmode, (x8, y8),
+                     order, qpc, False, bd, False, False)
+
+
+def encode_intra_cu8(fs, sps, qp: int, planes, orig, x8: int, y8: int,
+                     order: BlockOrder, lam_fp: int) -> int:
+    """Encode one 8x8 CU intra (in an inter frame) in-place: pick the
+    SATD-best luma mode, TXQ, write coeffs/modes into fs and recon into
+    planes. Returns the SSE of the coded CU (luma + chroma)."""
+    bd = sps.bit_depth
+    qpc = chroma_qp(qp)
+    y, u, v = planes
+    oy, ou, ov = orig
+    x0, y0 = x8 * 8, y8 * 8
+    top, left = gather_refs(y, x0, y0, 8, (x8, y8), order, bd)
+    oblk = oy[y0 : y0 + 8, x0 : x0 + 8].astype(np.int32)
+    cand = intra_mpm_list(
+        int(fs.luma_mode[y8, x8 - 1]) if x8 > 0
+        and fs.inter_dir[y8, x8 - 1] == 0 else 1,
+        int(fs.luma_mode[y8 - 1, x8]) if y8 > 0
+        and fs.inter_dir[y8 - 1, x8] == 0 else 1)
+    best_mode, best_cost, best_pred = 1, None, None
+    sq = int(np.sqrt(lam_fp * 256))
+    for mode in range(35):
+        pred = predict_block_np(top, left, mode, 8, True, bd,
+                                sps.strong_intra_smoothing)
+        bits = 2 if mode in cand else 6
+        cost = int(satd_np(oblk, pred)) + ((bits * sq) >> 8)
+        if best_cost is None or cost < best_cost:
+            best_mode, best_cost, best_pred = mode, cost, pred
+    mode = best_mode
+    c = tx.forward_transform_np((oblk - best_pred)[None], bd)[0]
+    lvl = tx.quantize_np(c[None], qp, 3, bd, False)[0]
+    fs.coeff_y[y0 : y0 + 8, x0 : x0 + 8] = lvl
+    if lvl.any():
+        d = tx.dequantize_np(lvl[None], qp, 3, bd)[0]
+        r = tx.inverse_transform_np(d[None], bd)[0]
+        rec = np.clip(best_pred + r, 0, (1 << bd) - 1)
+    else:
+        rec = best_pred
+    y[y0 : y0 + 8, x0 : x0 + 8] = rec
+    sse = int(((oblk - rec) ** 2).sum())
+    fs.luma_mode[y8, x8] = mode
+    fs.chroma_mode[y8, x8] = 4
+    fs.cu_log2[y8, x8] = 3
+    fs.inter_dir[y8, x8] = 0
+    fs.skip[y8, x8] = 0
+    fs.merge_flag[y8, x8] = 0
+    for plane, oplane, coeff in ((u, ou, fs.coeff_cb), (v, ov, fs.coeff_cr)):
+        cx, cy = x8 * 4, y8 * 4
+        ctop, cleft = gather_refs(plane, cx, cy, 4, (x8, y8), order, bd)
+        cpred = predict_block_np(ctop, cleft, mode, 4, False, bd, False)
+        cblk = oplane[cy : cy + 4, cx : cx + 4].astype(np.int32)
+        cc = tx.forward_transform_np((cblk - cpred)[None], bd)[0]
+        clvl = tx.quantize_np(cc[None], chroma_qp(qp), 3 - 1, bd, False)[0]
+        coeff[cy : cy + 4, cx : cx + 4] = clvl
+        if clvl.any():
+            cd = tx.dequantize_np(clvl[None], qpc, 2, bd)[0]
+            cr = tx.inverse_transform_np(cd[None], bd)[0]
+            crec = np.clip(cpred + cr, 0, (1 << bd) - 1)
+        else:
+            crec = cpred
+        plane[cy : cy + 4, cx : cx + 4] = crec
+        sse += int(((cblk - crec) ** 2).sum())
+    return sse

@@ -733,6 +733,14 @@ def _enc_cu_p(enc, sc, x0, y0, log2):
         _enc_merge_idx(enc, merge_i, sc.max_merge)
         _mark_inter_cu(sc, x0, y0, log2, mv, 1, 1, merge_i, 0, (0, 0), ref)
         return
+    if int(fs.inter_dir[y8, x8]) == 0:  # intra CU in a P slice
+        enc.encode_bin(1, CTX_OFFSET["pred_mode_flag"])
+        sc.depth8[y8 : y8 + (1 << (log2 - 3)),
+                  x8 : x8 + (1 << (log2 - 3))] = sc.log2_ctu - log2
+        _enc_cu(enc, sc, x0, y0, log2)
+        s8 = 1 << (log2 - 3)
+        fs.inter_dir[y8 : y8 + s8, x8 : x8 + s8] = 0
+        return
     enc.encode_bin(0, CTX_OFFSET["pred_mode_flag"])  # inter
     enc.encode_bin(1, CTX_OFFSET["part_mode"])       # 2Nx2N
     enc.encode_bin(merge_f, CTX_OFFSET["merge_flag"])
@@ -766,7 +774,12 @@ def _dec_cu_p(dec, sc, x0, y0, log2):
                        cands[merge_i][2])
         return
     pred_mode = dec.decode_bin(CTX_OFFSET["pred_mode_flag"])
-    assert pred_mode == 0, "intra CU in P slice not yet emitted"
+    if pred_mode == 1:  # intra CU in a P slice
+        _dec_cu(dec, sc, x0, y0, log2)
+        s8 = 1 << (log2 - 3)
+        y8, x8 = y0 // 8, x0 // 8
+        sc.fs.inter_dir[y8 : y8 + s8, x8 : x8 + s8] = 0
+        return
     part = dec.decode_bin(CTX_OFFSET["part_mode"])
     assert part == 1
     merge_f = dec.decode_bin(CTX_OFFSET["merge_flag"])
@@ -960,6 +973,12 @@ def _enc_cu_b(enc, sc, x0, y0, log2):
         _mark_inter_cu_b(sc, x0, y0, log2, inter_dir, mv0, ref0, mv1, ref1,
                          1, 1, merge_i, 0, (0, 0), 0, (0, 0))
         return
+    if inter_dir == 0:  # intra CU in a B slice
+        enc.encode_bin(1, CTX_OFFSET["pred_mode_flag"])
+        _enc_cu(enc, sc, x0, y0, log2)
+        s8 = 1 << (log2 - 3)
+        fs.inter_dir[y8 : y8 + s8, x8 : x8 + s8] = 0
+        return
     enc.encode_bin(0, CTX_OFFSET["pred_mode_flag"])  # inter
     enc.encode_bin(1, CTX_OFFSET["part_mode"])       # 2Nx2N
     enc.encode_bin(merge_f, CTX_OFFSET["merge_flag"])
@@ -1010,7 +1029,12 @@ def _dec_cu_b(dec, sc, x0, y0, log2):
                          0, (0, 0))
         return
     pred_mode = dec.decode_bin(CTX_OFFSET["pred_mode_flag"])
-    assert pred_mode == 0
+    if pred_mode == 1:  # intra CU in a B slice
+        _dec_cu(dec, sc, x0, y0, log2)
+        s8 = 1 << (log2 - 3)
+        y8, x8 = y0 // 8, x0 // 8
+        sc.fs.inter_dir[y8 : y8 + s8, x8 : x8 + s8] = 0
+        return
     part = dec.decode_bin(CTX_OFFSET["part_mode"])
     assert part == 1
     merge_f = dec.decode_bin(CTX_OFFSET["merge_flag"])
