@@ -239,3 +239,35 @@ def test_intra_in_p_slices(tmp_path):
         out = subprocess.run([HM_DEC, "-b", str(p)], capture_output=True,
                              text=True, timeout=120).stdout
         assert out.count("(OK)") == n and "ERROR" not in out
+
+
+def test_checkpoint_resume(tmp_path):
+    """Interrupt-and-resume produces a bitstream identical to the
+    uninterrupted run (encoder state = POC + DPB recon + accumulated
+    NALs; SURVEY.md §5 checkpoint/resume)."""
+    from tpuhevc.codec.encoder import Encoder
+    from tpuhevc.codec.params import EncoderConfig, SeqParams
+
+    clip = _moving_clip(128, 64, 8)
+
+    def cfg():
+        return EncoderConfig(
+            sps=SeqParams(width=128, height=64, max_tu_depth_intra=0),
+            qp=32, intra_period=-1, fme_mode="none", inter_backend="np")
+
+    ref = Encoder(cfg())
+    for i in range(8):
+        ref.encode_frame(*clip[i], poc=i)
+    golden = ref.bitstream()
+
+    a = Encoder(cfg())
+    for i in range(4):
+        a.encode_frame(*clip[i], poc=i)
+    ck = tmp_path / "enc.ckpt"
+    a.save_checkpoint(str(ck))
+    b = Encoder(cfg())
+    poc = b.load_checkpoint(str(ck))
+    assert poc == 4
+    for i in range(poc, 8):
+        b.encode_frame(*clip[i], poc=i)
+    assert b.bitstream() == golden

@@ -249,6 +249,66 @@ class Encoder:
     def bitstream(self) -> bytes:
         return bitio.write_annexb(self.nals, self.first_of_au)
 
+    # --- checkpoint / resume (SURVEY.md §5: encoder state = next POC +
+    # DPB recon + rate-control trajectory; small and explicit, so long
+    # multi-host runs survive preemption) -------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        import json
+        import zlib
+
+        state = {
+            "next_poc": len(self.results),
+            "first_of_au": self.first_of_au,
+            "results": [(r.poc, r.bits, r.psnr_y, r.psnr_u, r.psnr_v,
+                         [h.hex() for h in r.md5]) for r in self.results],
+            "wrote_ps": self._wrote_ps,
+        }
+        blobs = [zlib.compress(n) for n in self.nals]
+        with open(path, "wb") as f:
+            hdr = json.dumps(state).encode()
+            f.write(len(hdr).to_bytes(4, "little") + hdr)
+            f.write(len(blobs).to_bytes(4, "little"))
+            for b in blobs:
+                f.write(len(b).to_bytes(4, "little") + b)
+            if self.dpb_recon is not None:
+                f.write(b"\x01")
+                for pl in self.dpb_recon:
+                    a = np.ascontiguousarray(pl, dtype=np.int32)
+                    f.write(np.asarray(a.shape, np.int32).tobytes())
+                    f.write(a.tobytes())
+            else:
+                f.write(b"\x00")
+
+    def load_checkpoint(self, path: str) -> int:
+        """Restores state; returns the next POC to encode."""
+        import json
+        import zlib
+
+        with open(path, "rb") as f:
+            n = int.from_bytes(f.read(4), "little")
+            state = json.loads(f.read(n).decode())
+            nb = int.from_bytes(f.read(4), "little")
+            self.nals = []
+            for _ in range(nb):
+                ln = int.from_bytes(f.read(4), "little")
+                self.nals.append(zlib.decompress(f.read(ln)))
+            has_dpb = f.read(1) == b"\x01"
+            if has_dpb:
+                planes = []
+                for _ in range(3):
+                    sh = np.frombuffer(f.read(8), np.int32)
+                    planes.append(np.frombuffer(
+                        f.read(int(sh[0]) * int(sh[1]) * 4), np.int32
+                    ).reshape(sh[0], sh[1]).copy())
+                self.dpb_recon = tuple(planes)
+        self.first_of_au = state["first_of_au"]
+        self._wrote_ps = state["wrote_ps"]
+        self.results = [
+            FrameResult(poc=r[0], bits=r[1], psnr_y=r[2], psnr_u=r[3],
+                        psnr_v=r[4], md5=[bytes.fromhex(h) for h in r[5]])
+            for r in state["results"]]
+        return state["next_poc"]
+
 
 def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
                     frame_encoder=None, verbose: bool = False,
