@@ -55,3 +55,32 @@ def test_dp_train_step_on_mesh():
     params, acc = nnfme.train_fme(sads, labels, hs, ws, cfg, mesh=mesh)
     assert 0.0 <= acc <= 1.0
     assert params["w1"].shape == (22, 17)
+
+
+def test_segment_parallel_encoding():
+    """GOP-segment parallel encoding: stitched stream decodes with every
+    hash OK and matches single-device RD behavior per segment."""
+    import numpy as np
+
+    from tools.make_test_clip import make_clip
+    from tpuhevc.codec.decoder import decode_stream
+    from tpuhevc.codec.params import EncoderConfig, SeqParams
+    from tpuhevc.parallel.segments import encode_segments_parallel
+
+    w, h, n = 128, 64, 8
+    raw = make_clip(w, h, n)
+    fsz = w * h * 3 // 2
+    frames = []
+    for i in range(n):
+        b = np.frombuffer(raw[i * fsz : (i + 1) * fsz], np.uint8)
+        frames.append((b[: w * h].reshape(h, w),
+                       b[w * h : w * h * 5 // 4].reshape(h // 2, w // 2),
+                       b[w * h * 5 // 4 :].reshape(h // 2, w // 2)))
+    cfg = EncoderConfig(sps=SeqParams(width=w, height=h,
+                                      max_tu_depth_intra=0),
+                        qp=32, intra_period=-1, fme_mode="none",
+                        inter_backend="np")
+    bs, results = encode_segments_parallel(frames, cfg, n_segments=2)
+    dec = decode_stream(bs)
+    assert len(dec) == n
+    assert all(f.md5_ok for f in dec)
