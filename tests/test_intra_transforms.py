@@ -86,3 +86,45 @@ def test_dc_prediction_value():
     left = np.full(2 * size + 1, 60, dtype=np.int32)
     pred = intra.predict_np(top, left, 1, size)
     assert pred[4, 4] == (100 * 8 + 60 * 8 + 8) >> 4
+
+
+def test_rdoq_improves_rd():
+    """RDOQ-lite must lower the lambda-cost D + lambda*R at the anchor
+    QPs (level decisions + CG zeroing; SURVEY.md §A.1)."""
+    import numpy as np
+
+    from tools.make_test_clip import make_clip
+    from tpuhevc.codec.decoder import decode_stream
+    from tpuhevc.codec.encoder import encode_sequence
+    from tpuhevc.codec.params import EncoderConfig, SeqParams
+    from tpuhevc.utils.tables import qp_to_lambda
+
+    w, h, n = 128, 64, 5
+    raw = make_clip(w, h, n)
+    fsz = w * h * 3 // 2
+    clip = []
+    for i in range(n):
+        b = np.frombuffer(raw[i * fsz : (i + 1) * fsz], np.uint8)
+        clip.append((b[: w * h].reshape(h, w),
+                     b[w * h : w * h * 5 // 4].reshape(h // 2, w // 2),
+                     b[w * h * 5 // 4 :].reshape(h // 2, w // 2)))
+
+    class R:
+        def read_frame(self, i):
+            return clip[i] if i < len(clip) else None
+
+    for qp in (27, 32):
+        costs = {}
+        for rdoq in (False, True):
+            cfg = EncoderConfig(
+                sps=SeqParams(width=w, height=h, max_tu_depth_intra=0),
+                qp=qp, intra_period=-1, fme_mode="none",
+                inter_backend="np", rdoq=rdoq)
+            enc, _ = encode_sequence(R(), cfg, max_frames=n)
+            assert all(f.md5_ok for f in decode_stream(enc.bitstream()))
+            bits = sum(r.bits for r in enc.results[1:])
+            py = float(np.mean([r.psnr_y for r in enc.results[1:]]))
+            mse = 255 ** 2 / 10 ** (py / 10)
+            costs[rdoq] = mse * w * h * (n - 1) + qp_to_lambda(
+                qp, 0.4624) * bits
+        assert costs[True] < costs[False] * 1.01, (qp, costs)

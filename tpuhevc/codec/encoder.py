@@ -353,7 +353,8 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
     elif (cfg.intra_period == -1 and cfg.inter_backend == "jax"
           and len(frames) > 1 and not cfg.deblocking
           and not cfg.sps.sao_enabled and cfg.fme_mode != "dctif"
-          and not cfg.pps.sign_data_hiding and not cfg.intra_in_inter):
+          and not cfg.pps.sign_data_hiding and not cfg.intra_in_inter
+          and not cfg.rdoq):
         _ldp_scan_pipelined(enc, cfg, frames, _finish)
     else:
         for i, fr in enumerate(frames):

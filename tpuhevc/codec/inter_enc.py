@@ -151,7 +151,10 @@ def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
     pred = F["mc"](ry, xs, ys, mvq, size, True, bd)
     log2 = size.bit_length() - 1
     coef = F["fwd"](cur.astype(xp.int32) - pred, bd)
-    lvl = F["quant"](coef, qp, log2, bd, False)
+    if cfg.rdoq and F["xp"] is np:
+        lvl = tx.rdoq_np(np.asarray(coef), qp, log2, bd, lam)
+    else:
+        lvl = F["quant"](coef, qp, log2, bd, False)
     if sbh:
         from ..entropy.residual import SCAN_DIAG, apply_sign_bit_hiding
 
@@ -180,7 +183,10 @@ def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
             for x, y in zip(xs_np, ys_np)])
         pred_c = F["mc"](refp, cxs, cys, mvq, cs, False, bd)
         cc = F["fwd"](cur_c.astype(xp.int32) - pred_c, bd)
-        clvl = F["quant"](cc, qpc, clog2, bd, False)
+        if cfg.rdoq and F["xp"] is np:
+            clvl = tx.rdoq_np(np.asarray(cc), qpc, clog2, bd, lam)
+        else:
+            clvl = F["quant"](cc, qpc, clog2, bd, False)
         if sbh:
             from ..entropy.residual import SCAN_DIAG, apply_sign_bit_hiding
 
@@ -495,8 +501,8 @@ def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None,
     ov = _pad_to(np.asarray(orig[2]), h // 2, w // 2)
     ry, ru, rv = (p.astype(np.int32) for p in ref_recon)
     lambda_fp = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
-    if cfg.fme_mode == "dctif" or cfg.pps.sign_data_hiding:
-        backend = "np"  # DCT-IF arm / SBH parity fix are host-side for now
+    if cfg.fme_mode == "dctif" or cfg.pps.sign_data_hiding or cfg.rdoq:
+        backend = "np"  # DCT-IF / SBH / RDOQ are host-side for now
     stage = _compute_stage_jax if backend == "jax" else _compute_stage_np
     per_cu = stage(cfg, (oy, ou, ov), (ry, ru, rv), nn_params, lambda_fp)
     return assemble_frame_p(

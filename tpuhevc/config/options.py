@@ -144,6 +144,8 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
             sps.max_tu_depth_inter = int(v) - 1
         elif k == "SAO":
             sps.sao_enabled = _b(v)
+        elif k == "RDOQ":
+            cfg.rdoq = _b(v)
         elif k == "WaveFrontSynchro":
             cfg.pps.entropy_coding_sync = _b(v)
         elif k == "NumRefFrames":  # active L0 refs (HM GOP-table column)

@@ -157,3 +157,61 @@ def ideal_levels_np(coeff: np.ndarray, qp: int, log2_size: int,
     tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     qbits = 14 + per + tshift
     return coeff.astype(np.float64) * int(QUANT_SCALES[rem]) / (1 << qbits)
+
+
+def rdoq_np(coeff: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8,
+            lam_fp256: int = 256, is_intra_slice: bool = False,
+            scan: np.ndarray | None = None) -> np.ndarray:
+    """Rate-distortion optimized quantization, vectorized approximation of
+    TComTrQuant::xRateDistOptQuant (TComTrQuant.cpp:2129, SURVEY.md §A.1):
+
+    - per-coefficient level choice among {ceil, ceil-1, 0} by
+      distortion + lambda*bits with the quantizer's true error scale
+      (running CABAC context state replaced by a Golomb-ish bit proxy,
+      which keeps the decision vectorizable over whole batches);
+    - per-4x4-CG all-zero trial (the dominant tail-trimming effect of the
+      reference's CG loop + last-position search).
+
+    coeff: (..., S, S). lam_fp256: lambda in 8.8 fixed point.
+    Returns int32 levels.
+    """
+    qpe = qp + 6 * (bit_depth - 8)
+    per, rem = qpe // 6, qpe % 6
+    tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = 14 + per + tshift
+    scale = float(QUANT_SCALES[rem])
+    # 1.5x: the Golomb-ish proxy underestimates context-coded bits
+    lam = 1.5 * lam_fp256 / 256.0  # FULL lambda (not the sqrt ME one)
+    c = coeff.astype(np.float64)
+    ac = np.abs(c) * scale  # lLevelDouble
+    lmax = np.ceil(ac / (1 << qbits)).astype(np.int64)
+    # residual-domain error of level l: (ac - l*2^qbits) / (scale*2^tshift)
+    err_den = scale * (1 << tshift)
+
+    def cost(l):
+        d = (ac - l * float(1 << qbits)) / err_den
+        bits = np.where(l > 0, 2 * np.floor(np.log2(np.maximum(l, 1)))
+                        + 3 + 1, 0.0)  # golomb-ish + sign
+        return d * d + lam * bits
+
+    l1 = np.maximum(lmax, 0)
+    l2 = np.maximum(lmax - 1, 0)
+    best = np.where(cost(l1) <= cost(l2), l1, l2)
+    best = np.where(cost(best) <= cost(np.zeros_like(best)), best, 0)
+
+    # per-CG zero trial
+    s = 1 << log2_size
+    shp = best.shape
+    b4 = best.reshape(-1, s // 4, 4, s // 4, 4)
+    c4 = (ac / err_den).reshape(-1, s // 4, 4, s // 4, 4)
+    dz = (ac - best * float(1 << qbits)) / err_den
+    dz2 = (dz * dz).reshape(-1, s // 4, 4, s // 4, 4).sum((2, 4))
+    z2 = (c4 * c4).sum((2, 4))  # distortion of all-zero CG
+    bits_cg = np.where(
+        b4 > 0, 2 * np.floor(np.log2(np.maximum(b4, 1))) + 4, 0.0
+    ).sum((2, 4)) + 4.0  # + sig-CG flag-ish overhead
+    keep = dz2 + lam * bits_cg <= z2 + lam * 1.0
+    best = np.where(np.repeat(np.repeat(keep, 4, 1), 4, 2)
+                    .reshape(-1, s, s).reshape(shp), best, 0)
+    lvl = np.sign(c) * best
+    return np.clip(lvl, -32768, 32767).astype(np.int32)
