@@ -498,14 +498,61 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         planes_y = luma_planes_all(ry_stack)
         pl_u, pl_v = chroma_planes_all(ruv_stack)
 
+        def smooth_mv(mv_grid, ref_grid, S, nbh, nbw):
+            """Merge-coherence smoothing: adopt the left/top neighbor's
+            (mv, ref) when its luma prediction is nearly as good — the
+            walk then codes those CUs as merge/skip (the reference gets
+            this from xCheckRDCostMerge2Nx2N's RD trial of merge
+            candidates, TEncCu.cpp:455). Jacobi sweeps, device-batched."""
+            Hp, Wp = nbh * S, nbw * S
+            oy_c = oy[:Hp, :Wp]
+            bonus = (lam_full * 14) >> 8  # merge-vs-AMVP bit saving
+            sse0 = None
+            for axis, srcsl in ((1, np.s_[:, :1]), (0, np.s_[:1, :]),
+                                (1, np.s_[:, :1])):
+                if sse0 is None:
+                    p0 = pred_luma(planes_y,
+                                   jnp.stack([up(mv_grid[..., 0], S),
+                                              up(mv_grid[..., 1], S)], -1),
+                                   up(ref_grid, S), Hp, Wp)
+                    sse0 = tile_sum((oy_c - p0) ** 2, S)
+                if axis == 1:
+                    mvc = jnp.concatenate([mv_grid[:, :1],
+                                           mv_grid[:, :-1]], axis=1)
+                    refc = jnp.concatenate([ref_grid[:, :1],
+                                            ref_grid[:, :-1]], axis=1)
+                else:
+                    mvc = jnp.concatenate([mv_grid[:1], mv_grid[:-1]],
+                                          axis=0)
+                    refc = jnp.concatenate([ref_grid[:1], ref_grid[:-1]],
+                                           axis=0)
+                pc = pred_luma(planes_y,
+                               jnp.stack([up(mvc[..., 0], S),
+                                          up(mvc[..., 1], S)], -1),
+                               up(refc, S), Hp, Wp)
+                ssec = tile_sum((oy_c - pc) ** 2, S)
+                adopt = ssec <= sse0 + bonus
+                mv_grid = jnp.where(adopt[..., None], mvc, mv_grid)
+                ref_grid = jnp.where(adopt, refc, ref_grid)
+                sse0 = jnp.where(adopt, ssec, sse0)
+            return mv_grid, ref_grid
+
+        mvg16, refg16 = smooth_mv(mvq16.reshape(nh16, nw16, 2),
+                                  ref16.reshape(nh16, nw16), 16, nh16,
+                                  nw16)
+        mvq16 = mvg16.reshape(n16, 2)
+        ref16 = refg16.reshape(n16)
         c16 = class_code(qp, lam_full, oy, ouv, planes_y, pl_u, pl_v,
-                         mvq16.reshape(nh16, nw16, 2),
-                         ref16.reshape(nh16, nw16), 16, nh16, nw16)
+                         mvg16, refg16, 16, nh16, nw16)
         use32 = None
         if has32:
+            mvg32, refg32 = smooth_mv(mvq32.reshape(nh32, nw32, 2),
+                                      ref32.reshape(nh32, nw32), 32,
+                                      nh32, nw32)
+            mvq32 = mvg32.reshape(n32, 2)
+            ref32 = refg32.reshape(n32)
             c32 = class_code(qp, lam_full, oy, ouv, planes_y, pl_u, pl_v,
-                             mvq32.reshape(nh32, nw32, 2),
-                             ref32.reshape(nh32, nw32), 32, nh32, nw32)
+                             mvg32, refg32, 32, nh32, nw32)
             d16_ = c16["d"][: nh32 * 2, : nw32 * 2]
             b16_ = c16["bits"][: nh32 * 2, : nw32 * 2]
             c16cost = (d16_ + ((lam_full * (b16_ + _OVH)) >> 8)).reshape(
