@@ -16,7 +16,7 @@ import numpy as np
 from ..entropy import bitio, headers
 from ..entropy.cabac import CabacDecoder, ContextSet
 from ..entropy.syntax import decode_slice_data
-from ..utils.yuv import picture_checksum, picture_md5
+from ..utils.yuv import picture_checksum, picture_crc, picture_md5
 from .params import B_SLICE, I_SLICE, P_SLICE
 from .recon import reconstruct_frame
 
@@ -52,7 +52,9 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
             parsed = headers.parse_picture_hash_sei(rbsp)
             if parsed is not None and pending is not None and with_hash_check:
                 htype, hashes = parsed
-                calc = picture_md5 if htype == 0 else picture_checksum
+                # hash_type per D.3.19: 0 = MD5, 1 = CRC, 2 = checksum
+                calc = {0: picture_md5, 1: picture_crc,
+                        2: picture_checksum}[htype]
                 got = calc(pending.y, pending.u, pending.v, sps.bit_depth)
                 pending.md5_ok = got == hashes
             continue

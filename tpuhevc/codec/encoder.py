@@ -228,6 +228,10 @@ class Encoder:
                 from ..utils.yuv import picture_checksum
 
                 hashes, htype = picture_checksum(ry, ru, rv, sps.bit_depth), 2
+            elif cfg.hash_type == "crc":
+                from ..utils.yuv import picture_crc
+
+                hashes, htype = picture_crc(ry, ru, rv, sps.bit_depth), 1
             else:
                 hashes, htype = picture_md5(ry, ru, rv, sps.bit_depth), 0
             psnrs = (psnr(y, ry[: y.shape[0], : y.shape[1]], sps.bit_depth),
@@ -441,52 +445,73 @@ def _ra_gop4(enc, cfg, frames, finish):
         dpb[poc] = enc._recon
 
 
-def _ldp_scan_pipelined(enc, cfg, frames, finish, chunk_frames: int = 8):
-    """LD-P loop batched through the tunnel: K frames per scan dispatch
-    (one upload, one compact fetch), recon chained on device, host
-    serialization of chunk i overlapped with device compute of chunk i+1."""
-    import jax.numpy as jnp
+class LdpScanDriver:
+    """Chunked LD-P scan with explicit dispatch/collect halves so callers
+    can overlap device compute with host serialization — and, with several
+    drivers on several devices, overlap whole segments (parallel/segments).
 
-    from . import inter_grid
-    from .inter_batch import build_ldp_scan, collect_frame
-    from .inter_enc import assemble_frame_p
-    from .recon import _pad_to
+    Protocol: num_chunks() times { dispatch(ci) ; collect() } — dispatch
+    is async (device work + async fetch started), collect blocks on the
+    previously dispatched chunk and serializes its frames via `finish`.
+    """
 
-    sps = cfg.sps
-    w, h = sps.coded_width, sps.coded_height
-    offs = tuple(cfg.gop_qp_offsets) or (0,)
-    G = len(offs)
-    n_gops = max(1, chunk_frames // G)
-    K = n_gops * G
-    qps = set(min(max(cfg.qp + o, 0), 51) for o in offs)
-    nn_by_qp = {qp: enc._nn_for_qp(qp) for qp in qps}
-    grid = inter_grid.supports(cfg)
-    if grid and not cfg.fetch_recon:
-        # the no-recon-fetch layout needs the native walk and 32-blocks
-        from ..entropy.native import get_lib
+    def __init__(self, enc, cfg, frames, finish, chunk_frames: int = 8):
+        from . import inter_grid
+        from .inter_batch import build_ldp_scan, collect_frame
 
-        lib = get_lib()
-        if (lib is None or not hasattr(lib, "tpuhevc_decision_walk")
-                or min(h, w) < 32):
-            cfg = dataclasses.replace(cfg, fetch_recon=True)
-    if grid:
-        fn, _, _ = inter_grid.build_ldp_grid_scan(cfg, nn_by_qp, n_gops)
-        collect = inter_grid.collect_grid_frame
-    else:
-        fn, grids, _ = build_ldp_scan(cfg, nn_by_qp, n_gops)
-        collect = collect_frame
+        self.enc, self.frames, self.finish = enc, frames, finish
+        sps = cfg.sps
+        self.w, self.h = sps.coded_width, sps.coded_height
+        offs = tuple(cfg.gop_qp_offsets) or (0,)
+        G = len(offs)
+        self.n_gops = max(1, chunk_frames // G)
+        self.G = G
+        self.K = self.n_gops * G
+        qps = set(min(max(cfg.qp + o, 0), 51) for o in offs)
+        nn_by_qp = {qp: enc._nn_for_qp(qp) for qp in qps}
+        self.grid = inter_grid.supports(cfg)
+        if self.grid and not cfg.fetch_recon:
+            # the no-recon-fetch layout needs the native walk and 32-blocks
+            from ..entropy.native import get_lib
 
-    finish(0, frames[0])  # IDR (device intra path)
-    ry, ru, rv = (jnp.asarray(np.asarray(p, dtype=np.int32))
-                  for p in enc.dpb_recon)
-    R = max(1, cfg.num_ref_frames) if grid else 1
-    if grid:
-        ruv = jnp.concatenate([ru, rv], axis=1)
-        refs = (jnp.repeat(ry[None], R, 0), jnp.repeat(ruv[None], R, 0))
-    else:
-        refs = (ry, ru, rv)
+            lib = get_lib()
+            if (lib is None or not hasattr(lib, "tpuhevc_decision_walk")
+                    or min(self.h, self.w) < 32):
+                cfg = dataclasses.replace(cfg, fetch_recon=True)
+        self.cfg = cfg
+        if self.grid:
+            self.fn, _, _ = inter_grid.build_ldp_grid_scan(
+                cfg, nn_by_qp, self.n_gops)
+            self.collect_fn = inter_grid.collect_grid_frame
+        else:
+            self.fn, _, _ = build_ldp_scan(cfg, nn_by_qp, self.n_gops)
+            self.collect_fn = collect_frame
+        self.R = max(1, cfg.num_ref_frames) if self.grid else 1
+        self.refs = None
+        self.pending: list = []
+        self.starts = list(range(0, len(frames) - 1, self.K))
 
-    def chunk_u8(blk):
+    def num_chunks(self) -> int:
+        return len(self.starts)
+
+    def start(self):
+        """Encode the leading IDR and stage the reference planes."""
+        import jax.numpy as jnp
+
+        self.finish(0, self.frames[0])  # IDR (device intra path)
+        ry, ru, rv = (jnp.asarray(np.asarray(p, dtype=np.int32))
+                      for p in self.enc.dpb_recon)
+        if self.grid:
+            ruv = jnp.concatenate([ru, rv], axis=1)
+            self.refs = (jnp.repeat(ry[None], self.R, 0),
+                         jnp.repeat(ruv[None], self.R, 0))
+        else:
+            self.refs = (ry, ru, rv)
+
+    def _chunk_u8(self, blk):
+        from .recon import _pad_to
+
+        w, h = self.w, self.h
         rows = []
         for y, u, v in blk:
             rows.append(np.concatenate([
@@ -494,42 +519,64 @@ def _ldp_scan_pipelined(enc, cfg, frames, finish, chunk_frames: int = 8):
                 _pad_to(np.asarray(u), h // 2, w // 2).astype(np.uint8).ravel(),
                 _pad_to(np.asarray(v), h // 2, w // 2).astype(np.uint8).ravel(),
             ]))
-        return np.stack(rows).reshape(n_gops, G, -1)
+        return np.stack(rows).reshape(self.n_gops, self.G, -1)
 
-    pframes = frames[1:]
-    starts = list(range(0, len(pframes), K))
-    pending = None
-    for ci in range(len(starts) + 1):
-        if ci < len(starts):
-            s = starts[ci]
-            blk = pframes[s : s + K]
-            nvalid = len(blk)
-            blk = blk + [blk[-1]] * (K - nvalid)
-            if grid:
-                nav = np.array([max(1, min(s + 1 + j, R)) for j in range(K)],
-                               np.int32).reshape(n_gops, G)
-                out = fn(jnp.asarray(chunk_u8(blk)), jnp.asarray(nav), *refs)
-            else:
-                out = fn(jnp.asarray(chunk_u8(blk)), *refs)
-            buf, refs = out[0], out[1:]
-            try:
-                buf.copy_to_host_async()
-            except Exception:
-                pass
-        if pending is not None:
-            ps, pnv, pbuf = pending
-            rows = np.asarray(pbuf)
-            for j in range(pnv):
-                poc = ps + 1 + j
-                n_ref = max(1, min(poc, R))
-                cfg_f = dataclasses.replace(cfg, qp=enc.frame_qp(poc))
-                pre = (inter_grid.assemble_grid_frame(cfg_f, rows[j], n_ref)
-                       if grid else None)
-                if pre is None:
-                    per_cu = collect(cfg_f, rows[j])
-                    pre = assemble_frame_p(cfg_f, per_cu, n_ref)
-                finish(poc, frames[poc], pre)
-        pending = (s, nvalid, buf) if ci < len(starts) else None
+    def dispatch(self, ci: int) -> None:
+        import jax.numpy as jnp
+
+        s = self.starts[ci]
+        pframes = self.frames[1:]
+        blk = pframes[s : s + self.K]
+        nvalid = len(blk)
+        blk = blk + [blk[-1]] * (self.K - nvalid)
+        if self.grid:
+            nav = np.array([max(1, min(s + 1 + j, self.R))
+                            for j in range(self.K)],
+                           np.int32).reshape(self.n_gops, self.G)
+            out = self.fn(jnp.asarray(self._chunk_u8(blk)),
+                          jnp.asarray(nav), *self.refs)
+        else:
+            out = self.fn(jnp.asarray(self._chunk_u8(blk)), *self.refs)
+        buf, self.refs = out[0], out[1:]
+        try:
+            buf.copy_to_host_async()
+        except Exception:
+            pass
+        self.pending.append((s, nvalid, buf))
+
+    def collect(self) -> None:
+        """Serialize the oldest in-flight chunk (blocks on its fetch)."""
+        from . import inter_grid
+        from .inter_enc import assemble_frame_p
+
+        if not self.pending:
+            return
+        ps, pnv, pbuf = self.pending.pop(0)
+        rows = np.asarray(pbuf)
+        for j in range(pnv):
+            poc = ps + 1 + j
+            n_ref = max(1, min(poc, self.R))
+            cfg_f = dataclasses.replace(self.cfg, qp=self.enc.frame_qp(poc))
+            pre = (inter_grid.assemble_grid_frame(cfg_f, rows[j], n_ref)
+                   if self.grid else None)
+            if pre is None:
+                per_cu = self.collect_fn(cfg_f, rows[j])
+                pre = assemble_frame_p(cfg_f, per_cu, n_ref)
+            self.finish(poc, self.frames[poc], pre)
+
+
+def _ldp_scan_pipelined(enc, cfg, frames, finish, chunk_frames: int = 8):
+    """LD-P loop batched through the tunnel: K frames per scan dispatch
+    (one upload, one compact fetch), recon chained on device, host
+    serialization of chunk i overlapped with device compute of chunk i+1."""
+    drv = LdpScanDriver(enc, cfg, frames, finish, chunk_frames)
+    drv.start()
+    n = drv.num_chunks()
+    for ci in range(n):
+        drv.dispatch(ci)
+        if ci > 0:  # serialize chunk ci-1 while chunk ci computes
+            drv.collect()
+    drv.collect()
 
 
 def _load_nn_params(cfg: EncoderConfig):

@@ -132,7 +132,7 @@ class EncoderConfig:
     rdoq: bool = False           # RD-optimized quantization (host paths)
 
     inter_backend: str = "np"    # "jax" = device compute stage for P frames
-    hash_type: str = "md5"       # decoded-picture-hash SEI: md5 | checksum
+    hash_type: str = "md5"       # decoded-picture-hash SEI: md5|crc|checksum
     fetch_recon: bool = True     # False: leave P recon on device (checksum
                                  # hash + PSNR computed there; no ReconFile)
     gop_qp_offsets: tuple = ()   # per-GOP-position P-frame QP offsets (HM

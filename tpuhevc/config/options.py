@@ -22,10 +22,17 @@ class GopEntry:
     slice_type: str = "P"
     poc_offset: int = 1
     qp_offset: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
     qp_factor: float = 0.5
+    tc_offset_div2: int = 0
+    beta_offset_div2: int = 0
     temporal_id: int = 0
     num_ref_pics_active: int = 1
     ref_pics: list = field(default_factory=list)  # delta POCs
+    inter_rps_predict: int = 0
+    delta_rps: int = 0
+    ref_idcs: list = field(default_factory=list)
 
 
 def parse_cfg_file(path: str, into: dict | None = None) -> dict:
@@ -47,20 +54,36 @@ def parse_cfg_file(path: str, into: dict | None = None) -> dict:
 
 
 def parse_gop_entry(val: str) -> GopEntry:
+    """HM-16.9 GOP row (TAppEncCfg.cpp istream>>GOPEntry):
+    Type POC QPoffset CbQPoffset CrQPoffset QPfactor tcOffsetDiv2
+    betaOffsetDiv2 temporal_id #ref_pics_active #ref_pics ref_pics...
+    predict [deltaRPS #ref_idcs ref_idcs...]. Older two-column variants
+    (QPfactor directly after QPoffset) are auto-detected by locating the
+    float column."""
     t = val.split()
     e = GopEntry()
     e.slice_type = t[0]
     e.poc_offset = int(t[1])
     e.qp_offset = int(t[2])
-    e.qp_factor = float(t[3])
-    # HM layout: type POC QPoffset QPfactor tcOffsetDiv2 betaOffsetDiv2
-    #            temporal_id num_ref_pics_active num_ref_pics ref_pics... [pred]
+    # locate QPfactor: the first token containing '.' among columns 3..5
+    fi = next((i for i in (3, 4, 5) if i < len(t) and "." in t[i]), 3)
+    if fi == 5:  # genuine HM-16.9 layout with chroma QP offset columns
+        e.cb_qp_offset = int(t[3])
+        e.cr_qp_offset = int(t[4])
+    e.qp_factor = float(t[fi])
     try:
-        e.temporal_id = int(t[6])
-        nactive = int(t[7])
-        nref = int(t[8])
-        e.num_ref_pics_active = nactive
-        e.ref_pics = [int(x) for x in t[9 : 9 + nref]]
+        e.tc_offset_div2 = int(t[fi + 1])
+        e.beta_offset_div2 = int(t[fi + 2])
+        e.temporal_id = int(t[fi + 3])
+        e.num_ref_pics_active = int(t[fi + 4])
+        nref = int(t[fi + 5])
+        e.ref_pics = [int(x) for x in t[fi + 6 : fi + 6 + nref]]
+        p = fi + 6 + nref
+        e.inter_rps_predict = int(t[p])
+        if e.inter_rps_predict:
+            e.delta_rps = int(t[p + 1])
+            nidc = int(t[p + 2])
+            e.ref_idcs = [int(x) for x in t[p + 3 : p + 3 + nidc]]
     except (IndexError, ValueError):
         pass
     return e

@@ -525,9 +525,9 @@ def parse_picture_hash_sei(data: bytes) -> list[bytes] | None:
     if ptype != 132:
         return None
     hash_type = r.read(8)
-    if hash_type not in (0, 2):
+    if hash_type not in (0, 1, 2):
         return None
-    hlen = 16 if hash_type == 0 else 4
+    hlen = {0: 16, 1: 2, 2: 4}[hash_type]
     n = (psize - 1) // hlen
     return hash_type, [bytes(r.read(8) for _ in range(hlen))
                        for _ in range(n)]

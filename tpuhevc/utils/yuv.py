@@ -95,6 +95,30 @@ def picture_checksum(y, u, v, bit_depth: int = 8) -> list[bytes]:
     return [plane_checksum(p, bit_depth) for p in (y, u, v)]
 
 
+def plane_crc(p: np.ndarray, bit_depth: int = 8) -> bytes:
+    """Decoded-picture-hash CRC (D.3.19 / TComPicYuvMD5.cpp:89 compCRC):
+    CRC-16 poly 0x1021 init 0xffff over per-sample bytes (low byte first
+    sample order; for >8-bit the high byte follows the low byte of each
+    sample), with 16 zero bits pushed at the end. binascii.crc_hqx is the
+    non-augmented table form of the same polynomial; the augmented result
+    equals crc_hqx with the init shifted through those 16 bits:
+    0xffff * x^16 mod G = 0x1d0f (verified against a direct transcription
+    of the reference loop in tests/test_options.py)."""
+    import binascii
+
+    if bit_depth <= 8:
+        data = np.ascontiguousarray(p, dtype=np.uint8).tobytes()
+    else:
+        # compCRC feeds bits 7..0 then 15..8 of each sample
+        a = np.ascontiguousarray(p, dtype=np.uint16)
+        data = a.astype("<u2").tobytes()
+    return int(binascii.crc_hqx(data, 0x1D0F)).to_bytes(2, "big")
+
+
+def picture_crc(y, u, v, bit_depth: int = 8) -> list[bytes]:
+    return [plane_crc(p, bit_depth) for p in (y, u, v)]
+
+
 def psnr(ref: np.ndarray, rec: np.ndarray, bit_depth: int = 8) -> float:
     maxv = (1 << bit_depth) - 1
     mse = np.mean((ref.astype(np.float64) - rec.astype(np.float64)) ** 2)
