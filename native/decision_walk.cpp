@@ -77,21 +77,152 @@ static void scale_mv(int mvx, int mvy, int tb, int td, int out[2]) {
 
 }  // namespace
 
-extern "C" int tpuhevc_decision_walk(
-    // per-16 grid (nh16 x nw16): quarter-pel MVs + ref + cbf
-    const int32_t* mvq16, const uint8_t* ref16, const uint8_t* cbf16,
-    // per-32 grid (nh32 x nw32)
-    const int32_t* mvq32, const uint8_t* ref32, const uint8_t* cbf32,
-    const uint8_t* use32,
-    int W, int H, int log2_ctu, int max_merge, int num_ref,
-    // outputs, all (h8*w8) int32 except mv/mvd (h8*w8*2)
-    int32_t* cu_log2, int32_t* mv_out, int32_t* ref_out, int32_t* skip,
-    int32_t* merge_flag, int32_t* merge_idx, int32_t* mvp_flag,
-    int32_t* mvd) {
-  if (W % 16 || H % 16) return -1;
-  const int nw16 = W / 16, nh16 = H / 16;
-  const int nw32 = W / 32, nh32 = H / 32;
-  Walk wk;
+namespace {
+
+// shared decode-order walk over explicit CU origins: derives merge /
+// AMVP syntax per §8.5.3.2.3/.2.6/.2.8 exactly as the decoder would
+struct Cu { int x0, y0, size; int64_t ord; };
+
+static void walk_cus(Walk& wk, std::vector<Cu>& cus,
+                     const int32_t* cmv, const int32_t* cref,
+                     const uint8_t* ccbf,
+                     int32_t* cu_log2, int32_t* mv_out, int32_t* ref_out,
+                     int32_t* skip, int32_t* merge_flag, int32_t* merge_idx,
+                     int32_t* mvp_flag, int32_t* mvd) {
+  std::sort(cus.begin(), cus.end(),
+            [](const Cu& a, const Cu& b) { return a.ord < b.ord; });
+  const int w8 = wk.w8;
+  for (const Cu& cu : cus) {
+    int cx8 = cu.x0 / 8, cy8 = cu.y0 / 8;
+    int c0 = cy8 * w8 + cx8;
+    int cmx = cmv[2 * c0], cmy = cmv[2 * c0 + 1], crf = cref[c0];
+    int n = cu.size, s8 = n / 8;
+    bool has_cbf = false;
+    for (int dy = 0; dy < s8; dy++)
+      for (int dx = 0; dx < s8; dx++)
+        has_cbf |= ccbf[(cy8 + dy) * w8 + (cx8 + dx)] != 0;
+
+    // merge candidates (mvx, mvy, ref): A1, B1, B0, A0, B2 + zero fill
+    int cand[5][3];
+    int ncand = 0;
+    int a1[3], b1[3], b0[3], a0[3], b2[3];
+    bool ha1 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n - 1, a1);
+    bool hb1 = wk.neighbor(cx8, cy8, cu.x0 + n - 1, cu.y0 - 1, b1);
+    bool hb0 = wk.neighbor(cx8, cy8, cu.x0 + n, cu.y0 - 1, b0);
+    bool ha0 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n, a0);
+    bool hb2 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 - 1, b2);
+    auto eq = [](const int* a, const int* b) {
+      return a[0] == b[0] && a[1] == b[1] && a[2] == b[2];
+    };
+    auto push = [&](const int* c) {
+      cand[ncand][0] = c[0]; cand[ncand][1] = c[1]; cand[ncand][2] = c[2];
+      ncand++;
+    };
+    if (ha1) push(a1);
+    if (hb1 && !(ha1 && eq(b1, a1))) push(b1);
+    if (hb0 && !(hb1 && eq(b0, b1))) push(b0);
+    if (ha0 && !(ha1 && eq(a0, a1))) push(a0);
+    if (ncand < 4 && hb2 && !(ha1 && eq(b2, a1)) && !(hb1 && eq(b2, b1)))
+      push(b2);
+    int zero_i = 0;
+    for (; ncand < wk.max_merge; ncand++, zero_i++) {
+      cand[ncand][0] = 0; cand[ncand][1] = 0;
+      cand[ncand][2] = zero_i < wk.num_ref ? zero_i : 0;
+    }
+    int merge_i = -1;
+    for (int k = 0; k < wk.max_merge; k++)
+      if (cand[k][0] == cmx && cand[k][1] == cmy && cand[k][2] == crf) {
+        merge_i = k;
+        break;
+      }
+
+    int lg = 0; while ((1 << lg) < n) lg++;
+    for (int dy = 0; dy < s8; dy++)
+      for (int dx = 0; dx < s8; dx++) {
+        int c = (cy8 + dy) * w8 + (cx8 + dx);
+        cu_log2[c] = lg;
+        mv_out[2 * c] = cmx;
+        mv_out[2 * c + 1] = cmy;
+        ref_out[c] = crf;
+      }
+    if (merge_i >= 0) {
+      for (int dy = 0; dy < s8; dy++)
+        for (int dx = 0; dx < s8; dx++) {
+          int c = (cy8 + dy) * w8 + (cx8 + dx);
+          merge_flag[c] = 1;
+          merge_idx[c] = merge_i;
+          if (!has_cbf) skip[c] = 1;
+        }
+    } else {
+      // AMVP per TComDataCU::fillMvpCand (§8.5.3.2.6)
+      int apos[2][2] = {{cu.x0 - 1, cu.y0 + n}, {cu.x0 - 1, cu.y0 + n - 1}};
+      int bpos[3][2] = {{cu.x0 + n, cu.y0 - 1}, {cu.x0 + n - 1, cu.y0 - 1},
+                        {cu.x0 - 1, cu.y0 - 1}};
+      bool have_a[2], have_b[3];
+      int mva[2][3], mvb[3][3];
+      for (int i = 0; i < 2; i++)
+        have_a[i] = wk.neighbor(cx8, cy8, apos[i][0], apos[i][1], mva[i]);
+      for (int i = 0; i < 3; i++)
+        have_b[i] = wk.neighbor(cx8, cy8, bpos[i][0], bpos[i][1], mvb[i]);
+      bool is_scaled = have_a[0] || have_a[1];
+      int ac[2][2] = {{0, 0}, {0, 0}};
+      int na = 0;
+      auto unscaled = [&](bool* have, int (*mvs)[3], int npos,
+                          int out[2]) -> bool {
+        for (int i = 0; i < npos; i++)
+          if (have[i] && mvs[i][2] == crf) {
+            out[0] = mvs[i][0]; out[1] = mvs[i][1];
+            return true;
+          }
+        return false;
+      };
+      auto scaled = [&](bool* have, int (*mvs)[3], int npos,
+                        int out[2]) -> bool {
+        for (int i = 0; i < npos; i++)
+          if (have[i]) {
+            scale_mv(mvs[i][0], mvs[i][1], crf + 1, mvs[i][2] + 1, out);
+            return true;
+          }
+        return false;
+      };
+      int tmp[2];
+      if (is_scaled &&
+          (unscaled(have_a, mva, 2, tmp) || scaled(have_a, mva, 2, tmp))) {
+        ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
+      }
+      if (unscaled(have_b, mvb, 3, tmp)) {
+        ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
+      }
+      if (!is_scaled && na < 2 && scaled(have_b, mvb, 3, tmp)) {
+        ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
+      }
+      if (na == 2 && ac[0][0] == ac[1][0] && ac[0][1] == ac[1][1]) {
+        na = 1; ac[1][0] = 0; ac[1][1] = 0;
+      }
+      int d0 = abs(cmx - ac[0][0]) + abs(cmy - ac[0][1]);
+      int d1 = abs(cmx - ac[1][0]) + abs(cmy - ac[1][1]);
+      int mvp = d1 < d0 ? 1 : 0;
+      for (int dy = 0; dy < s8; dy++)
+        for (int dx = 0; dx < s8; dx++) {
+          int c = (cy8 + dy) * w8 + (cx8 + dx);
+          mvp_flag[c] = mvp;
+          mvd[2 * c] = cmx - ac[mvp][0];
+          mvd[2 * c + 1] = cmy - ac[mvp][1];
+        }
+    }
+    for (int dy = 0; dy < s8; dy++)
+      for (int dx = 0; dx < s8; dx++) {
+        int c = (cy8 + dy) * w8 + (cx8 + dx);
+        wk.fmvx[c] = cmx;
+        wk.fmvy[c] = cmy;
+        wk.fref[c] = crf;
+        wk.fvalid[c] = 1;
+      }
+  }
+}
+
+static void init_walk(Walk& wk, int W, int H, int log2_ctu, int max_merge,
+                      int num_ref) {
   wk.W = W; wk.H = H; wk.w8 = W / 8; wk.h8 = H / 8;
   wk.log2_ctu = log2_ctu; wk.max_merge = max_merge; wk.num_ref = num_ref;
   wk.cps = 1 << (log2_ctu - 3);
@@ -108,6 +239,62 @@ extern "C" int tpuhevc_decision_walk(
       wk.order[y8 * wk.w8 + x8] =
           ctu * per_ctu + morton(x8 % wk.cps, y8 % wk.cps, log2_ctu - 3);
     }
+}
+
+}  // namespace
+
+// v2 walk: the device stage hands over final per-8x8-cell maps
+// (cu_log2, mv quarter-pel, ref idx, cbf); this derives the merge /
+// skip / AMVP syntax in decode order. Size map must be quadtree-legal
+// (every CU's cells uniform), which the device composition guarantees.
+extern "C" int tpuhevc_decision_walk_map(
+    const uint8_t* log2_map, const int32_t* mv8, const uint8_t* ref8,
+    const uint8_t* cbf8,
+    int W, int H, int log2_ctu, int max_merge, int num_ref,
+    int32_t* cu_log2, int32_t* mv_out, int32_t* ref_out, int32_t* skip,
+    int32_t* merge_flag, int32_t* merge_idx, int32_t* mvp_flag,
+    int32_t* mvd) {
+  if (W % 8 || H % 8) return -1;
+  Walk wk;
+  init_walk(wk, W, H, log2_ctu, max_merge, num_ref);
+  const int w8 = wk.w8, h8 = wk.h8;
+  std::vector<int32_t> cref(w8 * h8);
+  for (int i = 0; i < w8 * h8; i++) cref[i] = ref8[i];
+  std::vector<Cu> cus;
+  cus.reserve(w8 * h8 / 4);
+  std::vector<uint8_t> seen(w8 * h8, 0);
+  for (int y8 = 0; y8 < h8; y8++)
+    for (int x8 = 0; x8 < w8; x8++) {
+      if (seen[y8 * w8 + x8]) continue;
+      int lg = log2_map[y8 * w8 + x8];
+      if (lg < 3 || lg > 6) return -2;
+      int s8 = 1 << (lg - 3);
+      for (int dy = 0; dy < s8; dy++)
+        for (int dx = 0; dx < s8; dx++)
+          seen[(y8 + dy) * w8 + (x8 + dx)] = 1;
+      cus.push_back({x8 * 8, y8 * 8, 1 << lg, wk.ord(x8, y8)});
+    }
+  walk_cus(wk, cus, mv8, cref.data(), cbf8, cu_log2, mv_out, ref_out,
+           skip, merge_flag, merge_idx, mvp_flag, mvd);
+  return 0;
+}
+
+extern "C" int tpuhevc_decision_walk(
+    // per-16 grid (nh16 x nw16): quarter-pel MVs + ref + cbf
+    const int32_t* mvq16, const uint8_t* ref16, const uint8_t* cbf16,
+    // per-32 grid (nh32 x nw32)
+    const int32_t* mvq32, const uint8_t* ref32, const uint8_t* cbf32,
+    const uint8_t* use32,
+    int W, int H, int log2_ctu, int max_merge, int num_ref,
+    // outputs, all (h8*w8) int32 except mv/mvd (h8*w8*2)
+    int32_t* cu_log2, int32_t* mv_out, int32_t* ref_out, int32_t* skip,
+    int32_t* merge_flag, int32_t* merge_idx, int32_t* mvp_flag,
+    int32_t* mvd) {
+  if (W % 16 || H % 16) return -1;
+  const int nw16 = W / 16, nh16 = H / 16;
+  const int nw32 = W / 32, nh32 = H / 32;
+  Walk wk;
+  init_walk(wk, W, H, log2_ctu, max_merge, num_ref);
 
   // ---- CU size map from use32 + static agglomeration (32 then 64) ----
   std::vector<int> sz(nh16 * nw16, 16);
@@ -167,8 +354,19 @@ extern "C" int tpuhevc_decision_walk(
             sz[(by + dy) * nw16 + (bx + dx)] = 64;
     }
 
-  // ---- decode-order walk over CU origins ------------------------------
-  struct Cu { int x0, y0, size; int64_t ord; };
+  // expand the per-16 grids to per-8-cell maps and run the shared walk
+  const int w8 = wk.w8, h8 = wk.h8;
+  std::vector<int32_t> cmv(2 * w8 * h8), cref(w8 * h8);
+  std::vector<uint8_t> ccbf(w8 * h8);
+  for (int y8 = 0; y8 < h8; y8++)
+    for (int x8 = 0; x8 < w8; x8++) {
+      int b = (y8 / 2) * nw16 + (x8 / 2);
+      int c = y8 * w8 + x8;
+      cmv[2 * c] = mvx[b];
+      cmv[2 * c + 1] = mvy[b];
+      cref[c] = ref[b];
+      ccbf[c] = cbf[b];
+    }
   std::vector<Cu> cus;
   cus.reserve(nh16 * nw16);
   for (int by = 0; by < nh16; by++)
@@ -178,141 +376,7 @@ extern "C" int tpuhevc_decision_walk(
       if (x0 % s || y0 % s) continue;
       cus.push_back({x0, y0, s, wk.ord(x0 / 8, y0 / 8)});
     }
-  std::sort(cus.begin(), cus.end(),
-            [](const Cu& a, const Cu& b) { return a.ord < b.ord; });
-
-  for (const Cu& cu : cus) {
-    int b = (cu.y0 / 16) * nw16 + (cu.x0 / 16);
-    int cmx = mvx[b], cmy = mvy[b], cref = ref[b];
-    bool has_cbf = false;
-    for (int dy = 0; dy < cu.size / 16; dy++)
-      for (int dx = 0; dx < cu.size / 16; dx++)
-        has_cbf |= cbf[(cu.y0 / 16 + dy) * nw16 + (cu.x0 / 16 + dx)] != 0;
-
-    int cx8 = cu.x0 / 8, cy8 = cu.y0 / 8;
-    int n = cu.size;
-    // merge candidates (mvx, mvy, ref): A1, B1, B0, A0, B2 + zero fill
-    int cand[5][3];
-    int ncand = 0;
-    int a1[3], b1[3], b0[3], a0[3], b2[3];
-    bool ha1 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n - 1, a1);
-    bool hb1 = wk.neighbor(cx8, cy8, cu.x0 + n - 1, cu.y0 - 1, b1);
-    bool hb0 = wk.neighbor(cx8, cy8, cu.x0 + n, cu.y0 - 1, b0);
-    bool ha0 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 + n, a0);
-    bool hb2 = wk.neighbor(cx8, cy8, cu.x0 - 1, cu.y0 - 1, b2);
-    auto eq = [](const int* a, const int* b) {
-      return a[0] == b[0] && a[1] == b[1] && a[2] == b[2];
-    };
-    auto push = [&](const int* c) {
-      cand[ncand][0] = c[0]; cand[ncand][1] = c[1]; cand[ncand][2] = c[2];
-      ncand++;
-    };
-    if (ha1) push(a1);
-    if (hb1 && !(ha1 && eq(b1, a1))) push(b1);
-    if (hb0 && !(hb1 && eq(b0, b1))) push(b0);
-    if (ha0 && !(ha1 && eq(a0, a1))) push(a0);
-    if (ncand < 4 && hb2 && !(ha1 && eq(b2, a1)) && !(hb1 && eq(b2, b1)))
-      push(b2);
-    int zero_i = 0;
-    for (; ncand < max_merge; ncand++, zero_i++) {
-      cand[ncand][0] = 0; cand[ncand][1] = 0;
-      cand[ncand][2] = zero_i < num_ref ? zero_i : 0;
-    }
-
-    int merge_i = -1;
-    for (int k = 0; k < max_merge; k++)
-      if (cand[k][0] == cmx && cand[k][1] == cmy && cand[k][2] == cref) {
-        merge_i = k;
-        break;
-      }
-
-    int s8 = n / 8;
-    int lg = 0; while ((1 << lg) < n) lg++;
-    for (int dy = 0; dy < s8; dy++)
-      for (int dx = 0; dx < s8; dx++) {
-        int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
-        cu_log2[c] = lg;
-        mv_out[2 * c] = cmx;
-        mv_out[2 * c + 1] = cmy;
-        ref_out[c] = cref;
-      }
-    if (merge_i >= 0) {
-      for (int dy = 0; dy < s8; dy++)
-        for (int dx = 0; dx < s8; dx++) {
-          int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
-          merge_flag[c] = 1;
-          merge_idx[c] = merge_i;
-          if (!has_cbf) skip[c] = 1;
-        }
-    } else {
-      // AMVP per TComDataCU::fillMvpCand:2617 (§8.5.3.2.6): left pass
-      // (unscaled then scaled over A0, A1, only when an A PU exists =
-      // isScaledFlagLX), above unscaled pass (always), scaled above pass
-      // appended only when no A PU exists; dedup when exactly 2; zero
-      // fill. POC delta of ref r is r+1 (refs = previous frames).
-      int apos[2][2] = {{cu.x0 - 1, cu.y0 + n}, {cu.x0 - 1, cu.y0 + n - 1}};
-      int bpos[3][2] = {{cu.x0 + n, cu.y0 - 1}, {cu.x0 + n - 1, cu.y0 - 1},
-                        {cu.x0 - 1, cu.y0 - 1}};
-      bool have_a[2], have_b[3];
-      int mva[2][3], mvb[3][3];
-      for (int i = 0; i < 2; i++)
-        have_a[i] = wk.neighbor(cx8, cy8, apos[i][0], apos[i][1], mva[i]);
-      for (int i = 0; i < 3; i++)
-        have_b[i] = wk.neighbor(cx8, cy8, bpos[i][0], bpos[i][1], mvb[i]);
-      bool is_scaled = have_a[0] || have_a[1];
-      int ac[2][2] = {{0, 0}, {0, 0}};
-      int na = 0;
-      auto unscaled = [&](bool* have, int (*mvs)[3], int npos,
-                          int out[2]) -> bool {
-        for (int i = 0; i < npos; i++)
-          if (have[i] && mvs[i][2] == cref) {
-            out[0] = mvs[i][0]; out[1] = mvs[i][1];
-            return true;
-          }
-        return false;
-      };
-      auto scaled = [&](bool* have, int (*mvs)[3], int npos,
-                        int out[2]) -> bool {
-        for (int i = 0; i < npos; i++)
-          if (have[i]) {
-            scale_mv(mvs[i][0], mvs[i][1], cref + 1, mvs[i][2] + 1, out);
-            return true;
-          }
-        return false;
-      };
-      int tmp[2];
-      if (is_scaled &&
-          (unscaled(have_a, mva, 2, tmp) || scaled(have_a, mva, 2, tmp))) {
-        ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
-      }
-      if (unscaled(have_b, mvb, 3, tmp)) {
-        ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
-      }
-      if (!is_scaled && na < 2 && scaled(have_b, mvb, 3, tmp)) {
-        ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
-      }
-      if (na == 2 && ac[0][0] == ac[1][0] && ac[0][1] == ac[1][1]) {
-        na = 1; ac[1][0] = 0; ac[1][1] = 0;
-      }
-      int c0 = abs(cmx - ac[0][0]) + abs(cmy - ac[0][1]);
-      int c1 = abs(cmx - ac[1][0]) + abs(cmy - ac[1][1]);
-      int mvp = c1 < c0 ? 1 : 0;
-      for (int dy = 0; dy < s8; dy++)
-        for (int dx = 0; dx < s8; dx++) {
-          int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
-          mvp_flag[c] = mvp;
-          mvd[2 * c] = cmx - ac[mvp][0];
-          mvd[2 * c + 1] = cmy - ac[mvp][1];
-        }
-    }
-    for (int dy = 0; dy < s8; dy++)
-      for (int dx = 0; dx < s8; dx++) {
-        int c = (cy8 + dy) * wk.w8 + (cx8 + dx);
-        wk.fmvx[c] = cmx;
-        wk.fmvy[c] = cmy;
-        wk.fref[c] = cref;
-        wk.fvalid[c] = 1;
-      }
-  }
+  walk_cus(wk, cus, cmv.data(), cref.data(), ccbf.data(), cu_log2,
+           mv_out, ref_out, skip, merge_flag, merge_idx, mvp_flag, mvd);
   return 0;
 }

@@ -85,7 +85,8 @@ def test_native_walk_matches_python():
     for j in range(3):
         nat = inter_grid.assemble_grid_frame(cfg, rows[j])
         assert nat is not None
-        py = assemble_frame_p(cfg, inter_grid.collect_grid_frame(cfg, rows[j]))
+        py = assemble_frame_p(cfg, inter_grid.collect_grid_frame(cfg, rows[j]),
+                              agglomerate=False)
         pn = encode_slice_data_native(nat[0], cfg.sps, cfg.pps, 1, 32, 1, 5)
         pp = encode_slice_data_native(py[0], cfg.sps, cfg.pps, 1, 32, 1, 5)
         assert pn == pp, f"frame {j}: native/python walk payload mismatch"

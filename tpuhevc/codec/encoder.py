@@ -356,14 +356,21 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
         _ra_gop4(enc, cfg, frames, _finish)
     elif (cfg.intra_period == -1 and cfg.inter_backend == "jax"
           and len(frames) > 1 and not cfg.deblocking
-          and not cfg.sps.sao_enabled and cfg.fme_mode != "dctif"
+          and not cfg.sps.sao_enabled
           and not cfg.pps.sign_data_hiding and not cfg.intra_in_inter
-          and not cfg.rdoq):
+          and not cfg.rdoq
+          and (cfg.fme_mode != "dctif" or _grid_supports(cfg))):
         _ldp_scan_pipelined(enc, cfg, frames, _finish)
     else:
         for i, fr in enumerate(frames):
             _finish(i, fr)
     return enc, recons
+
+
+def _grid_supports(cfg) -> bool:
+    from . import inter_grid
+
+    return inter_grid.supports(cfg)
 
 
 def _rate_controlled(enc, cfg, frames, finish):
@@ -471,12 +478,11 @@ class LdpScanDriver:
         nn_by_qp = {qp: enc._nn_for_qp(qp) for qp in qps}
         self.grid = inter_grid.supports(cfg)
         if self.grid and not cfg.fetch_recon:
-            # the no-recon-fetch layout needs the native walk and 32-blocks
+            # the no-recon-fetch layout needs the native map walk
             from ..entropy.native import get_lib
 
             lib = get_lib()
-            if (lib is None or not hasattr(lib, "tpuhevc_decision_walk")
-                    or min(self.h, self.w) < 32):
+            if lib is None or not hasattr(lib, "tpuhevc_decision_walk_map"):
                 cfg = dataclasses.replace(cfg, fetch_recon=True)
         self.cfg = cfg
         if self.grid:
@@ -561,7 +567,8 @@ class LdpScanDriver:
                    if self.grid else None)
             if pre is None:
                 per_cu = self.collect_fn(cfg_f, rows[j])
-                pre = assemble_frame_p(cfg_f, per_cu, n_ref)
+                pre = assemble_frame_p(cfg_f, per_cu, n_ref,
+                                       agglomerate=not self.grid)
             self.finish(poc, self.frames[poc], pre)
 
 

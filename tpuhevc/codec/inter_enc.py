@@ -555,11 +555,13 @@ def _merge_static_cus(per_cu: dict, w: int, h: int) -> dict:
 
 
 def assemble_frame_p(cfg: EncoderConfig, per_cu: dict, num_ref: int = 1,
-                     ref_pocs=None, orig=None):
+                     ref_pocs=None, orig=None, agglomerate: bool = True):
     """Decode-order decision walk (merge/skip/AMVP) + dense-array assembly.
     Shared by the synchronous path and the pipelined LD-P loop. per_cu
     entries may carry "ref" (default 0); num_ref/ref_pocs must match the
-    slice header so AMVP scaling agrees with the decoder."""
+    slice header so AMVP scaling agrees with the decoder. agglomerate=False
+    when the CU sizes were already decided by the device quadtree (the
+    grid path) so the host must not second-guess them."""
     from ..entropy.syntax import FrameSyntax
 
     sps = cfg.sps
@@ -572,7 +574,8 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict, num_ref: int = 1,
     rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
     order = BlockOrder(w, h, sps.log2_ctu)
     field = MvField(w // 8, h // 8)
-    per_cu = _merge_static_cus(per_cu, w, h)
+    if agglomerate:
+        per_cu = _merge_static_cus(per_cu, w, h)
 
     # --- decision walk in decode order (merge/skip/AMVP + store) ---------
     cells = sorted(per_cu.keys(), key=lambda p: order.order[p[1] // 8, p[0] // 8])
@@ -686,10 +689,31 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict, num_ref: int = 1,
     return fs, (rec_y, rec_u, rec_v)
 
 
+def _add_residual_tiled(pred, blk, qp, bd, T=None):
+    """Inverse transform + add, tiling TUs at T (default min(size, 32):
+    a 64 CU is coded as a forced RQT split into 4 32x32 luma TUs with
+    16x16 chroma TUs)."""
+    size = blk.shape[0]
+    T = T or min(size, 32)
+    log2t = T.bit_length() - 1
+    out = pred
+    for ty in range(0, size, T):
+        for tx_ in range(0, size, T):
+            t = blk[ty : ty + T, tx_ : tx_ + T]
+            if not t.any():
+                continue
+            d = tx.dequantize_np(t[None], qp, log2t, bd)[0]
+            r = tx.inverse_transform_np(d[None], bd)[0]
+            out = out.copy() if out is pred else out
+            out[ty : ty + T, tx_ : tx_ + T] = np.clip(
+                out[ty : ty + T, tx_ : tx_ + T] + r, 0, (1 << bd) - 1)
+    return out
+
+
 def reconstruct_frame_p(fs, sps, qp: int, ref_recon):
     """Decoder-side P-frame reconstruction from parsed FrameSyntax.
     ref_recon: one (y, u, v) tuple or a list of them (L0 order).
-    Invariant: TU = CU (what this framework's encoder emits)."""
+    Invariant: TU = min(CU, 32), 2Nx2N (what this framework emits)."""
     bd = sps.bit_depth
     w, h = fs.width, fs.height
     if isinstance(ref_recon, tuple) or (isinstance(ref_recon, list)
@@ -717,9 +741,7 @@ def reconstruct_frame_p(fs, sps, qp: int, ref_recon):
             pred = mc_np(ry, np.array([x0]), np.array([y0]), mv, size, True, bd)[0]
             blk = fs.coeff_y[y0 : y0 + size, x0 : x0 + size]
             if blk.any():
-                d = tx.dequantize_np(blk[None], qp, log2, bd)[0]
-                r = tx.inverse_transform_np(d[None], bd)[0]
-                pred = np.clip(pred + r, 0, (1 << bd) - 1)
+                pred = _add_residual_tiled(pred, blk, qp, bd)
             rec_y[y0 : y0 + size, x0 : x0 + size] = pred
             cs = size // 2
             clog2 = log2 - 1
@@ -731,8 +753,8 @@ def reconstruct_frame_p(fs, sps, qp: int, ref_recon):
                               False, bd)[0]
                 cblk = coeff[cy : cy + cs, cx : cx + cs]
                 if cblk.any():
-                    cd = tx.dequantize_np(cblk[None], qpcc, clog2, bd)[0]
-                    crr = tx.inverse_transform_np(cd[None], bd)[0]
-                    cpred = np.clip(cpred + crr, 0, (1 << bd) - 1)
+                    cpred = _add_residual_tiled(
+                        cpred, cblk, qpcc, bd,
+                        T=16 if size == 64 else cs)
                 plane[cy : cy + cs, cx : cx + cs] = cpred
     return rec_y, rec_u, rec_v

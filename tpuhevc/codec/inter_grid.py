@@ -1,26 +1,28 @@
-"""Plane-level LD-P device stage (v2) for 16-aligned picture sizes.
+"""Plane-level LD-P device stage (v3) for 16-aligned picture sizes.
 
-Replaces the per-block-gather formulation of inter_batch with whole-frame
-dense compute shaped for the TPU VPU/MXU (lane dim = picture width):
+Whole-frame dense compute shaped for the TPU VPU/MXU (lane dim = picture
+width), now with a real RD mode decision:
 
-- hierarchical ME: dense coarse SAD on a 4x sum-pooled pyramid (one shifted
-  abs-diff stack for the whole frame), then a 7x7 full-pel refinement on
-  per-block gathered windows. Replaces the dense (2R+1)^2 search whose
-  int16 work was ~16 ms/frame on v5e at R=16 (the TZ-search equivalent:
-  coarse placement + local refinement, TEncSearch.cpp:4737).
-- MC via DCT-IF phase planes: all 16 luma (8x8 chroma) fractional-phase
-  planes are built once per frame with static shift-MACs, then per-pixel
-  predictions are one flat gather indexed by each block's MV/phase
-  (TComInterpolationFilter.cpp:57-76 taps; §8.5.3.3.3 semantics with
-  edge-clamp padding).
-- transforms in plane layout: the vertical stage is einsum over the
-  reshaped (nblk, S, W) sublane axis; the horizontal stage reuses the same
-  form on the transposed plane. Integer-exact (fp32 was measured non-exact
-  on the MXU and is not used).
-- no scatters: class-16 and class-32 results live in whole-frame planes
-  composed with a use32 mask (reshape/where only).
-- chroma U and V are processed as one [U | V] side-by-side plane so every
-  chroma op runs once.
+- hierarchical ME: dense coarse SAD on a 2x sum-pooled pyramid, then a
+  7x7 full-pel refinement per block class (8/16/32). The TZ-search
+  counterpart (TEncSearch.cpp:4737) restructured as masked dense compute.
+- merge-candidate RD sweeps: left/top/left Jacobi passes evaluate the
+  neighbor's (mv, ref) as a prediction option and adopt it when
+  SSE + lambda*merge_bits beats SSE + lambda*(mvd+ref+mvp bits) — the
+  device counterpart of xCheckRDCostMerge2Nx2N / the merge-vs-AMVP
+  compare (TEncCu.cpp:455, TEncSearch.cpp:4145), with real CABAC
+  fractional-bit estimates (entropy/bitest.py) instead of a Golomb proxy.
+- CU quadtree 8/16/32/64: every class residual-coded (TU = min(CU, 32)),
+  compared bottom-up with estimated syntax + residual bits
+  (xCompressCU's split compare, TEncCu.cpp:726).
+- MC via DCT-IF phase planes; transforms as plane einsums; int32 recon
+  (fp32 MXU is not integer-exact); float32 for decision costs only.
+- no scatters: per-class results live in whole-frame planes composed
+  with per-8-cell masks (reshape/where only).
+- outputs per frame: composed level/recon planes (or device checksum
+  hash) + per-8-cell (cu_log2, mv, ref, cbf) maps for the native
+  decode-order walk (native/decision_walk.cpp) that derives
+  merge/skip/AMVP syntax exactly as the decoder would.
 
 Interface mirrors inter_batch.build_ldp_scan / collect_frame.
 """
@@ -30,12 +32,12 @@ from __future__ import annotations
 import numpy as np
 
 from ..utils.tables import chroma_qp, qp_to_lambda
-from .inter_enc import _full_lambda_fp
 from .params import EncoderConfig
 
 _BUILD_CACHE: dict = {}
 
-_OVH = 16  # flat per-CU syntax overhead estimate (bits) for the 32-vs-16 choice
+# experiment knobs (ablation / debugging; part of the build cache key)
+_TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True)
 
 
 def supports(cfg) -> bool:
@@ -45,8 +47,10 @@ def supports(cfg) -> bool:
 
 
 def _mvd_bits_np(v):
-    """Exp-Golomb-ish bit cost of a quarter-pel mvd component vs zero
-    (mirrors ops/me.mv_bits_table)."""
+    """Exp-Golomb-ish bit cost of a quarter-pel mvd component vs zero for
+    the SAD-domain ME loop (HM's getCostOfVectorWithPredictor is the same
+    kind of log2 approximation; the mode decision uses the real CABAC
+    tables instead)."""
     return (2 * np.ceil(np.log2(2 * np.abs(v).astype(np.int64) + 1))
             .astype(np.int32) + 1)
 
@@ -64,6 +68,33 @@ def _lvl8(cfg) -> bool:
     return min(min(max(cfg.qp + o, 0), 51) for o in offs) >= 27
 
 
+def _mode_tables(qp: int, num_ref: int, max_merge: int):
+    """Host-side per-QP decision tables (P-slice init row)."""
+    from ..entropy.bitest import FracBits, ResidualBitEst
+
+    fb = FracBits(1, qp)
+    b = fb.b
+    t = dict(
+        fb=fb,
+        mvd_lut=fb.mvd_lut,                      # (4096,) f32 per |comp|
+        skip0=b("cu_skip_flag", 1, 0), skip1=b("cu_skip_flag", 1, 1),
+        pred_inter=b("pred_mode_flag", 0, 0),
+        part2n=b("part_mode", 0, 1),
+        mf1=b("merge_flag", 0, 1), mf0=b("merge_flag", 0, 0),
+        midx=[fb.merge_idx_bits(i, max_merge) for i in range(max_merge)],
+        mvp=0.5 * (b("mvp_flag", 0, 0) + b("mvp_flag", 0, 1)),
+        root1=b("rqt_root_cbf", 0, 1), root0=b("rqt_root_cbf", 0, 0),
+        split=[b("split_cu_flag", 1, v) for v in (0, 1)],
+        ref_bits=np.asarray([fb.ref_idx_bits(r, num_ref)
+                             for r in range(max(num_ref, 1))], np.float32),
+        cbf_y=[b("qt_cbf", 1, v) for v in (0, 1)],
+        cbf_c=[b("qt_cbf", 5, v) for v in (0, 1)],
+        est_y={lg: ResidualBitEst(fb, lg, True) for lg in (2, 3, 4, 5)},
+        est_c={lg: ResidualBitEst(fb, lg, False) for lg in (2, 3, 4, 5)},
+    )
+    return t
+
+
 def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     import jax
     import jax.numpy as jnp
@@ -77,7 +108,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     bd = sps.bit_depth
     maxv = (1 << bd) - 1
     # coarse stage graph grows with (sr/2+1)^2; cap at 16 until the coarse
-    # search is itself hierarchical (matches the v1 stage's cap)
+    # search is itself hierarchical
     sr = max(4, min(cfg.search_range, 16)) // 4 * 4
     offs = tuple(cfg.gop_qp_offsets) or (0,)
     G = len(offs)
@@ -85,23 +116,29 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     lvl8 = _lvl8(cfg)
     fetch_recon = cfg.fetch_recon or cfg.hash_type != "checksum"
     R = max(1, cfg.num_ref_frames)
-    key = ("v2", W, H, bd, sr, cfg.fme_mode, qps, n_gops, fetch_recon,
-           R, cfg.nn_weights_dir, not nn_by_qp.get(qps[0]))
+    MM = cfg.max_num_merge_cand
+    key = ("v3", W, H, bd, sr, cfg.fme_mode, qps, n_gops, fetch_recon,
+           R, MM, cfg.nn_weights_dir, not nn_by_qp.get(qps[0]),
+           tuple(sorted(_TUNE.items())))
     hit = _BUILD_CACHE.get(key)
     if hit is not None:
         return hit
 
     nh16, nw16 = H // 16, W // 16
     nh32, nw32 = H // 32, W // 32
+    nh64, nw64 = H // 64, W // 64
+    nh8, nw8 = H // 8, W // 8
     n16 = nh16 * nw16
     n32 = nh32 * nw32
+    n64 = nh64 * nw64
     has32 = n32 > 0
+    has64 = n64 > 0
     Hc, Wc = H // 2, W // 2  # chroma frame; UV packed side by side (Hc, W)
+    h8, w8 = H // 8, W // 8
+
+    tabs_by_qp = {qp: _mode_tables(qp, R, MM) for qp in set(qps)}
 
     # ME constants ------------------------------------------------------
-    # coarse on the 2x sum-pooled pyramid: one step = 2 full-pel; fine
-    # grain survives 2x pooling (4x killed the alignment signal and cost
-    # ~13% bits on grainy content), odd offsets are the refine stage's job
     R2 = sr // 2
     nc = 2 * R2 + 1
     coarse_bits = np.zeros((nc, nc), np.int32)
@@ -114,15 +151,15 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     _IDX49_CACHE: dict = {}
 
     def _idx49(S, win):
-        key = (S, win)
-        hit = _IDX49_CACHE.get(key)
+        k = (S, win)
+        hit = _IDX49_CACHE.get(k)
         if hit is None:
             base = (np.arange(S)[:, None] * win + np.arange(S)[None]
                     ).reshape(1, S, S)
-            offs = (np.repeat(np.arange(7), 7)[:, None, None] * win
-                    + np.tile(np.arange(7), 7)[:, None, None])
-            hit = jnp.asarray((base + offs).astype(np.int32))
-            _IDX49_CACHE[key] = hit
+            offs_ = (np.repeat(np.arange(7), 7)[:, None, None] * win
+                     + np.tile(np.arange(7), 7)[:, None, None])
+            hit = jnp.asarray((base + offs_).astype(np.int32))
+            _IDX49_CACHE[k] = hit
         return hit
     rdxs = np.tile(ref_off, 7)      # (49,) offset x per refine point
     rdys = np.repeat(ref_off, 7)    # (49,) offset y
@@ -195,19 +232,17 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             d = x << (per - bdshift)
         return jnp.clip(d, -32768, 32767)
 
-    def bits_plane(lvl):
-        a = jnp.abs(lvl)
-        bl = jnp.zeros_like(a)
-        for k in range(15):
-            bl = bl + (a > (1 << k) - 1).astype(a.dtype)
-        return 2 * bl + (a > 0)
-
     def tile_sum(p, t):
         hh, ww = p.shape
         return p.reshape(hh // t, t, ww // t, t).sum((1, 3))
 
     def up(p, t):
         return jnp.repeat(jnp.repeat(p, t, 0), t, 1)
+
+    def plane_tiles(p, T, hp, wp):
+        """(hp, wp) plane -> (nT, T, T) tiles, row-major tile order."""
+        return (p.reshape(hp // T, T, wp // T, T)
+                .transpose(0, 2, 1, 3).reshape(-1, T, T))
 
     # --- ME --------------------------------------------------------------
     def coarse_stack(oy2, ry2p):
@@ -218,10 +253,11 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 sads.append(tile_sum(d.astype(jnp.int32), 8) << 1)
         return jnp.stack(sads)  # (nc*nc, nh16, nw16), ~full-SAD scale
 
-    def pick_coarse(s16, lam_me, nbh, nbw, agg):
+    def pick_coarse(s16, lam_me, nbh, nbw, f):
+        """Coarse winner per block; f = aggregation factor in 16-units."""
         s = s16
-        if agg:
-            s = s[:, : nbh * 2, : nbw * 2].reshape(-1, nbh, 2, nbw, 2).sum(
+        if f > 1:
+            s = s[:, : nbh * f, : nbw * f].reshape(-1, nbh, f, nbw, f).sum(
                 (2, 4))
         cost = s + ((jnp.asarray(coarse_bits.reshape(-1))[:, None, None]
                      * lam_me) >> 8)
@@ -232,7 +268,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
 
     def _refine_grid(ry, cur, bx, by, ccx, ccy, S, lam_me):
         """7x7 SAD grid at full-pel centers (ccx, ccy) per block.
-        Returns (sad (nb,49), cost (nb,49) masked to the inner 5x5)."""
+        Returns (sad (nb,49), cost masked to the inner 5x5, mvx, mvy)."""
         win = S + 6
         yy = jnp.clip(by[:, None] + ccy[:, None] - 3
                       + jnp.arange(win)[None], 0, H - 1)
@@ -240,7 +276,6 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                       + jnp.arange(win)[None], 0, W - 1)
         wnd = jnp.take(ry.reshape(-1),
                        yy[:, :, None] * W + xx[:, None, :]).astype(jnp.int16)
-        # one static gather for all 49 offset windows (was 49 slice ops)
         i49 = _idx49(S, win)
         sl = jnp.take(wnd.reshape(wnd.shape[0], -1), i49, axis=1)
         sad = jnp.abs(sl - cur[:, None]).astype(jnp.int32).sum((-1, -2))
@@ -255,11 +290,13 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         cost = jnp.where(jnp.asarray(inner)[None], cost, jnp.int32(1 << 30))
         return sad, cost, mvx, mvy
 
-    def refine(ry, oy, cx4, cy4, S, nbh, nbw, lam_me, with_zero=True):
+    def refine(ry, oy, cx4, cy4, S, nbh, nbw, lam_me, with_zero=True,
+               global_c=None):
         """Full-pel refinement: 7x7 grids around the coarse winner AND
-        (optionally) the zero MV (the TZ predictor set's start candidates),
-        best of both; argmin restricted to each grid's inner 5x5 so the
-        3x3 SAD surface exists. Returns (mv_int, sad9, best_cost)."""
+        (optionally) the zero MV and the frame-global coarse winner (the
+        TZ predictor set's start candidates: median/zero + the dominant
+        motion); argmin restricted to each grid's inner 5x5 so the 3x3
+        SAD surface exists. Returns (mv_int, sad9, best_cost)."""
         nb = nbh * nbw
         bx = jnp.asarray((np.arange(nbw) * S)[None, :].repeat(nbh, 0)
                          .reshape(-1))
@@ -274,6 +311,11 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         if with_zero:
             zero = jnp.zeros_like(ccx)
             grids.append(_refine_grid(ry, cur, bx, by, zero, zero, S,
+                                      lam_me))
+        if global_c is not None:
+            ggx = jnp.broadcast_to(global_c[0] * 2, ccx.shape)
+            ggy = jnp.broadcast_to(global_c[1] * 2, ccy.shape)
+            grids.append(_refine_grid(ry, cur, bx, by, ggx, ggy, S,
                                       lam_me))
         sad = jnp.concatenate([g[0] for g in grids], axis=1)
         cost = jnp.concatenate([g[1] for g in grids], axis=1)
@@ -292,13 +334,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 + (bdx[:, None] + jnp.asarray([-1, 0, 1] * 3)[None]))
         sad9 = jnp.take_along_axis(sad, idx9, 1)
         best_cost = jnp.take_along_axis(cost, bi[:, None], 1)[:, 0]
-        # clamp mv into [-(sr+3), sr+3] (coarse edge + refine can poke out)
         mv = jnp.clip(mv, -(sr + 3), sr + 3)
         return mv, sad9, best_cost
 
     # --- MC phase planes --------------------------------------------------
-    # einsum-batched: every ref / phase / shift in a handful of ops instead
-    # of hundreds of per-phase slice+MAC chains (per-op overhead dominated)
     tl_j = jnp.asarray(taps_l)  # (4, 8)
     tc_j = jnp.asarray(taps_c)  # (8, 4)
 
@@ -307,10 +346,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         rp = jnp.pad(ry_stack, ((0, 0), (PADL, PADL), (PADL, PADL)),
                      mode="edge")
         hsh = jnp.stack([rp[:, :, i + 1 : i + 1 + WmL] for i in range(8)],
-                        axis=1)  # (R, 8, H+2PADL, WmL)
-        hst = jnp.einsum("fi,rihw->rfhw", tl_j, hsh)  # (R, 4, ...)
+                        axis=1)
+        hst = jnp.einsum("fi,rihw->rfhw", tl_j, hsh)
         vsh = jnp.stack([hst[:, :, j + 1 : j + 1 + HmL, :] for j in range(8)],
-                        axis=1)  # (R, 8, 4, HmL, WmL)
+                        axis=1)
         pl = jnp.einsum("gj,rjfhw->rgfhw", tl_j, vsh)
         return jnp.clip(((pl >> 6) + 32) >> 6, 0, maxv).astype(jnp.int16)
 
@@ -318,20 +357,19 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         """(R, Hc, W) packed [U|V] -> (pl_u, pl_v) each
         (R, 8, 8, HmC, WmC) int16."""
         halves = jnp.stack([ruv_stack[:, :, :Wc], ruv_stack[:, :, Wc:]],
-                           axis=1)  # (R, 2, Hc, Wc)
+                           axis=1)
         rp = jnp.pad(halves, ((0, 0), (0, 0), (PADC, PADC), (PADC, PADC)),
                      mode="edge")
         hsh = jnp.stack([rp[..., i + 1 : i + 1 + WmC] for i in range(4)],
-                        axis=2)  # (R, 2, 4, Hc+2PADC, WmC)
-        hst = jnp.einsum("fi,ruihw->rufhw", tc_j, hsh)  # (R, 2, 8, ...)
+                        axis=2)
+        hst = jnp.einsum("fi,ruihw->rufhw", tc_j, hsh)
         vsh = jnp.stack([hst[:, :, :, j + 1 : j + 1 + HmC, :]
-                         for j in range(4)], axis=2)  # (R, 2, 4, 8, ...)
+                         for j in range(4)], axis=2)
         pl = jnp.einsum("gj,rujfhw->rugfhw", tc_j, vsh)
         pl = jnp.clip(((pl >> 6) + 32) >> 6, 0, maxv).astype(jnp.int16)
         return pl[:, 0], pl[:, 1]
 
     def pred_luma(planes, mvq_pix, ref_pix, hp, wp):
-        """planes: (R, 4, 4, HmL, WmL); ref_pix: (hp, wp) ref per pixel."""
         ygrid = jnp.arange(hp)[:, None]
         xgrid = jnp.arange(wp)[None, :]
         fx = mvq_pix[..., 0] & 3
@@ -342,7 +380,6 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return jnp.take(planes.reshape(-1), idx).astype(jnp.int32)
 
     def pred_chroma(pl, mvq_pix, ref_pix, hp, wp):
-        """pl: (R, 8, 8, HmC, WmC)."""
         ygrid = jnp.arange(hp)[:, None]
         xgrid = jnp.arange(wp)[None, :]
         fx = mvq_pix[..., 0] & 7
@@ -362,72 +399,243 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                                jnp.full(nb, hcat), jnp.full(nb, wcat))
         return cls2q[jnp.argmax(logits, axis=-1)].astype(jnp.int32)
 
-    def class_code(qp, lam_full, oy, ouv, planes_y, pl_u, pl_v,
-                   mv_grid, ref_grid, S, nbh, nbw):
-        """Code every S-block under mv_grid (nbh, nbw, 2 quarter-pel) and
-        ref_grid (nbh, nbw). Returns planes + per-block stats."""
-        qpc = chroma_qp(qp)
-        log2 = S.bit_length() - 1
+    _HAD8 = np.array([[1, 1, 1, 1, 1, 1, 1, 1],
+                      [1, -1, 1, -1, 1, -1, 1, -1],
+                      [1, 1, -1, -1, 1, 1, -1, -1],
+                      [1, -1, -1, 1, 1, -1, -1, 1],
+                      [1, 1, 1, 1, -1, -1, -1, -1],
+                      [1, -1, 1, -1, -1, 1, -1, 1],
+                      [1, 1, -1, -1, -1, -1, 1, 1],
+                      [1, -1, -1, 1, -1, 1, 1, -1]], np.int32)
+
+    def satd8_plane(res):
+        """Whole-plane 8x8 Hadamard SATD map (xCalcHADs8x8 counterpart,
+        TComRdCost.cpp:1330): per 8-block sum|H R H^T| >> 2, as two plane
+        einsums — the coding-cost-aware distortion HadamardME uses."""
+        Hm = jnp.asarray(_HAD8)
+        hp, wp = res.shape
+        v = jnp.einsum("kj,bjx->bkx", Hm,
+                       res.reshape(hp // 8, 8, wp)).reshape(hp, wp)
+        h = jnp.einsum("kj,bjx->bkx", Hm,
+                       v.T.reshape(wp // 8, 8, hp)).reshape(wp, hp).T
+        return (tile_sum(jnp.abs(h), 8) + 2) >> 2  # (hp/8, wp/8)
+
+    def pred_sse(planes_y, oy_c, mv_grid, ref_grid, S, Hp, Wp):
+        mvp_ = jnp.stack([up(mv_grid[..., 0], S), up(mv_grid[..., 1], S)],
+                         -1)
+        p = pred_luma(planes_y, mvp_, up(ref_grid, S), Hp, Wp)
+        return tile_sum((oy_c - p) ** 2, S).astype(jnp.float32)
+
+    def pred_satd(planes_y, oy_c, mv_grid, ref_grid, S, Hp, Wp):
+        """Per-CU Hadamard SATD of the prediction error — approximates
+        the transform-domain coding cost, discriminating codable (smooth)
+        from uncodable (grain) residuals, which plain SSE cannot."""
+        mvp_ = jnp.stack([up(mv_grid[..., 0], S), up(mv_grid[..., 1], S)],
+                         -1)
+        p = pred_luma(planes_y, mvp_, up(ref_grid, S), Hp, Wp)
+        m8 = satd8_plane(oy_c - p)
+        if S == 8:
+            return m8.astype(jnp.float32)
+        f = S // 8
+        return m8.reshape(Hp // S, f, Wp // S, f).sum((1, 3)).astype(
+            jnp.float32)
+
+    def subpel_refine(planes_y, oy, mv_int, ref_grid, S, nbh, nbw):
+        """DCT-IF fractional refinement (xPatternSearchFracDIF /
+        xPatternRefinement counterpart, TEncSearch.cpp:5232): 9-point
+        half-pel square then 9-point quarter-pel square around the best,
+        scored by prediction SSE on the interpolated phase planes. Two
+        fused rounds of masked dense evaluation instead of HM's
+        sequential SATD loop."""
         Hp, Wp = nbh * S, nbw * S
         oy_c = oy[:Hp, :Wp]
-        mvq_pix = up(mv_grid[..., 0], S), up(mv_grid[..., 1], S)
-        mvq_pix = jnp.stack(mvq_pix, -1)
+        mvq = mv_int.reshape(nbh, nbw, 2) * 4
+        refg = ref_grid.reshape(nbh, nbw)
+        offs9 = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+        for step in (2, 1):
+            costs = []
+            for dx, dy in offs9:
+                d = jnp.asarray([dx * step, dy * step], jnp.int32)
+                costs.append(pred_satd(planes_y, oy_c, mvq + d, refg, S,
+                                       Hp, Wp))
+            c = jnp.stack(costs)                      # (9, nbh, nbw)
+            bi = jnp.argmin(c, axis=0)
+            dxs = jnp.asarray([o[0] for o in offs9])[bi] * step
+            dys = jnp.asarray([o[1] for o in offs9])[bi] * step
+            mvq = mvq + jnp.stack([dxs, dys], -1)
+        return mvq.reshape(-1, 2)
+
+    def cand_sweep(tabs, lam_me_f, oy, planes_y, mv_grid, ref_grid, S,
+                   nbh, nbw):
+        """Merge-candidate RD sweeps (left, top, left, top). Adopts the
+        neighbor's (mv, ref) when prediction SATD + merge bits beat the
+        AMVP path's mvd/ref/mvp bits — SATD (not SSE) so a smooth,
+        codable residual wins over grain-chasing MVs, the discrimination
+        HM gets from coding the merge candidates' residuals
+        (xCheckRDCostMerge2Nx2N). Returns the settled grids plus
+        per-block estimated mode bits (non-skip syntax) and merge flag."""
+        Hp, Wp = nbh * S, nbw * S
+        oy_c = oy[:Hp, :Wp]
+        mvd_lut = jnp.asarray(tabs["mvd_lut"])
+        ref_lut = jnp.asarray(tabs["ref_bits"])
+        sat0 = pred_satd(planes_y, oy_c, mv_grid, ref_grid, S, Hp, Wp)
+        merged = jnp.zeros((nbh, nbw), bool)
+        midx_b = jnp.zeros((nbh, nbw), jnp.float32)
+        sweeps = ((1, tabs["midx"][0]), (0, tabs["midx"][1]),
+                  (1, tabs["midx"][0]), (0, tabs["midx"][1])) \
+            if _TUNE["sweep"] else ()
+        for axis, mb in sweeps:
+            if axis == 1:
+                mvc = jnp.concatenate([mv_grid[:, :1], mv_grid[:, :-1]], 1)
+                refc = jnp.concatenate([ref_grid[:, :1], ref_grid[:, :-1]],
+                                       1)
+                edge = jnp.asarray(
+                    (np.arange(nbw) == 0)[None].repeat(nbh, 0))
+            else:
+                mvc = jnp.concatenate([mv_grid[:1], mv_grid[:-1]], 0)
+                refc = jnp.concatenate([ref_grid[:1], ref_grid[:-1]], 0)
+                edge = jnp.asarray(
+                    (np.arange(nbh) == 0)[:, None].repeat(nbw, 1))
+            satc = pred_satd(planes_y, oy_c, mvc, refc, S, Hp, Wp)
+            dmv = jnp.minimum(jnp.abs(mv_grid - mvc), 4095)
+            keep_b = (mvd_lut[dmv[..., 0]] + mvd_lut[dmv[..., 1]]
+                      + ref_lut[ref_grid] + tabs["mf0"] + tabs["mvp"])
+            keep_b = jnp.where(merged, tabs["mf1"] + midx_b, keep_b)
+            adopt = (satc + lam_me_f * (tabs["mf1"] + mb)
+                     <= sat0 + lam_me_f * keep_b) & ~edge
+            mv_grid = jnp.where(adopt[..., None], mvc, mv_grid)
+            ref_grid = jnp.where(adopt, refc, ref_grid)
+            sat0 = jnp.where(adopt, satc, sat0)
+            merged = merged | adopt
+            midx_b = jnp.where(adopt, jnp.float32(mb), midx_b)
+        # final mode bits (non-skip CU): pred_mode + part + merge/amvp
+        left_mv = jnp.concatenate([mv_grid[:, :1], mv_grid[:, :-1]], 1)
+        top_mv = jnp.concatenate([mv_grid[:1], mv_grid[:-1]], 0)
+        d1 = jnp.minimum(jnp.abs(mv_grid - left_mv), 4095)
+        d2 = jnp.minimum(jnp.abs(mv_grid - top_mv), 4095)
+        mvd_b = jnp.minimum(mvd_lut[d1[..., 0]] + mvd_lut[d1[..., 1]],
+                            mvd_lut[d2[..., 0]] + mvd_lut[d2[..., 1]])
+        amvp_b = (tabs["mf0"] + ref_lut[ref_grid] + tabs["mvp"] + mvd_b)
+        mode_b = (tabs["pred_inter"] + tabs["part2n"]
+                  + jnp.where(merged, tabs["mf1"] + midx_b, amvp_b))
+        return mv_grid, ref_grid, mode_b, merged, midx_b
+
+    def class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u, pl_v,
+                   mv_grid, ref_grid, S, nbh, nbw):
+        """Code every S-block under mv_grid/ref_grid with TU = min(S, 32).
+        Returns composed planes + per-block (d, res_bits, cbf)."""
+        qpc = chroma_qp(qp)
+        T = min(S, 32)
+        log2t = T.bit_length() - 1
+        Hp, Wp = nbh * S, nbw * S
+        fT = S // T  # TUs per CU side (luma)
+        oy_c = oy[:Hp, :Wp]
+        mvq_pix = jnp.stack([up(mv_grid[..., 0], S), up(mv_grid[..., 1], S)],
+                            -1)
         refp = up(ref_grid, S)
         pred_y = pred_luma(planes_y, mvq_pix, refp, Hp, Wp)
-        coef = fwd_tx(oy_c - pred_y, S)
-        lvl = quant_plane(coef, qp, log2)
-        rsd = inv_tx(deq_plane(lvl, qp, log2), S)
+        coef = fwd_tx(oy_c - pred_y, T)
+        lvl = quant_plane(coef, qp, log2t)
+        rsd = inv_tx(deq_plane(lvl, qp, log2t), T)
         rec = jnp.clip(pred_y + rsd, 0, maxv)
-        nzb = tile_sum((lvl != 0).astype(jnp.int32), S)
-        rec = jnp.where(up(nzb > 0, S), rec, pred_y)
-        d_skip = tile_sum((oy_c - pred_y) ** 2, S)
-        d_coded = tile_sum((oy_c - rec) ** 2, S)
-        bits_b = tile_sum(bits_plane(lvl), S)
-        drop = (d_skip - d_coded) <= (lam_full * bits_b) >> 8
-        dropp = up(drop, S)
+        nzb = tile_sum((lvl != 0).astype(jnp.int32), T)   # per TU
+        rec = jnp.where(up(nzb > 0, T), rec, pred_y)
+        d_skip = tile_sum((oy_c - pred_y) ** 2, T).astype(jnp.float32)
+        d_coded = tile_sum((oy_c - rec) ** 2, T).astype(jnp.float32)
+        est = tabs["est_y"][log2t]
+        bits_tu = est.tu_bits(jnp, plane_tiles(lvl, T, Hp, Wp)).reshape(
+            nzb.shape)
+        cbf_b = tabs["cbf_y"]
+        drop = (d_skip + lam * cbf_b[0]
+                <= d_coded + lam * (bits_tu + cbf_b[1]))
+        if not _TUNE["drop"]:
+            drop = drop & (nzb == 0)
+        dropp = up(drop, T)
         lvl = jnp.where(dropp, 0, lvl)
         rec = jnp.where(dropp, pred_y, rec)
-        d_tot = jnp.where(drop, d_skip, d_coded)
-        bits_tot = jnp.where(drop, 0, bits_b)
-        cbf_acc = jnp.where(drop, 0, nzb)
+        d_tu = jnp.where(drop, d_skip, d_coded)
+        b_tu = jnp.where(drop, cbf_b[0], bits_tu + cbf_b[1])
+        cbf_tu = jnp.where(drop, 0, nzb)
 
-        # chroma (packed [U | V], block size S/2)
+        def cu_sum(x):  # per-TU grid -> per-CU grid
+            if fT == 1:
+                return x
+            return x.reshape(nbh, fT, nbw, fT).sum((1, 3))
+
+        d_cu = cu_sum(d_tu)
+        b_cu = cu_sum(b_tu)
+        cbf_cu = cu_sum(cbf_tu)
+
+        # chroma (packed [U | V], TU size Tc per half). A 64 CU's forced
+        # luma split to 4x32 TUs carries chroma down with it: leaf chroma
+        # TUs are 16x16, not one 32x32 (§7.3.8.8 transform tree).
         Sc = S // 2
-        log2c = Sc.bit_length() - 1
+        Tc = 16 if S == 64 else min(Sc, 32)
+        log2c = Tc.bit_length() - 1
+        fTc = Sc // Tc
         Hpc, Wpc = Hp // 2, Wp // 2
         mvq_c = jnp.stack([up(mv_grid[..., 0], Sc), up(mv_grid[..., 1], Sc)],
-                          -1)  # (Hpc, Wpc, 2)
+                          -1)
         refc = up(ref_grid, Sc)
         pu = pred_chroma(pl_u, mvq_c, refc, Hpc, Wpc)
         pv = pred_chroma(pl_v, mvq_c, refc, Hpc, Wpc)
         pred_uv = jnp.concatenate([pu, pv], axis=1)  # (Hpc, 2*Wpc)
         ouv_c = jnp.concatenate([ouv[:Hpc, :Wpc], ouv[:Hpc, Wc : Wc + Wpc]],
                                 axis=1)
-        coef_c = fwd_tx(ouv_c - pred_uv, Sc)
+        coef_c = fwd_tx(ouv_c - pred_uv, Tc)
         lvl_c = quant_plane(coef_c, qpc, log2c)
-        rsd_c = inv_tx(deq_plane(lvl_c, qpc, log2c), Sc)
+        rsd_c = inv_tx(deq_plane(lvl_c, qpc, log2c), Tc)
         rec_c = jnp.clip(pred_uv + rsd_c, 0, maxv)
-        nzc = tile_sum((lvl_c != 0).astype(jnp.int32), Sc)  # (nbh, 2*nbw)
-        rec_c = jnp.where(up(nzc > 0, Sc), rec_c, pred_uv)
-        dc_s = tile_sum((ouv_c - pred_uv) ** 2, Sc)
-        dc_c = tile_sum((ouv_c - rec_c) ** 2, Sc)
-        bits_c = tile_sum(bits_plane(lvl_c), Sc)
-        drop_c = (dc_s - dc_c) <= (lam_full * bits_c) >> 8
-        dropp_c = up(drop_c, Sc)
+        nzc = tile_sum((lvl_c != 0).astype(jnp.int32), Tc)
+        rec_c = jnp.where(up(nzc > 0, Tc), rec_c, pred_uv)
+        dc_s = tile_sum((ouv_c - pred_uv) ** 2, Tc).astype(jnp.float32)
+        dc_c = tile_sum((ouv_c - rec_c) ** 2, Tc).astype(jnp.float32)
+        estc = tabs["est_c"][log2c]
+        bits_ctu = estc.tu_bits(
+            jnp, plane_tiles(lvl_c, Tc, Hpc, 2 * Wpc)).reshape(nzc.shape)
+        cbfc_b = tabs["cbf_c"]
+        drop_c = (dc_s + lam * cbfc_b[0]
+                  <= dc_c + lam * (bits_ctu + cbfc_b[1]))
+        dropp_c = up(drop_c, Tc)
         lvl_c = jnp.where(dropp_c, 0, lvl_c)
         rec_c = jnp.where(dropp_c, pred_uv, rec_c)
         duv = jnp.where(drop_c, dc_s, dc_c)
-        buv = jnp.where(drop_c, 0, bits_c)
+        buv = jnp.where(drop_c, cbfc_b[0], bits_ctu + cbfc_b[1])
         nzk = jnp.where(drop_c, 0, nzc)
-        d_tot = d_tot + duv[:, :nbw] + duv[:, nbw:]
-        bits_tot = bits_tot + buv[:, :nbw] + buv[:, nbw:]
-        cbf = (cbf_acc + nzk[:, :nbw] + nzk[:, nbw:]) > 0
+
+        def cu_sum_c(x):  # per-chroma-TU grid (packed) -> per-CU grid
+            ntw = x.shape[1] // 2
+            u_, v_ = x[:, :ntw], x[:, ntw:]
+            if fTc > 1:
+                u_ = u_.reshape(nbh, fTc, nbw, fTc).sum((1, 3))
+                v_ = v_.reshape(nbh, fTc, nbw, fTc).sum((1, 3))
+            return u_ + v_
+
+        d_cu = d_cu + cu_sum_c(duv)
+        b_cu = b_cu + cu_sum_c(buv)
+        cbf_cu = cbf_cu + cu_sum_c(nzk)
         return dict(lvl=lvl, rec=rec, lvl_c=lvl_c, rec_c=rec_c,
-                    d=d_tot, bits=bits_tot, cbf=cbf)
+                    d=d_cu, bits=b_cu, cbf=cbf_cu > 0)
+
+    def cu_cost(tabs, lam, c, mode_b, merged, midx_b, S):
+        """Total RD cost per CU incl. skip/merge/amvp syntax and the
+        split flag this CU would code (min CU 8 codes none)."""
+        cbf = c["cbf"]
+        # cbf==0 & merged -> SKIP (cheapest); cbf==0 & amvp -> root_cbf 0
+        syn_skip = tabs["skip1"] + midx_b
+        syn_code = tabs["skip0"] + mode_b + jnp.where(
+            merged, 0.0, jnp.where(cbf, tabs["root1"], tabs["root0"]))
+        syn = jnp.where(~cbf & merged, syn_skip, syn_code)
+        bits = syn + jnp.where(cbf, c["bits"], 0.0)
+        if S > 8:
+            bits = bits + tabs["split"][0]
+        return c["d"] + lam * bits, bits
 
     def frame_step(ref, fu8, navail, gpos):
         qp = qps[gpos]
-        lam_full = _full_lambda_fp(qp)
+        tabs = tabs_by_qp[qp]
+        lam = jnp.float32(qp_to_lambda(qp, 0.4624))
+        lam_me_f = jnp.float32(np.sqrt(qp_to_lambda(qp, 0.4624)))
         lam_me = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
         ry_stack, ruv_stack = ref  # (R, H, W), (R, Hc, W)
         oy = fu8[: W * H].reshape(H, W).astype(jnp.int32)
@@ -435,32 +643,44 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         ov = fu8[W * H * 5 // 4 :].reshape(Hc, Wc)
         ouv = jnp.concatenate([ou, ov], axis=1).astype(jnp.int32)
 
-        # ME over every L0 reference; per-block best ref by RD cost.
-        # Dense coarse search only on ref 0; farther refs seed their
-        # refinement from the POC-scaled ref-0 coarse winner (+ the zero
-        # candidate inside refine), like TZ predictor seeding.
+        # --- ME over every L0 reference; per-block best ref by cost ----
         oy2 = tile_sum(oy, 2).astype(jnp.int16)
-        m16, m32 = [], []
+        m8, m16, m32 = [], [], []
         cx16 = cy16 = cx32 = cy32 = None
+        gcand = None
         for r in range(R):
             ryr = ry_stack[r]
             if r == 0:
                 ry2p = jnp.pad(tile_sum(ryr, 2).astype(jnp.int16), R2,
                                mode="edge")
                 s16c = coarse_stack(oy2, ry2p)
-                cx16, cy16 = pick_coarse(s16c, lam_me, nh16, nw16, False)
+                cx16, cy16 = pick_coarse(s16c, lam_me, nh16, nw16, 1)
                 if has32:
-                    cx32, cy32 = pick_coarse(s16c, lam_me, nh32, nw32, True)
+                    cx32, cy32 = pick_coarse(s16c, lam_me, nh32, nw32, 2)
+                # frame-global dominant motion: coarse offset minimizing
+                # the total SAD — refine evaluates it per block so a
+                # frame-wide translation needs no propagation
+                gi = jnp.argmin(s16c.sum((1, 2)))
+                gcand = (gi % nc - R2, gi // nc - R2)
             sc = r + 1
             cxr = jnp.clip(cx16 * sc, -R2, R2)
             cyr = jnp.clip(cy16 * sc, -R2, R2)
+            gc = gcand if r == 0 else None
             m16.append(refine(ryr, oy, cxr, cyr, 16, nh16, nw16, lam_me,
-                              with_zero=(r == 0)))
+                              with_zero=(r == 0), global_c=gc))
+            if _TUNE["enable8"]:
+                # 8-blocks refine around the parent 16's coarse center
+                cx8 = jnp.repeat(jnp.repeat(cxr.reshape(nh16, nw16), 2, 0),
+                                 2, 1)
+                cy8 = jnp.repeat(jnp.repeat(cyr.reshape(nh16, nw16), 2, 0),
+                                 2, 1)
+                m8.append(refine(ryr, oy, cx8, cy8, 8, nh8, nw8, lam_me,
+                                 with_zero=(r == 0), global_c=gc))
             if has32:
                 cxr32 = jnp.clip(cx32 * sc, -R2, R2)
                 cyr32 = jnp.clip(cy32 * sc, -R2, R2)
                 m32.append(refine(ryr, oy, cxr32, cyr32, 32, nh32, nw32,
-                                  lam_me, with_zero=(r == 0)))
+                                  lam_me, with_zero=(r == 0), global_c=gc))
 
         def pick_ref(ms):
             if R == 1:
@@ -468,118 +688,178 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 return mv, sad9, jnp.zeros(mv.shape[0], jnp.int32)
             cost = jnp.stack([m[2] + ((_REF_BITS[r] * lam_me) >> 8)
                               for r, m in enumerate(ms)], axis=1)
-            # refs beyond the DPB fill level (early frames) are invalid
             mask = jnp.arange(R)[None] >= navail
             cost = jnp.where(mask, jnp.int32(1 << 30), cost)
-            ref = jnp.argmin(cost, axis=1).astype(jnp.int32)
+            refi = jnp.argmin(cost, axis=1).astype(jnp.int32)
             mv = jnp.stack([m[0] for m in ms], 1)
             sad9 = jnp.stack([m[1] for m in ms], 1)
-            mv = jnp.take_along_axis(mv, ref[:, None, None].repeat(2, 2),
+            mv = jnp.take_along_axis(mv, refi[:, None, None].repeat(2, 2),
                                      1)[:, 0]
             sad9 = jnp.take_along_axis(
-                sad9, ref[:, None, None].repeat(9, 2), 1)[:, 0]
-            return mv, sad9, ref
-
-        mv16, sad9_16, ref16 = pick_ref(m16)
-        mvq16 = mv16 * 4
-        if cfg.fme_mode == "nn":
-            off = nn_refine(qp, sad9_16, 16, n16)
-            if off is not None:
-                mvq16 = mvq16 + off
-        if has32:
-            mv32, sad9_32, ref32 = pick_ref(m32)
-            mvq32 = mv32 * 4
-            if cfg.fme_mode == "nn":
-                off = nn_refine(qp, sad9_32, 32, n32)
-                if off is not None:
-                    mvq32 = mvq32 + off
+                sad9, refi[:, None, None].repeat(9, 2), 1)[:, 0]
+            return mv, sad9, refi
 
         # MC phase planes for every reference (einsum-batched)
         planes_y = luma_planes_all(ry_stack)
         pl_u, pl_v = chroma_planes_all(ruv_stack)
 
-        def smooth_mv(mv_grid, ref_grid, S, nbh, nbw):
-            """Merge-coherence smoothing: adopt the left/top neighbor's
-            (mv, ref) when its luma prediction is nearly as good — the
-            walk then codes those CUs as merge/skip (the reference gets
-            this from xCheckRDCostMerge2Nx2N's RD trial of merge
-            candidates, TEncCu.cpp:455). Jacobi sweeps, device-batched."""
-            Hp, Wp = nbh * S, nbw * S
-            oy_c = oy[:Hp, :Wp]
-            bonus = (lam_full * 14) >> 8  # merge-vs-AMVP bit saving
-            sse0 = None
-            for axis, srcsl in ((1, np.s_[:, :1]), (0, np.s_[:1, :]),
-                                (1, np.s_[:, :1])):
-                if sse0 is None:
-                    p0 = pred_luma(planes_y,
-                                   jnp.stack([up(mv_grid[..., 0], S),
-                                              up(mv_grid[..., 1], S)], -1),
-                                   up(ref_grid, S), Hp, Wp)
-                    sse0 = tile_sum((oy_c - p0) ** 2, S)
-                if axis == 1:
-                    mvc = jnp.concatenate([mv_grid[:, :1],
-                                           mv_grid[:, :-1]], axis=1)
-                    refc = jnp.concatenate([ref_grid[:, :1],
-                                            ref_grid[:, :-1]], axis=1)
-                else:
-                    mvc = jnp.concatenate([mv_grid[:1], mv_grid[:-1]],
-                                          axis=0)
-                    refc = jnp.concatenate([ref_grid[:1], ref_grid[:-1]],
-                                           axis=0)
-                pc = pred_luma(planes_y,
-                               jnp.stack([up(mvc[..., 0], S),
-                                          up(mvc[..., 1], S)], -1),
-                               up(refc, S), Hp, Wp)
-                ssec = tile_sum((oy_c - pc) ** 2, S)
-                adopt = ssec <= sse0 + bonus
-                mv_grid = jnp.where(adopt[..., None], mvc, mv_grid)
-                ref_grid = jnp.where(adopt, refc, ref_grid)
-                sse0 = jnp.where(adopt, ssec, sse0)
-            return mv_grid, ref_grid
+        def with_fme(mv, sad9, refv, S, nbh_, nbw_):
+            mvq = mv * 4
+            if cfg.fme_mode == "nn":
+                off = nn_refine(qp, sad9, S, nbh_ * nbw_)
+                if off is not None:
+                    mvq = mvq + off
+            elif cfg.fme_mode == "dctif":
+                mvq = subpel_refine(planes_y, oy, mv, refv, S, nbh_, nbw_)
+            return mvq
 
-        mvg16, refg16 = smooth_mv(mvq16.reshape(nh16, nw16, 2),
-                                  ref16.reshape(nh16, nw16), 16, nh16,
-                                  nw16)
-        mvq16 = mvg16.reshape(n16, 2)
-        ref16 = refg16.reshape(n16)
-        c16 = class_code(qp, lam_full, oy, ouv, planes_y, pl_u, pl_v,
-                         mvg16, refg16, 16, nh16, nw16)
-        use32 = None
+        mv16, sad9_16, ref16 = pick_ref(m16)
+        mvq16 = with_fme(mv16, sad9_16, ref16, 16, nh16, nw16)
+        if _TUNE["enable8"]:
+            mv8, sad9_8, ref8 = pick_ref(m8)
+            mvq8 = with_fme(mv8, sad9_8, ref8, 8, nh8, nw8)
         if has32:
-            mvg32, refg32 = smooth_mv(mvq32.reshape(nh32, nw32, 2),
-                                      ref32.reshape(nh32, nw32), 32,
-                                      nh32, nw32)
-            mvq32 = mvg32.reshape(n32, 2)
-            ref32 = refg32.reshape(n32)
-            c32 = class_code(qp, lam_full, oy, ouv, planes_y, pl_u, pl_v,
-                             mvg32, refg32, 32, nh32, nw32)
-            d16_ = c16["d"][: nh32 * 2, : nw32 * 2]
-            b16_ = c16["bits"][: nh32 * 2, : nw32 * 2]
-            c16cost = (d16_ + ((lam_full * (b16_ + _OVH)) >> 8)).reshape(
-                nh32, 2, nw32, 2).sum((1, 3))
-            c32cost = c32["d"] + ((lam_full * (c32["bits"] + _OVH)) >> 8)
-            use32 = c32cost <= c16cost
+            mv32, sad9_32, ref32 = pick_ref(m32)
+            mvq32 = with_fme(mv32, sad9_32, ref32, 32, nh32, nw32)
 
-        # compose final whole-frame planes (c16 chroma already covers the
-        # frame: Hpc == Hc, Wpc == Wc, packed [U | V])
-        lvl_y, rec_y = c16["lvl"], c16["rec"]
-        lvl_uv, rec_uv = c16["lvl_c"], c16["rec_c"]
+        # --- per-class candidate sweep + residual coding ---------------
+        def run_class(mvq, refv, S, nbh, nbw):
+            mvg, refg, mode_b, merged, midx_b = cand_sweep(
+                tabs, lam_me_f, oy, planes_y, mvq.reshape(nbh, nbw, 2),
+                refv.reshape(nbh, nbw), S, nbh, nbw)
+            c = class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u, pl_v,
+                           mvg, refg, S, nbh, nbw)
+            cost, _ = cu_cost(tabs, lam, c, mode_b, merged, midx_b, S)
+            c.update(mv=mvg, ref=refg, cost=cost)
+            return c
+
+        c16 = run_class(mvq16, ref16, 16, nh16, nw16)
+        if has32:
+            c32 = run_class(mvq32, ref32, 32, nh32, nw32)
+
+        # --- bottom-up quadtree compare ---------------------------------
+        # 16 vs 4x8 (split flag of the 16 on the subs side)
+        if _TUNE["enable8"]:
+            c8 = run_class(mvq8, ref8, 8, nh8, nw8)
+            cost8q = c8["cost"].reshape(nh16, 2, nw16, 2).sum((1, 3)) \
+                + lam * tabs["split"][1]
+            use8 = cost8q < c16["cost"]
+            best16 = jnp.minimum(c16["cost"], cost8q)
+        else:
+            use8 = jnp.zeros((nh16, nw16), bool)
+            best16 = c16["cost"]
+        use32 = use64 = None
+        if has32:
+            b16 = best16[: nh32 * 2, : nw32 * 2].reshape(
+                nh32, 2, nw32, 2).sum((1, 3)) + lam * tabs["split"][1]
+            use32 = c32["cost"] < b16
+            best32 = jnp.minimum(c32["cost"], b16)
+            if has64 and _TUNE["enable64"]:
+                # 64 CU: adopt the min-cost child 32's (mv, ref); residual
+                # coded as 4x 32 TUs (forced RQT split at log2 64)
+                sub_cost = c32["cost"][: nh64 * 2, : nw64 * 2].reshape(
+                    nh64, 2, nw64, 2)
+                flat = sub_cost.reshape(n64, 4)
+                bi = jnp.argmin(flat, axis=1)
+                sub_mv = c32["mv"][: nh64 * 2, : nw64 * 2].reshape(
+                    nh64, 2, nw64, 2, 2).transpose(0, 2, 1, 3, 4).reshape(
+                    n64, 4, 2)
+                sub_ref = c32["ref"][: nh64 * 2, : nw64 * 2].reshape(
+                    nh64, 2, nw64, 2).transpose(0, 2, 1, 3).reshape(n64, 4)
+                mv64 = jnp.take_along_axis(
+                    sub_mv, bi[:, None, None].repeat(2, 2), 1)[:, 0]
+                ref64 = jnp.take_along_axis(sub_ref, bi[:, None], 1)[:, 0]
+                c64 = run_class(mv64, ref64, 64, nh64, nw64)
+                b32 = best32[: nh64 * 2, : nw64 * 2].reshape(
+                    nh64, 2, nw64, 2).sum((1, 3)) + lam * tabs["split"][1]
+                use64 = c64["cost"] < b32
+
+        # --- compose final per-8-cell maps + planes ---------------------
+        def cells(x, S):  # per-CU grid -> per-8-cell map
+            return up(x, S // 8)
+
+        def up_mv(mvg, S):
+            return jnp.stack([up(mvg[..., 0], S // 8),
+                              up(mvg[..., 1], S // 8)], -1)
+
+        log2_map = jnp.where(cells(use8, 16), 3, 4).astype(jnp.int8)
+        if _TUNE["enable8"]:
+            mv_map = jnp.where(cells(use8, 16)[..., None], c8["mv"],
+                               up_mv(c16["mv"], 16))
+            ref_map = jnp.where(cells(use8, 16), c8["ref"],
+                                cells(c16["ref"], 16))
+        else:
+            mv_map = up_mv(c16["mv"], 16)
+            ref_map = cells(c16["ref"], 16)
+
+        if _TUNE["enable8"]:
+            m8pix = up(cells(use8, 16), 8)
+            m8uv = jnp.concatenate([up(cells(use8, 16), 4)] * 2, axis=1)
+            lvl_y = jnp.where(m8pix, c8["lvl"], c16["lvl"])
+            rec_y = jnp.where(m8pix, c8["rec"], c16["rec"])
+            lvl_uv = jnp.where(m8uv, c8["lvl_c"], c16["lvl_c"])
+            rec_uv = jnp.where(m8uv, c8["rec_c"], c16["rec_c"])
+        else:
+            lvl_y, rec_y = c16["lvl"], c16["rec"]
+            lvl_uv, rec_uv = c16["lvl_c"], c16["rec_c"]
+
+        def paste(dst, src, m_pix, Hs, Ws):
+            return dst.at[:Hs, :Ws].set(
+                jnp.where(m_pix, src, dst[:Hs, :Ws]))
+
+        def paste_uv(dst, src, m_pix, hs, ws):
+            for off_d, off_s in ((0, 0), (Wc, src.shape[1] // 2)):
+                dst = dst.at[:hs, off_d : off_d + ws].set(
+                    jnp.where(m_pix, src[:, off_s : off_s + ws],
+                              dst[:hs, off_d : off_d + ws]))
+            return dst
+
         if has32:
             H32, W32 = nh32 * 32, nw32 * 32
-            mp = up(use32, 32)  # (H32, W32)
-            lvl_y = lvl_y.at[:H32, :W32].set(
-                jnp.where(mp, c32["lvl"], lvl_y[:H32, :W32]))
-            rec_y = rec_y.at[:H32, :W32].set(
-                jnp.where(mp, c32["rec"], rec_y[:H32, :W32]))
-            h32c, w32c = H32 // 2, W32 // 2
-            mpc = up(use32, 16)
-            for dst, src in ((0, 0), (Wc, w32c)):
-                lvl_uv = lvl_uv.at[:h32c, dst : dst + w32c].set(
-                    jnp.where(mpc, c32["lvl_c"][:, src : src + w32c],
-                              lvl_uv[:h32c, dst : dst + w32c]))
-                rec_uv = rec_uv.at[:h32c, dst : dst + w32c].set(
-                    jnp.where(mpc, c32["rec_c"][:, src : src + w32c],
-                              rec_uv[:h32c, dst : dst + w32c]))
+            m32p = up(use32, 32)
+            lvl_y = paste(lvl_y, c32["lvl"], m32p, H32, W32)
+            rec_y = paste(rec_y, c32["rec"], m32p, H32, W32)
+            m32c = up(use32, 16)
+            lvl_uv = paste_uv(lvl_uv, c32["lvl_c"], m32c, H32 // 2,
+                              W32 // 2)
+            rec_uv = paste_uv(rec_uv, c32["rec_c"], m32c, H32 // 2,
+                              W32 // 2)
+            m32cell = up(use32, 4)
+            log2_map = log2_map.at[: nh32 * 4, : nw32 * 4].set(
+                jnp.where(m32cell, jnp.int8(5),
+                          log2_map[: nh32 * 4, : nw32 * 4]))
+            mv_map = mv_map.at[: nh32 * 4, : nw32 * 4].set(
+                jnp.where(m32cell[..., None], up_mv(c32["mv"], 32),
+                          mv_map[: nh32 * 4, : nw32 * 4]))
+            ref_map = ref_map.at[: nh32 * 4, : nw32 * 4].set(
+                jnp.where(m32cell, cells(c32["ref"], 32),
+                          ref_map[: nh32 * 4, : nw32 * 4]))
+            if has64 and use64 is not None:
+                H64, W64 = nh64 * 64, nw64 * 64
+                m64p = up(use64, 64)
+                lvl_y = paste(lvl_y, c64["lvl"], m64p, H64, W64)
+                rec_y = paste(rec_y, c64["rec"], m64p, H64, W64)
+                m64c = up(use64, 32)
+                lvl_uv = paste_uv(lvl_uv, c64["lvl_c"], m64c, H64 // 2,
+                                  W64 // 2)
+                rec_uv = paste_uv(rec_uv, c64["rec_c"], m64c, H64 // 2,
+                                  W64 // 2)
+                m64cell = up(use64, 8)
+                log2_map = log2_map.at[: nh64 * 8, : nw64 * 8].set(
+                    jnp.where(m64cell, jnp.int8(6),
+                              log2_map[: nh64 * 8, : nw64 * 8]))
+                mv_map = mv_map.at[: nh64 * 8, : nw64 * 8].set(
+                    jnp.where(m64cell[..., None], up_mv(c64["mv"], 64),
+                              mv_map[: nh64 * 8, : nw64 * 8]))
+                ref_map = ref_map.at[: nh64 * 8, : nw64 * 8].set(
+                    jnp.where(m64cell, cells(c64["ref"], 64),
+                              ref_map[: nh64 * 8, : nw64 * 8]))
+
+        # per-8-cell cbf map from the composed level planes
+        cbf_cells = (tile_sum((lvl_y != 0).astype(jnp.int32), 8)
+                     + tile_sum((lvl_uv[:, :Wc] != 0).astype(jnp.int32), 4)
+                     + tile_sum((lvl_uv[:, Wc:] != 0).astype(jnp.int32), 4)
+                     ) > 0
 
         ldt = jnp.int8 if lvl8 else jnp.int16
         parts = [u8(lvl_y.astype(ldt)), u8(lvl_uv.astype(ldt))]
@@ -587,8 +867,6 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             parts += [rec_y.astype(jnp.uint8).reshape(-1),
                       rec_uv.astype(jnp.uint8).reshape(-1)]
         else:
-            # decoded-picture-hash checksum (D.3.19) per plane + SSE vs the
-            # original for PSNR — both commutative reductions
             xm = jnp.asarray(_xor_mask(H, W))
             xmc = jnp.asarray(_xor_mask(Hc, Wc))
             cks = jnp.stack([
@@ -597,21 +875,17 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 ((rec_uv[:, Wc:] & 0xFF) ^ xmc).sum().astype(jnp.int32)])
             sse3 = jnp.stack([
                 ((oy - rec_y) ** 2).astype(jnp.float32).sum(),
-                ((ouv[:, :Wc] - rec_uv[:, :Wc]) ** 2).astype(jnp.float32).sum(),
-                ((ouv[:, Wc:] - rec_uv[:, Wc:]) ** 2).astype(jnp.float32).sum()])
+                ((ouv[:, :Wc] - rec_uv[:, :Wc]) ** 2).astype(
+                    jnp.float32).sum(),
+                ((ouv[:, Wc:] - rec_uv[:, Wc:]) ** 2).astype(
+                    jnp.float32).sum()])
             parts += [u8(cks), u8(sse3)]
-        parts += [u8(mvq16.astype(jnp.int16)),
+        parts += [log2_map.astype(jnp.uint8).reshape(-1),
+                  u8(mv_map.astype(jnp.int16)),
+                  ref_map.astype(jnp.uint8).reshape(-1),
+                  cbf_cells.astype(jnp.uint8).reshape(-1),
                   u8(sad9_16.astype(jnp.int32)),
-                  u8(mv16.astype(jnp.int16)),
-                  ref16.astype(jnp.uint8).reshape(-1),
-                  c16["cbf"].astype(jnp.uint8).reshape(-1)]
-        if has32:
-            parts += [u8(mvq32.astype(jnp.int16)),
-                      u8(sad9_32.astype(jnp.int32)),
-                      u8(mv32.astype(jnp.int16)),
-                      ref32.astype(jnp.uint8).reshape(-1),
-                      c32["cbf"].astype(jnp.uint8).reshape(-1),
-                      use32.astype(jnp.uint8).reshape(-1)]
+                  u8(mv16.astype(jnp.int16))]
         new_ry = jnp.concatenate([rec_y[None], ry_stack[:-1]])
         new_ruv = jnp.concatenate([rec_uv[None], ruv_stack[:-1]])
         return (new_ry, new_ruv), jnp.concatenate(parts)
@@ -640,9 +914,9 @@ def _parse_frame_buf(cfg, buf: np.ndarray) -> dict:
     sps = cfg.sps
     W, H = sps.coded_width, sps.coded_height
     Hc, Wc = H // 2, W // 2
+    h8, w8 = H // 8, W // 8
     nh16, nw16 = H // 16, W // 16
-    nh32, nw32 = H // 32, W // 32
-    n16, n32 = nh16 * nw16, nh32 * nw32
+    n16 = nh16 * nw16
     lvl8 = _lvl8(cfg)
     ldt = np.int8 if lvl8 else np.int16
     lb = 1 if lvl8 else 2
@@ -666,21 +940,13 @@ def _parse_frame_buf(cfg, buf: np.ndarray) -> dict:
         d.update(cks=take(12, np.int32, (3,)),
                  sse=take(12, np.float32, (3,)))
     d.update(
-        mvq16=take(n16 * 4, np.int16, (n16, 2)).astype(np.int32),
+        log2_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
+        mv_map=take(h8 * w8 * 4, np.int16, (h8, w8, 2)).astype(np.int32),
+        ref_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
+        cbf_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
         sad9_16=take(n16 * 36, np.int32, (n16, 9)),
         mv16=take(n16 * 4, np.int16, (n16, 2)).astype(np.int32),
-        ref16=take(n16, np.uint8, (n16,)),
-        cbf16=take(n16, np.uint8, (n16,)),
     )
-    if n32:
-        d.update(
-            mvq32=take(n32 * 4, np.int16, (n32, 2)).astype(np.int32),
-            sad9_32=take(n32 * 36, np.int32, (n32, 9)),
-            mv32=take(n32 * 4, np.int16, (n32, 2)).astype(np.int32),
-            ref32=take(n32, np.uint8, (n32,)),
-            cbf32=take(n32, np.uint8, (n32,)),
-            use32=take(n32, np.uint8, (n32,)).reshape(nh32, nw32),
-        )
     return d
 
 
@@ -688,20 +954,16 @@ def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
     """Fetched frame row -> (FrameSyntax, recon[, stats]) via the native
     decision walk; returns None when the native library is unavailable
     (callers fall back to collect_grid_frame + assemble_frame_p)."""
-    from ..entropy.native import decision_walk_native
+    from ..entropy.native import decision_walk_map_native
     from ..entropy.syntax import FrameSyntax
 
     sps = cfg.sps
     W, H = sps.coded_width, sps.coded_height
     Hc, Wc = H // 2, W // 2
-    nh32, nw32 = H // 32, W // 32
     d = _parse_frame_buf(cfg, buf)
-    if nh32 * nw32 == 0:
-        return None  # tiny frames: python walk handles the 16-only case
-    maps = decision_walk_native(
-        d["mvq16"], d["cbf16"], d["mvq32"], d["cbf32"], d["use32"],
-        W, H, sps.log2_ctu, cfg.max_num_merge_cand,
-        d["ref16"], d["ref32"], num_ref)
+    maps = decision_walk_map_native(
+        d["log2_map"], d["mv_map"], d["ref_map"], d["cbf_map"],
+        W, H, sps.log2_ctu, cfg.max_num_merge_cand, num_ref)
     if maps is None:
         return None
     fs = FrameSyntax(
@@ -724,51 +986,39 @@ def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
 
 def collect_grid_frame(cfg, buf: np.ndarray):
     """One fetched frame row -> per_cu dict compatible with
-    inter_enc.assemble_frame_p."""
+    inter_enc.assemble_frame_p (python-walk fallback path)."""
     sps = cfg.sps
     W, H = sps.coded_width, sps.coded_height
     Hc, Wc = H // 2, W // 2
-    nh16, nw16 = H // 16, W // 16
-    nh32, nw32 = H // 32, W // 32
-    n16, n32 = nh16 * nw16, nh32 * nw32
-    has32 = n32 > 0
     d = _parse_frame_buf(cfg, buf)
+    if "rec_y" not in d:
+        raise RuntimeError("python-walk fallback requires fetch_recon")
     lvl_y, rec_y = d["lvl_y"], d["rec_y"]
-    mvq16, mv16, sad9_16 = d["mvq16"], d["mv16"], d["sad9_16"]
-    ref16 = d["ref16"]
-    if has32:
-        mvq32, mv32, sad9_32 = d["mvq32"], d["mv32"], d["sad9_32"]
-        ref32 = d["ref32"]
-        use32 = d["use32"].astype(bool)
-
     lvl_u, lvl_v = d["lvl_uv"][:, :Wc], d["lvl_uv"][:, Wc:]
     rec_u, rec_v = d["rec_uv"][:, :Wc], d["rec_uv"][:, Wc:]
+    log2_map = d["log2_map"]
+    h8, w8 = log2_map.shape
     per_cu = {}
-
-    def emit(x0, y0, size, mv, mvi, s9, ref=0):
-        cs = size // 2
-        cx, cy = x0 // 2, y0 // 2
-        per_cu[(x0, y0)] = dict(
-            size=size, mv=mv, mv_int=mvi, sad9=s9, ref=int(ref),
-            lvl=lvl_y[y0 : y0 + size, x0 : x0 + size],
-            rec=rec_y[y0 : y0 + size, x0 : x0 + size].astype(np.int32),
-            lvl_u=lvl_u[cy : cy + cs, cx : cx + cs],
-            rec_u=rec_u[cy : cy + cs, cx : cx + cs].astype(np.int32),
-            lvl_v=lvl_v[cy : cy + cs, cx : cx + cs],
-            rec_v=rec_v[cy : cy + cs, cx : cx + cs].astype(np.int32),
-        )
-
-    for b in range(n16):
-        by, bx = b // nw16, b % nw16
-        if has32 and by < nh32 * 2 and bx < nw32 * 2 \
-                and use32[by // 2, bx // 2]:
-            continue
-        emit(bx * 16, by * 16, 16, mvq16[b], mv16[b], sad9_16[b],
-             ref16[b])
-    if has32:
-        for b in range(n32):
-            by, bx = b // nw32, b % nw32
-            if use32[by, bx]:
-                emit(bx * 32, by * 32, 32, mvq32[b], mv32[b], sad9_32[b],
-                     ref32[b])
+    seen = np.zeros((h8, w8), bool)
+    for y8 in range(h8):
+        for x8 in range(w8):
+            if seen[y8, x8]:
+                continue
+            lg = int(log2_map[y8, x8])
+            size = 1 << lg
+            s8 = size // 8
+            seen[y8 : y8 + s8, x8 : x8 + s8] = True
+            x0, y0 = x8 * 8, y8 * 8
+            cs = size // 2
+            cx, cy = x0 // 2, y0 // 2
+            per_cu[(x0, y0)] = dict(
+                size=size, mv=d["mv_map"][y8, x8],
+                ref=int(d["ref_map"][y8, x8]),
+                lvl=lvl_y[y0 : y0 + size, x0 : x0 + size],
+                rec=rec_y[y0 : y0 + size, x0 : x0 + size].astype(np.int32),
+                lvl_u=lvl_u[cy : cy + cs, cx : cx + cs],
+                rec_u=rec_u[cy : cy + cs, cx : cx + cs].astype(np.int32),
+                lvl_v=lvl_v[cy : cy + cs, cx : cx + cs],
+                rec_v=rec_v[cy : cy + cs, cx : cx + cs].astype(np.int32),
+            )
     return per_cu

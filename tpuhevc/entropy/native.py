@@ -52,8 +52,47 @@ def get_lib():
              ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
             + [ctypes.c_int] * 5
             + [ctypes.POINTER(ctypes.c_int32)] * 8)
+    if hasattr(lib, "tpuhevc_decision_walk_map"):
+        lib.tpuhevc_decision_walk_map.restype = ctypes.c_int
+        lib.tpuhevc_decision_walk_map.argtypes = (
+            [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+            + [ctypes.c_int] * 5
+            + [ctypes.POINTER(ctypes.c_int32)] * 8)
     _LIB = lib
     return _LIB
+
+
+def decision_walk_map_native(log2_map, mv_map, ref_map, cbf_map, W, H,
+                             log2_ctu, max_merge, num_ref: int = 1):
+    """v2 native walk: final per-8x8-cell (cu_log2, mv, ref, cbf) maps
+    from the device stage -> FrameSyntax merge/skip/AMVP maps, or None
+    if the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "tpuhevc_decision_walk_map"):
+        return None
+    h8, w8 = H // 8, W // 8
+    lm = np.ascontiguousarray(log2_map, dtype=np.uint8)
+    mv_in = np.ascontiguousarray(mv_map, dtype=np.int32)
+    rf = np.ascontiguousarray(ref_map, dtype=np.uint8)
+    cb = np.ascontiguousarray(cbf_map, dtype=np.uint8)
+    outs = [np.zeros((h8, w8), np.int32) for _ in range(6)]
+    mv = np.zeros((h8, w8, 2), np.int32)
+    mvd = np.zeros((h8, w8, 2), np.int32)
+    arrs = [outs[0], mv, outs[1], outs[2], outs[3], outs[4], outs[5], mvd]
+    outp = [a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs]
+    rc = lib.tpuhevc_decision_walk_map(
+        lm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        mv_in.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        W, H, log2_ctu, max_merge, num_ref, *outp)
+    if rc != 0:
+        return None
+    cu_log2, ref, skipf, merge_flag, merge_idx, mvp_flag = outs
+    return dict(cu_log2=cu_log2, mv=mv, ref=ref, skip=skipf,
+                merge_flag=merge_flag, merge_idx=merge_idx,
+                mvp_flag=mvp_flag, mvd=mvd)
 
 
 def decision_walk_native(mvq16, cbf16, mvq32, cbf32, use32, W, H,

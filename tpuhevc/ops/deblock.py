@@ -33,8 +33,9 @@ BETA_TABLE = np.array(
 def _edge_columns(fs, axis: int) -> np.ndarray:
     """(h8, w8) bool: True where a block edge starts at this cell's
     left (axis=0, vertical edges) / top (axis=1, horizontal edges).
-    Block edges == CU edges (TU = CU invariant)."""
-    cu = fs.cu_log2
+    Block edges = TU edges (TU = min(CU, 32), so a 64 CU also has its
+    internal 32-grid edges); PU edges coincide with CU edges (2Nx2N)."""
+    cu = np.minimum(fs.cu_log2, 5)
     h8, w8 = cu.shape
     y8, x8 = np.mgrid[0:h8, 0:w8]
     if axis == 0:
@@ -43,10 +44,10 @@ def _edge_columns(fs, axis: int) -> np.ndarray:
 
 
 def _cell_cbf(fs) -> np.ndarray:
-    """(h8, w8) bool: containing LUMA TB (== CU; TU = CU invariant) has a
-    nonzero coefficient. Luma-only per §8.7.2.4 — the bS cbf condition
-    refers to the transform block containing p0/q0, i.e. the luma TB for
-    luma edges."""
+    """(h8, w8) bool: containing LUMA TB has a nonzero coefficient.
+    Luma-only per §8.7.2.4 — the bS cbf condition refers to the transform
+    block containing p0/q0. TB = min(CU, 32): a 64 CU is coded as a
+    forced RQT split into 4 32x32 TBs, so its cbf is per-quadrant."""
     h8, w8 = fs.cu_log2.shape
     out = np.zeros((h8, w8), dtype=bool)
     seen = np.zeros((h8, w8), dtype=bool)
@@ -54,12 +55,18 @@ def _cell_cbf(fs) -> np.ndarray:
         for x8 in range(w8):
             if seen[y8, x8]:
                 continue
-            s8 = (1 << int(fs.cu_log2[y8, x8])) // 8
+            s = 1 << int(fs.cu_log2[y8, x8])
+            s8 = s // 8
             x0, y0 = x8 * 8, y8 * 8
-            s = s8 * 8
-            cbf = bool(fs.coeff_y[y0 : y0 + s, x0 : x0 + s].any())
-            out[y8 : y8 + s8, x8 : x8 + s8] = cbf
             seen[y8 : y8 + s8, x8 : x8 + s8] = True
+            t = min(s, 32)
+            t8 = t // 8
+            for ty in range(0, s, t):
+                for tx in range(0, s, t):
+                    cbf = bool(fs.coeff_y[y0 + ty : y0 + ty + t,
+                                          x0 + tx : x0 + tx + t].any())
+                    out[(y0 + ty) // 8 : (y0 + ty) // 8 + t8,
+                        (x0 + tx) // 8 : (x0 + tx) // 8 + t8] = cbf
     return out
 
 
