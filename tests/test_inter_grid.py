@@ -137,3 +137,19 @@ def test_amvp_scaling_matches_walk():
                 o = (abs(p) + 127) >> 8
                 exp.append(max(-32768, min(32767, -o if p < 0 else o)))
             assert got == tuple(exp)
+
+
+def test_grid_deblock_rdoq_sbh_conformance():
+    """Anchor coding tools on the device path: deblocking + SAO (device
+    filters must be bit-identical to the host/decoder filters or the
+    hash check fails), RDOQ, and sign-bit hiding."""
+    clip = _clip(128, 64, 9)
+    cfg = _cfg(128, 64, num_ref_frames=2)
+    cfg.deblocking = True
+    cfg.rdoq = True
+    cfg.pps.sign_data_hiding = True
+    cfg.sps.sao_enabled = True
+    enc, _ = encode_sequence(_Reader(clip), cfg, max_frames=9)
+    frames = decode_stream(enc.bitstream())
+    assert len(frames) == 9
+    assert all(f.md5_ok for f in frames)

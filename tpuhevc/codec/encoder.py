@@ -117,12 +117,13 @@ class Encoder:
                 (y, u, v), self.dpb_recon, cfg_f, self._nn_for_qp(fqp),
                 backend=cfg.inter_backend)
 
-        if cfg.deblocking and ry is not None:
+        if (cfg.deblocking and ry is not None
+                and not getattr(fs, "prefiltered", False)):
             from ..ops.deblock import deblock_frame
 
             ry, ru, rv = deblock_frame((ry, ru, rv), fs, fqp,
                                        stype == I_SLICE)
-        if sps.sao_enabled and ry is not None:
+        if sps.sao_enabled and ry is not None and fs.sao is None:
             from .recon import _pad_to
             from .sao_enc import apply_sao_picture, decide_sao_params
 
@@ -355,11 +356,11 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
     elif cfg.gop_structure == "ra" and len(frames) > 1:
         _ra_gop4(enc, cfg, frames, _finish)
     elif (cfg.intra_period == -1 and cfg.inter_backend == "jax"
-          and len(frames) > 1 and not cfg.deblocking
-          and not cfg.sps.sao_enabled
-          and not cfg.pps.sign_data_hiding and not cfg.intra_in_inter
-          and not cfg.rdoq
-          and (cfg.fme_mode != "dctif" or _grid_supports(cfg))):
+          and len(frames) > 1 and not cfg.intra_in_inter
+          and ((not cfg.pps.sign_data_hiding and not cfg.rdoq
+                and not cfg.deblocking and not cfg.sps.sao_enabled
+                and cfg.fme_mode != "dctif")
+               or _grid_supports(cfg))):
         _ldp_scan_pipelined(enc, cfg, frames, _finish)
     else:
         for i, fr in enumerate(frames):
@@ -569,6 +570,8 @@ class LdpScanDriver:
                 per_cu = self.collect_fn(cfg_f, rows[j])
                 pre = assemble_frame_p(cfg_f, per_cu, n_ref,
                                        agglomerate=not self.grid)
+            if self.grid and cfg_f.deblocking:
+                pre[0].prefiltered = True  # device stage already filtered
             self.finish(poc, self.frames[poc], pre)
 
 

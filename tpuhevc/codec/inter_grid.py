@@ -117,8 +117,13 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     fetch_recon = cfg.fetch_recon or cfg.hash_type != "checksum"
     R = max(1, cfg.num_ref_frames)
     MM = cfg.max_num_merge_cand
+    use_rdoq = cfg.rdoq
+    use_sbh = cfg.pps.sign_data_hiding
+    use_deblock = cfg.deblocking
+    use_sao = sps.sao_enabled
     key = ("v3", W, H, bd, sr, cfg.fme_mode, qps, n_gops, fetch_recon,
            R, MM, cfg.nn_weights_dir, not nn_by_qp.get(qps[0]),
+           use_rdoq, use_sbh, use_deblock, use_sao,
            tuple(sorted(_TUNE.items())))
     hit = _BUILD_CACHE.get(key)
     if hit is not None:
@@ -243,6 +248,122 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         """(hp, wp) plane -> (nT, T, T) tiles, row-major tile order."""
         return (p.reshape(hp // T, T, wp // T, T)
                 .transpose(0, 2, 1, 3).reshape(-1, T, T))
+
+    def rdoq_plane(coef, qp, log2t, lam_f):
+        """Device twin of tx.rdoq_np (TComTrQuant::xRateDistOptQuant
+        approximation): per-coefficient {ceil, ceil-1, 0} choice by
+        distortion + lambda*bits, then the per-CG all-zero trial."""
+        qpe = qp + 6 * (bd - 8)
+        per, rem = qpe // 6, qpe % 6
+        tshift = tx.MAX_TR_DYNAMIC_RANGE - bd - log2t
+        qbits = 14 + per + tshift
+        scale = float(tx.QUANT_SCALES[rem])
+        lamr = 1.5 * lam_f  # proxy calibration (matches rdoq_np)
+        ac = jnp.abs(coef).astype(jnp.float32) * scale
+        lmax = jnp.ceil(ac / (1 << qbits)).astype(jnp.float32)
+        err_den = scale * (1 << tshift)
+
+        def cost(level):
+            d = (ac - level * float(1 << qbits)) / err_den
+            bits = jnp.where(
+                level > 0,
+                2.0 * jnp.floor(jnp.log2(jnp.maximum(level, 1.0))) + 4.0,
+                0.0)
+            return d * d + lamr * bits
+
+        l1 = jnp.maximum(lmax, 0.0)
+        l2 = jnp.maximum(lmax - 1.0, 0.0)
+        best = jnp.where(cost(l1) <= cost(l2), l1, l2)
+        best = jnp.where(cost(best) <= cost(jnp.zeros_like(best)), best,
+                         0.0)
+        # per-CG zero trial
+        dz = (ac - best * float(1 << qbits)) / err_den
+        dz2 = tile_sum(dz * dz, 4)
+        acn = ac / err_den
+        z2 = tile_sum(acn * acn, 4)
+        bits_cg = tile_sum(
+            jnp.where(best > 0,
+                      2.0 * jnp.floor(jnp.log2(jnp.maximum(best, 1.0)))
+                      + 5.0, 0.0), 4) + 4.0
+        keep = dz2 + lamr * bits_cg <= z2 + lamr * 1.0
+        best = jnp.where(up(keep, 4), best, 0.0)
+        lim = 127 if lvl8 else 32767
+        return jnp.clip(jnp.sign(coef) * best.astype(jnp.int32), -lim, lim)
+
+    def ideal_plane(coef, qp, log2t):
+        """Signed real-valued quantizer pre-rounding value (tx.
+        ideal_levels_np twin) — SBH's minimal-damage reference."""
+        qpe = qp + 6 * (bd - 8)
+        per, rem = qpe // 6, qpe % 6
+        tshift = tx.MAX_TR_DYNAMIC_RANGE - bd - log2t
+        qbits = 14 + per + tshift
+        return (coef.astype(jnp.float32) * float(tx.QUANT_SCALES[rem])
+                / (1 << qbits))
+
+    _SBH_IDX_CACHE: dict = {}
+
+    def _sbh_idx(hp, wp):
+        """Static plane <-> (CG, scanpos) permutation for 4x4 diag scan."""
+        hit = _SBH_IDX_CACHE.get((hp, wp))
+        if hit is None:
+            from ..utils.tables import SCAN_DIAG, scan_order
+
+            s4 = scan_order(2, SCAN_DIAG)  # scanpos -> raster in 4x4
+            ncgw = wp // 4
+            idx = np.empty((hp // 4 * ncgw, 16), np.int32)
+            for cy in range(hp // 4):
+                for cx in range(ncgw):
+                    base_y, base_x = cy * 4, cx * 4
+                    for p in range(16):
+                        r = int(s4[p])
+                        idx[cy * ncgw + cx, p] = (
+                            (base_y + r // 4) * wp + base_x + r % 4)
+            inv = np.empty(hp * wp, np.int32)
+            inv[idx.reshape(-1)] = np.arange(hp * wp, dtype=np.int32)
+            hit = (jnp.asarray(idx), jnp.asarray(inv))
+            _SBH_IDX_CACHE[(hp, wp)] = hit
+        return hit
+
+    def sbh_plane(lvl, ideal):
+        """Device sign-bit-hiding post-pass (signBitHidingHDQ,
+        TComTrQuant.cpp:991 / entropy/residual.apply_sign_bit_hiding):
+        per 4x4 CG with scan span >= 4, adjust one level by +-1 so the
+        abs-sum parity encodes the first coefficient's sign, choosing the
+        adjustment with the smallest requantization error (deltaU)."""
+        hp, wp = lvl.shape
+        idx, inv = _sbh_idx(hp, wp)
+        lv = lvl.reshape(-1)[idx]          # (nCG, 16) scan order
+        iv = ideal.reshape(-1)[idx]
+        a = jnp.abs(lv)
+        nz = a > 0
+        pos = jnp.arange(16)[None]
+        first = jnp.min(jnp.where(nz, pos, 16), axis=1)
+        last = jnp.max(jnp.where(nz, pos, -1), axis=1)
+        hide = (last - first) >= 4
+        want = (jnp.take_along_axis(
+            lv, jnp.minimum(first, 15)[:, None], 1)[:, 0] < 0)
+        need = hide & ((jnp.sum(a, axis=1) & 1) != want.astype(jnp.int32))
+        ia = jnp.abs(iv)
+        in_rng = (pos >= first[:, None]) & (pos <= last[:, None])
+        lim = 127 if lvl8 else 32767
+        err_up = jnp.abs(a + 1 - ia)
+        err_dn = jnp.abs(a - 1 - ia)
+        inf = jnp.float32(1e30)
+        err_up = jnp.where(in_rng & (a + 1 <= lim), err_up, inf)
+        bad_dn = (a == 0) | ((pos == first[:, None]) & (a == 1))
+        err_dn = jnp.where(in_rng & ~bad_dn, err_dn, inf)
+        errs = jnp.concatenate([err_up, err_dn], axis=1)  # (nCG, 32)
+        bi = jnp.argmin(errs, axis=1)
+        p_sel = bi % 16
+        d_abs = jnp.where(bi < 16, 1, -1)
+        sgn = jnp.take_along_axis(lv, p_sel[:, None], 1)[:, 0]
+        isgn = jnp.take_along_axis(iv, p_sel[:, None], 1)[:, 0]
+        sgn = jnp.where(sgn != 0, jnp.sign(sgn),
+                        jnp.where(isgn >= 0, 1, -1)).astype(lv.dtype)
+        delta = jnp.where(
+            need[:, None] & (pos == p_sel[:, None]),
+            sgn[:, None] * d_abs[:, None], 0).astype(lv.dtype)
+        return (lv + delta).reshape(-1)[inv].reshape(hp, wp)
 
     # --- ME --------------------------------------------------------------
     def coarse_stack(oy2, ry2p):
@@ -465,6 +586,367 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             mvq = mvq + jnp.stack([dxs, dys], -1)
         return mvq.reshape(-1, 2)
 
+    # --- device deblocking (P slices: luma bs<=1, no chroma) ------------
+    from ..ops.deblock import BETA_TABLE, TC_TABLE
+
+    def _tb_cbf_cells(log2_map, cbf_cells):
+        """Per-8-cell luma-TB cbf (TB = min(CU, 32)): broadcast any-nz
+        over each cell's TB region, selected by the cell's TU log2."""
+        def grp_any(c, f):
+            if f == 1:
+                return c
+            hh, ww = c.shape
+            hq = -(-hh // f) * f
+            wq = -(-ww // f) * f
+            cp = jnp.pad(c, ((0, hq - hh), (0, wq - ww)))
+            g = cp.reshape(hq // f, f, wq // f, f).any((1, 3))
+            return jnp.repeat(jnp.repeat(g, f, 0), f, 1)[:hh, :ww]
+
+        tu_log2 = jnp.minimum(log2_map.astype(jnp.int32), 5)
+        any8 = cbf_cells
+        any16 = grp_any(cbf_cells, 2)
+        any32 = grp_any(cbf_cells, 4)
+        return jnp.where(tu_log2 == 3, any8,
+                         jnp.where(tu_log2 == 4, any16, any32))
+
+    def _bs_dir(log2_map, mv_map, ref_map, tb_cbf, axis):
+        """(h8, w8) boundary strength for the edge at each cell's
+        left (axis 1) / top (axis 0); P-slice rules (§8.7.2.4 with the
+        deblock.boundary_strength semantics)."""
+        tu_log2 = jnp.minimum(log2_map.astype(jnp.int32), 5)
+        cs = (jnp.arange(w8)[None] if axis == 1
+              else jnp.arange(h8)[:, None])
+        edge = (cs % (1 << (tu_log2 - 3))) == 0
+        if axis == 1:
+            p_cbf = jnp.roll(tb_cbf, 1, 1)
+            p_mv = jnp.roll(mv_map, 1, 1)
+            p_ref = jnp.roll(ref_map, 1, 1)
+            border = jnp.asarray((np.arange(w8) == 0)[None].repeat(h8, 0))
+        else:
+            p_cbf = jnp.roll(tb_cbf, 1, 0)
+            p_mv = jnp.roll(mv_map, 1, 0)
+            p_ref = jnp.roll(ref_map, 1, 0)
+            border = jnp.asarray(
+                (np.arange(h8) == 0)[:, None].repeat(w8, 1))
+        mv_far = (jnp.abs(mv_map - p_mv) >= 4).any(-1) | (
+            ref_map != p_ref)
+        bs = (tb_cbf | p_cbf | mv_far) & edge & ~border
+        return bs.astype(jnp.int32)
+
+    def _deblock_luma_vert(plane, bs8, qp):
+        """Vertical-edge pass over the whole plane; bs8 per 8-cell.
+        Shape-generic (the horizontal pass calls it on the transpose)."""
+        hp, wp = plane.shape
+        wt = wp // 8
+        t = plane.reshape(hp, wt, 8)
+        # p_k = left tile col 7-k, q_k = right tile col k, edges at tiles
+        p = jnp.stack([jnp.roll(t, 1, 1)[:, :, 7 - k] for k in range(4)],
+                      -1)  # (hp, wt, 4) p0..p3
+        q = t[:, :, :4]
+        # segments of 4 rows: (h4, 4, wt, ...)
+        h4 = hp // 4
+        ps = p.reshape(h4, 4, wt, 4).astype(jnp.int32)
+        qs = q.reshape(h4, 4, wt, 4).astype(jnp.int32)
+        bs_seg = jnp.repeat(bs8, 2, axis=0)  # (h4, wt)
+        beta = jnp.int32(int(BETA_TABLE[min(max(qp, 0), 51)]))
+        tc = jnp.int32(int(TC_TABLE[min(max(qp + 2 * (1 - 1), 0), 53)]))
+        dp0 = jnp.abs(ps[:, 0, :, 2] - 2 * ps[:, 0, :, 1] + ps[:, 0, :, 0])
+        dp3 = jnp.abs(ps[:, 3, :, 2] - 2 * ps[:, 3, :, 1] + ps[:, 3, :, 0])
+        dq0 = jnp.abs(qs[:, 0, :, 2] - 2 * qs[:, 0, :, 1] + qs[:, 0, :, 0])
+        dq3 = jnp.abs(qs[:, 3, :, 2] - 2 * qs[:, 3, :, 1] + qs[:, 3, :, 0])
+        dpq0 = dp0 + dq0
+        dpq3 = dp3 + dq3
+        d = dpq0 + dpq3
+        do_f = (d < beta) & (bs_seg > 0)
+
+        def dsam(line, dpq):
+            sp = jnp.abs(ps[:, line, :, 3] - ps[:, line, :, 0])
+            sq = jnp.abs(qs[:, line, :, 0] - qs[:, line, :, 3])
+            spq = jnp.abs(ps[:, line, :, 0] - qs[:, line, :, 0])
+            return ((2 * dpq < (beta >> 2))
+                    & (sp + sq < (beta >> 3))
+                    & (spq < ((5 * tc + 1) >> 1)))
+
+        strong = dsam(0, dpq0) & dsam(3, dpq3) & do_f
+        weak = do_f & ~strong
+        pp, qq = ps, qs  # (h4, 4, w8, 4)
+        sp0 = (pp[..., 2] + 2 * pp[..., 1] + 2 * pp[..., 0]
+               + 2 * qq[..., 0] + qq[..., 1] + 4) >> 3
+        sp1 = (pp[..., 2] + pp[..., 1] + pp[..., 0] + qq[..., 0] + 2) >> 2
+        sp2 = (2 * pp[..., 3] + 3 * pp[..., 2] + pp[..., 1] + pp[..., 0]
+               + qq[..., 0] + 4) >> 3
+        sq0 = (qq[..., 2] + 2 * qq[..., 1] + 2 * qq[..., 0]
+               + 2 * pp[..., 0] + pp[..., 1] + 4) >> 3
+        sq1 = (qq[..., 2] + qq[..., 1] + qq[..., 0] + pp[..., 0] + 2) >> 2
+        sq2 = (2 * qq[..., 3] + 3 * qq[..., 2] + qq[..., 1] + qq[..., 0]
+               + pp[..., 0] + 4) >> 3
+
+        def clip2(v, ref):
+            return jnp.clip(v, ref - 2 * tc, ref + 2 * tc)
+
+        sp0 = clip2(sp0, pp[..., 0])
+        sp1 = clip2(sp1, pp[..., 1])
+        sp2 = clip2(sp2, pp[..., 2])
+        sq0 = clip2(sq0, qq[..., 0])
+        sq1 = clip2(sq1, qq[..., 1])
+        sq2 = clip2(sq2, qq[..., 2])
+
+        delta = (9 * (qq[..., 0] - pp[..., 0])
+                 - 3 * (qq[..., 1] - pp[..., 1]) + 8) >> 4
+        w_on = weak[:, None] & (jnp.abs(delta) < 10 * tc)
+        dlt = jnp.clip(delta, -tc, tc)
+        wp0 = jnp.clip(pp[..., 0] + dlt, 0, maxv)
+        wq0 = jnp.clip(qq[..., 0] - dlt, 0, maxv)
+        side = (beta + (beta >> 1)) >> 3
+        dep = ((dp0 + dp3) < side)[:, None]
+        deq2 = ((dq0 + dq3) < side)[:, None]
+        tc2 = tc >> 1
+        dp_ = jnp.clip((((pp[..., 2] + pp[..., 0] + 1) >> 1)
+                        - pp[..., 1] + dlt) >> 1, -tc2, tc2)
+        dq_ = jnp.clip((((qq[..., 2] + qq[..., 0] + 1) >> 1)
+                        - qq[..., 1] - dlt) >> 1, -tc2, tc2)
+        wp1 = jnp.clip(pp[..., 1] + dp_, 0, maxv)
+        wq1 = jnp.clip(qq[..., 1] + dq_, 0, maxv)
+
+        s_on = strong[:, None]
+        np0 = jnp.where(s_on, sp0, jnp.where(w_on, wp0, pp[..., 0]))
+        np1 = jnp.where(s_on, sp1, jnp.where(w_on & dep, wp1, pp[..., 1]))
+        np2 = jnp.where(s_on, sp2, pp[..., 2])
+        nq0 = jnp.where(s_on, sq0, jnp.where(w_on, wq0, qq[..., 0]))
+        nq1 = jnp.where(s_on, sq1, jnp.where(w_on & deq2, wq1,
+                                             qq[..., 1]))
+        nq2 = jnp.where(s_on, sq2, qq[..., 2])
+        # write back: q side into cols 0..2 of each tile, p side into
+        # cols 7..5 of the LEFT tile (roll back)
+        newq = jnp.stack([nq0, nq1, nq2], -1).reshape(hp, wt, 3)
+        t2 = jnp.concatenate([newq, t[:, :, 3:]], axis=2)
+        newp = jnp.stack([np2, np1, np0], -1).reshape(hp, wt, 3)
+        newp = jnp.roll(newp, -1, axis=1)  # back to the owning tile
+        t3 = jnp.concatenate([t2[:, :, :5], newp], axis=2)
+        return t3.reshape(hp, wp)
+
+    def deblock_device(rec_y, log2_map, mv_map, ref_map, cbf_cells, qp):
+        """Whole-frame luma deblock (vertical then horizontal edges),
+        device twin of ops/deblock.deblock_frame for P slices (bs <= 1,
+        so chroma is untouched). Same int math; parity is tested against
+        the host filter in tests/test_inter_grid.py."""
+        tb_cbf = _tb_cbf_cells(log2_map, cbf_cells)
+        bs_v = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 1)
+        y = _deblock_luma_vert(rec_y, bs_v, qp)
+        bs_h = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 0)
+        y = _deblock_luma_vert(y.T, bs_h.T, qp).T
+        return y
+
+    # --- device SAO (stats -> per-CTU RDO -> apply) ----------------------
+    CTU = 1 << sps.log2_ctu
+    SAO_INF = jnp.float32(1e18)
+
+    def _eo_cat(rec, klass):
+        """Whole-plane EO category map + validity (ops/sao.eo_category
+        twin)."""
+        from ..ops.sao import EO_NEIGHBORS
+
+        hh, ww = rec.shape
+        (dy0, dx0), (dy1, dx1) = EO_NEIGHBORS[klass]
+
+        def nbr(dy, dx):
+            return jnp.pad(rec, ((max(-dy, 0), max(dy, 0)),
+                                 (max(-dx, 0), max(dx, 0))),
+                           mode="edge")[max(dy, 0) : max(dy, 0) + hh,
+                                        max(dx, 0) : max(dx, 0) + ww]
+
+        et = jnp.sign(rec - nbr(dy0, dx0)) + jnp.sign(rec - nbr(dy1, dx1))
+        cat = jnp.asarray([1, 2, 0, 3, 4], jnp.int32)[et + 2]
+        valid = np.ones((hh, ww), bool)
+        for dy, dx in ((dy0, dx0), (dy1, dx1)):
+            if dx < 0:
+                valid[:, 0] = False
+            if dx > 0:
+                valid[:, -1] = False
+            if dy < 0:
+                valid[0, :] = False
+            if dy > 0:
+                valid[-1, :] = False
+        return cat, jnp.asarray(valid)
+
+    def _ctu_sum(m, ctu, hh, ww, ny, nx):
+        """Masked per-CTU sum with zero-padding to full tiles."""
+        mp = jnp.pad(m, ((0, ny * ctu - hh), (0, nx * ctu - ww)))
+        return tile_sum(mp, ctu)
+
+    def _sao_stats(org, rec, ctu):
+        hh, ww = rec.shape
+        ny = (hh + ctu - 1) // ctu
+        nx = (ww + ctu - 1) // ctu
+        diff = (org - rec).astype(jnp.float32)
+        eo_cnt, eo_sum = [], []
+        for klass in range(4):
+            cat, valid = _eo_cat(rec, klass)
+            cs, ss = [], []
+            for c in range(1, 5):
+                m = (cat == c) & valid
+                cs.append(_ctu_sum(m.astype(jnp.float32), ctu, hh, ww,
+                                   ny, nx))
+                ss.append(_ctu_sum(jnp.where(m, diff, 0.0), ctu, hh, ww,
+                                   ny, nx))
+            eo_cnt.append(jnp.stack(cs, -1))
+            eo_sum.append(jnp.stack(ss, -1))
+        eo_cnt = jnp.stack(eo_cnt, -2)  # (ny, nx, 4, 4)
+        eo_sum = jnp.stack(eo_sum, -2)
+        band = rec >> (bd - 5)
+        bc, bs_ = [], []
+        for b in range(32):
+            m = band == b
+            bc.append(_ctu_sum(m.astype(jnp.float32), ctu, hh, ww, ny, nx))
+            bs_.append(_ctu_sum(jnp.where(m, diff, 0.0), ctu, hh, ww,
+                                ny, nx))
+        return (eo_cnt, eo_sum, jnp.stack(bc, -1), jnp.stack(bs_, -1))
+
+    def _best_eo(cnt, s, lam_f, sign):
+        """(ny, nx) count/sum for one class+cat -> (offset, cost)."""
+        start = jnp.clip(jnp.round(sign * s / jnp.maximum(cnt, 1.0)),
+                         0, 7).astype(jnp.int32)
+        o = jnp.arange(8, dtype=jnp.float32)
+        sh = (1,) * cnt.ndim + (8,)
+        ob = o.reshape(sh)
+        d = cnt[..., None] * ob * ob - 2.0 * ob * (sign * s)[..., None]
+        cost = d + lam_f * (ob + 1.0)
+        cost = jnp.where(jnp.arange(8).reshape(sh)
+                         <= start[..., None], cost, SAO_INF)
+        bi = jnp.argmin(cost, -1)
+        return bi.astype(jnp.int32), jnp.take_along_axis(
+            cost, bi[..., None], -1)[..., 0]
+
+    def _eval_eo_all(eo_cnt, eo_sum, lam_f):
+        """-> (offs (ny,nx,4,4), cost (ny,nx,4)) per EO class."""
+        offs, costs = [], []
+        for cat in range(4):
+            sign = 1.0 if cat < 2 else -1.0
+            o, c = _best_eo(eo_cnt[..., cat], eo_sum[..., cat], lam_f,
+                            sign)
+            offs.append(o)
+            costs.append(c)
+        return (jnp.stack(offs, -1),
+                sum(costs) + lam_f * 2.0)  # + eo_class bits
+
+    def _eval_bo(bo_cnt, bo_sum, lam_f):
+        """-> (off4 (ny,nx,4), pos (ny,nx), cost (ny,nx))."""
+        start = jnp.clip(jnp.round(bo_sum / jnp.maximum(bo_cnt, 1.0)),
+                         -7, 7)
+        mags = jnp.arange(8, dtype=jnp.float32)  # 0..7 magnitude
+        sh = (1, 1, 1, 8)
+        m = mags.reshape(sh)
+        sgn = jnp.where(start >= 0, 1.0, -1.0)[..., None]
+        o = sgn * m
+        d = bo_cnt[..., None] * o * o - 2.0 * o * bo_sum[..., None]
+        cost = d + lam_f * (m + 2.0)
+        cost = jnp.where(m <= jnp.abs(start)[..., None], cost, SAO_INF)
+        cost = cost.at[..., 0].set(lam_f)  # o = 0: one TR bin
+        bi = jnp.argmin(cost, -1)
+        bo = (sgn[..., 0] * bi.astype(jnp.float32)).astype(jnp.int32)
+        bc = jnp.take_along_axis(cost, bi[..., None], -1)[..., 0]
+        # sliding 4-band window over positions 0..28
+        wins = jnp.stack([bc[..., p : p + 4].sum(-1) for p in range(29)],
+                         -1)
+        pos = jnp.argmin(wins, -1).astype(jnp.int32)
+        off4 = jnp.stack([jnp.take_along_axis(bo, pos[..., None] + i,
+                                              -1)[..., 0]
+                          for i in range(4)], -1)
+        cost = jnp.take_along_axis(wins, pos[..., None], -1)[..., 0] \
+            + lam_f * 5.0  # band_position bits
+        return off4, pos, cost
+
+    def _sao_decide_plane(st, lam_f, type_bits):
+        """One component: best (type, aux, off4, cost)."""
+        eo_cnt, eo_sum, bo_cnt, bo_sum = st
+        eo_offs, eo_cost = _eval_eo_all(eo_cnt, eo_sum, lam_f)
+        bo_off, bo_pos, bo_cost = _eval_bo(bo_cnt, bo_sum, lam_f)
+        # candidates: OFF, EO0..3, BO
+        costs = jnp.stack([jnp.full(bo_cost.shape, lam_f)]
+                          + [eo_cost[..., k] + type_bits for k in range(4)]
+                          + [bo_cost + type_bits], -1)
+        bi = jnp.argmin(costs, -1)
+        typ = jnp.where(bi == 0, -1, jnp.where(bi <= 4, bi - 1, 4))
+        aux = jnp.where(bi == 5, bo_pos, 0)
+        off = jnp.zeros(eo_offs[..., 0, :].shape, jnp.int32)
+        for k in range(4):
+            off = jnp.where((bi == k + 1)[..., None], eo_offs[..., k, :],
+                            off)
+        off = jnp.where((bi == 5)[..., None], bo_off, off)
+        cost = jnp.take_along_axis(costs, bi[..., None], -1)[..., 0]
+        return (typ.astype(jnp.int32), aux.astype(jnp.int32), off,
+                cost, eo_offs, eo_cost, bo_off, bo_pos, bo_cost)
+
+    def _sao_apply_plane(rec, types, aux, off4, ctu):
+        """apply_sao_plane twin: per-pixel class/band gather + offset."""
+        hh, ww = rec.shape
+        ny, nx = types.shape
+        cy = np.minimum(np.arange(hh) // ctu, ny - 1)
+        cx = np.minimum(np.arange(ww) // ctu, nx - 1)
+        ci = jnp.asarray(cy[:, None] * nx + cx[None, :])  # (hh, ww)
+        t_pix = types.reshape(-1)[ci]
+        out = rec
+        for klass in range(4):
+            cat, valid = _eo_cat(rec, klass)
+            o = off4.reshape(-1, 4)
+            lut = jnp.stack([jnp.zeros_like(o[:, 0]), o[:, 0], o[:, 1],
+                             -o[:, 2], -o[:, 3]], -1)  # (nCTU, 5)
+            add = lut[ci, cat]
+            add = jnp.where(valid & (t_pix == klass), add, 0)
+            out = out + add
+        # BO: per-CTU 32-entry LUT via one-hot composition
+        band = rec >> (bd - 5)
+        o = off4.reshape(-1, 4)
+        pos = aux.reshape(-1)
+        lut32 = jnp.zeros((ny * nx, 32), jnp.int32)
+        for i in range(4):
+            lut32 = lut32 + (jnp.arange(32)[None]
+                             == ((pos[:, None] + i) % 32)) * o[:, i : i + 1]
+        addb = lut32[ci, band]
+        out = out + jnp.where(t_pix == 4, addb, 0)
+        return jnp.clip(out, 0, maxv)
+
+    def sao_device(oy, ouv, rec_y, rec_uv, lam_f):
+        """Stats + RDO + apply for all components (chroma shares the
+        type). Returns filtered planes + packed per-CTU params. No merge
+        flags yet (each CTU codes new params; the host syntax supports
+        merges but the device decides without them)."""
+        st_y = _sao_stats(oy, rec_y, CTU)
+        st_cb = _sao_stats(ouv[:, :Wc], rec_uv[:, :Wc], CTU // 2)
+        st_cr = _sao_stats(ouv[:, Wc:], rec_uv[:, Wc:], CTU // 2)
+        ty, ay, offy, _, _, _, _, _, _ = _sao_decide_plane(
+            st_y, lam_f, 2.0 * lam_f)
+        # chroma: shared type minimizing joint cost
+        _, _, _, _, eo_off_cb, eo_cost_cb, bo_off_cb, bo_pos_cb, \
+            bo_cost_cb = _sao_decide_plane(st_cb, lam_f, 0.0)
+        _, _, _, _, eo_off_cr, eo_cost_cr, bo_off_cr, bo_pos_cr, \
+            bo_cost_cr = _sao_decide_plane(st_cr, lam_f, 0.0)
+        joint = jnp.stack(
+            [jnp.full(bo_cost_cb.shape, lam_f)]
+            + [eo_cost_cb[..., k] + eo_cost_cr[..., k] - 2.0 * lam_f
+               + 2.0 * lam_f for k in range(4)]
+            + [bo_cost_cb + bo_cost_cr + 2.0 * lam_f], -1)
+        bi = jnp.argmin(joint, -1)
+        tc = jnp.where(bi == 0, -1, jnp.where(bi <= 4, bi - 1, 4))
+        acb = jnp.where(bi == 5, bo_pos_cb, 0)
+        acr = jnp.where(bi == 5, bo_pos_cr, 0)
+        ocb = jnp.zeros_like(eo_off_cb[..., 0, :])
+        ocr = jnp.zeros_like(eo_off_cr[..., 0, :])
+        for k in range(4):
+            ocb = jnp.where((bi == k + 1)[..., None],
+                            eo_off_cb[..., k, :], ocb)
+            ocr = jnp.where((bi == k + 1)[..., None],
+                            eo_off_cr[..., k, :], ocr)
+        ocb = jnp.where((bi == 5)[..., None], bo_off_cb, ocb)
+        ocr = jnp.where((bi == 5)[..., None], bo_off_cr, ocr)
+        new_y = _sao_apply_plane(rec_y, ty, ay, offy, CTU)
+        new_cb = _sao_apply_plane(rec_uv[:, :Wc], tc, acb, ocb, CTU // 2)
+        new_cr = _sao_apply_plane(rec_uv[:, Wc:], tc, acr, ocr, CTU // 2)
+        params = jnp.concatenate([
+            x.astype(jnp.int8).reshape(-1)
+            for x in (ty, ay, offy, tc, acb, ocb, acr, ocr)])
+        return new_y, jnp.concatenate([new_cb, new_cr], 1), params
+
     def cand_sweep(tabs, lam_me_f, oy, planes_y, mv_grid, ref_grid, S,
                    nbh, nbw):
         """Merge-candidate RD sweeps (left, top, left, top). Adopts the
@@ -535,7 +1017,12 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         refp = up(ref_grid, S)
         pred_y = pred_luma(planes_y, mvq_pix, refp, Hp, Wp)
         coef = fwd_tx(oy_c - pred_y, T)
-        lvl = quant_plane(coef, qp, log2t)
+        if use_rdoq:
+            lvl = rdoq_plane(coef, qp, log2t, lam)
+        else:
+            lvl = quant_plane(coef, qp, log2t)
+        if use_sbh:
+            lvl = sbh_plane(lvl, ideal_plane(coef, qp, log2t))
         rsd = inv_tx(deq_plane(lvl, qp, log2t), T)
         rec = jnp.clip(pred_y + rsd, 0, maxv)
         nzb = tile_sum((lvl != 0).astype(jnp.int32), T)   # per TU
@@ -543,8 +1030,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         d_skip = tile_sum((oy_c - pred_y) ** 2, T).astype(jnp.float32)
         d_coded = tile_sum((oy_c - rec) ** 2, T).astype(jnp.float32)
         est = tabs["est_y"][log2t]
-        bits_tu = est.tu_bits(jnp, plane_tiles(lvl, T, Hp, Wp)).reshape(
-            nzb.shape)
+        bits_tu = est.tu_bits(jnp, plane_tiles(lvl, T, Hp, Wp),
+                              sbh=use_sbh).reshape(nzb.shape)
         cbf_b = tabs["cbf_y"]
         drop = (d_skip + lam * cbf_b[0]
                 <= d_coded + lam * (bits_tu + cbf_b[1]))
@@ -583,7 +1070,12 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         ouv_c = jnp.concatenate([ouv[:Hpc, :Wpc], ouv[:Hpc, Wc : Wc + Wpc]],
                                 axis=1)
         coef_c = fwd_tx(ouv_c - pred_uv, Tc)
-        lvl_c = quant_plane(coef_c, qpc, log2c)
+        if use_rdoq:
+            lvl_c = rdoq_plane(coef_c, qpc, log2c, lam)
+        else:
+            lvl_c = quant_plane(coef_c, qpc, log2c)
+        if use_sbh:
+            lvl_c = sbh_plane(lvl_c, ideal_plane(coef_c, qpc, log2c))
         rsd_c = inv_tx(deq_plane(lvl_c, qpc, log2c), Tc)
         rec_c = jnp.clip(pred_uv + rsd_c, 0, maxv)
         nzc = tile_sum((lvl_c != 0).astype(jnp.int32), Tc)
@@ -592,7 +1084,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         dc_c = tile_sum((ouv_c - rec_c) ** 2, Tc).astype(jnp.float32)
         estc = tabs["est_c"][log2c]
         bits_ctu = estc.tu_bits(
-            jnp, plane_tiles(lvl_c, Tc, Hpc, 2 * Wpc)).reshape(nzc.shape)
+            jnp, plane_tiles(lvl_c, Tc, Hpc, 2 * Wpc),
+            sbh=use_sbh).reshape(nzc.shape)
         cbfc_b = tabs["cbf_c"]
         drop_c = (dc_s + lam * cbfc_b[0]
                   <= dc_c + lam * (bits_ctu + cbfc_b[1]))
@@ -861,6 +1354,16 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                      + tile_sum((lvl_uv[:, Wc:] != 0).astype(jnp.int32), 4)
                      ) > 0
 
+        if use_deblock:
+            # luma-TB cbf only for the BS condition (§8.7.2.4)
+            luma_cbf = tile_sum((lvl_y != 0).astype(jnp.int32), 8) > 0
+            rec_y = deblock_device(rec_y, log2_map, mv_map, ref_map,
+                                   luma_cbf, qp)
+        sao_params = None
+        if use_sao:
+            rec_y, rec_uv, sao_params = sao_device(oy, ouv, rec_y, rec_uv,
+                                                   lam)
+
         ldt = jnp.int8 if lvl8 else jnp.int16
         parts = [u8(lvl_y.astype(ldt)), u8(lvl_uv.astype(ldt))]
         if fetch_recon:
@@ -883,8 +1386,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         parts += [log2_map.astype(jnp.uint8).reshape(-1),
                   u8(mv_map.astype(jnp.int16)),
                   ref_map.astype(jnp.uint8).reshape(-1),
-                  cbf_cells.astype(jnp.uint8).reshape(-1),
-                  u8(sad9_16.astype(jnp.int32)),
+                  cbf_cells.astype(jnp.uint8).reshape(-1)]
+        if sao_params is not None:
+            parts.append(u8(sao_params))
+        parts += [u8(sad9_16.astype(jnp.int32)),
                   u8(mv16.astype(jnp.int16))]
         new_ry = jnp.concatenate([rec_y[None], ry_stack[:-1]])
         new_ruv = jnp.concatenate([rec_uv[None], ruv_stack[:-1]])
@@ -944,6 +1449,23 @@ def _parse_frame_buf(cfg, buf: np.ndarray) -> dict:
         mv_map=take(h8 * w8 * 4, np.int16, (h8, w8, 2)).astype(np.int32),
         ref_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
         cbf_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
+    )
+    if sps.sao_enabled:
+        ctu = 1 << sps.log2_ctu
+        ny = (H + ctu - 1) // ctu
+        nx = (W + ctu - 1) // ctu
+        n = ny * nx
+        d.update(
+            sao_ty=take(n, np.int8, (ny, nx)).astype(np.int32),
+            sao_ay=take(n, np.int8, (ny, nx)).astype(np.int32),
+            sao_oy=take(n * 4, np.int8, (ny, nx, 4)).astype(np.int32),
+            sao_tc=take(n, np.int8, (ny, nx)).astype(np.int32),
+            sao_acb=take(n, np.int8, (ny, nx)).astype(np.int32),
+            sao_ocb=take(n * 4, np.int8, (ny, nx, 4)).astype(np.int32),
+            sao_acr=take(n, np.int8, (ny, nx)).astype(np.int32),
+            sao_ocr=take(n * 4, np.int8, (ny, nx, 4)).astype(np.int32),
+        )
+    d.update(
         sad9_16=take(n16 * 36, np.int32, (n16, 9)),
         mv16=take(n16 * 4, np.int16, (n16, 2)).astype(np.int32),
     )
@@ -975,6 +1497,14 @@ def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
         coeff_cb=np.ascontiguousarray(d["lvl_uv"][:, :Wc]),
         coeff_cr=np.ascontiguousarray(d["lvl_uv"][:, Wc:]),
     )
+    if "sao_ty" in d:
+        from .sao_enc import SaoPicParams
+
+        ny, nx = d["sao_ty"].shape
+        fs.sao = SaoPicParams(
+            ny, nx, type_y=d["sao_ty"], aux_y=d["sao_ay"],
+            off_y=d["sao_oy"], type_c=d["sao_tc"], aux_cb=d["sao_acb"],
+            off_cb=d["sao_ocb"], aux_cr=d["sao_acr"], off_cr=d["sao_ocr"])
     if "rec_y" in d:
         rec = (d["rec_y"].astype(np.int32),
                np.ascontiguousarray(d["rec_uv"][:, :Wc]).astype(np.int32),

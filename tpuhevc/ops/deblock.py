@@ -86,13 +86,18 @@ def boundary_strength(fs, is_intra_slice: bool, axis: int) -> np.ndarray:
         return bs
     cbf = _cell_cbf(fs)
     mv = fs.mv
+    ref = fs.ref_idx if fs.ref_idx is not None else np.zeros(
+        fs.cu_log2.shape, np.int32)
     if axis == 0:
         p_cbf = np.roll(cbf, 1, axis=1)
         p_mv = np.roll(mv, 1, axis=1)
+        p_ref = np.roll(ref, 1, axis=1)
     else:
         p_cbf = np.roll(cbf, 1, axis=0)
         p_mv = np.roll(mv, 1, axis=0)
-    mv_far = (np.abs(mv - p_mv) >= 4).any(axis=-1)
+        p_ref = np.roll(ref, 1, axis=0)
+    # bs = 1 when refs differ or any mv component differs by >= 1 pel
+    mv_far = (np.abs(mv - p_mv) >= 4).any(axis=-1) | (ref != p_ref)
     bs1 = (cbf | p_cbf | mv_far).astype(np.int32)
     bs = np.where(edge, bs1, 0)
     if axis == 0:
