@@ -102,7 +102,9 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                                        num_ref_l1=num_ref_l1,
                                        l1_deltas=l1_deltas)
             if hdr.slice_type == I_SLICE:
-                y, u, v = reconstruct_frame(fs, sps, hdr.qp)
+                from .intra_qt import reconstruct_frame_qt
+
+                y, u, v = reconstruct_frame_qt(fs, sps, hdr.qp)
             else:
                 by_poc = {f.poc: f for f in frames}
 

@@ -46,7 +46,11 @@ class Encoder:
         self.first_of_au: list[bool] = []
         self.results: list[FrameResult] = []
         self._wrote_ps = False
-        if (frame_encoder is None and cfg.inter_backend == "jax"
+        if frame_encoder is None and cfg.intra_qt:
+            from .intra_qt import encode_frame_intra_qt
+
+            frame_encoder = encode_frame_intra_qt
+        elif (frame_encoder is None and cfg.inter_backend == "jax"
                 and not cfg.pps.sign_data_hiding):
             from .intra_jax import encode_frame_intra_jax
 
@@ -341,7 +345,7 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
                 f"{res.seconds:.2f}s"
             )
 
-    if device_batch > 0 and cfg.intra_period == 1:
+    if device_batch > 0 and cfg.intra_period == 1 and not cfg.intra_qt:
         from .intra_jax import encode_frames_intra_jax_batch
 
         for s in range(0, len(frames), device_batch):

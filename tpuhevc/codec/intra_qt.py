@@ -1,0 +1,377 @@
+"""Quadtree intra encoder: CU sizes 8/16/32 with TU = CU.
+
+Counterpart of the reference's recursive intra mode decision
+(TEncCu::xCompressCU intra trials TEncCu.cpp:644-650 +
+TEncSearch::estIntraPredLumaQT TEncSearch.cpp:2945 — SURVEY.md §A.3),
+re-designed TPU-first: instead of HM's sequential RD recursion with
+CABAC-state snapshots, the mode/split DECISIONS are made in a parallel
+open-loop pass (reference samples taken from the original picture, so
+every block of a size class is independent and batchable), then one
+closed-loop CODING pass walks the decided partition in decode order
+producing the spec-exact reconstruction. The open-loop decision costs
+use the real transform/quantizer and CABAC fractional-bit estimates
+(entropy.bitest), so the split choice is RD-driven like HM's, at the
+cost of slightly stale reference pixels.
+
+The decoder-side walk (reconstruct_frame_qt) mirrors the coding pass
+exactly (shared reference gathering + predictors), so encoder recon ==
+decoder recon by construction; conformance is cross-checked against the
+reference TAppDecoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..entropy.bitest import FracBits, ResidualBitEst
+from ..ops import transforms as tx
+from ..ops.cost import satd_np
+from ..ops.intra import predict_block_np
+from ..utils.tables import chroma_qp, intra_mpm_list, intra_scan_idx, qp_to_lambda
+from .params import EncoderConfig
+from .refsamples import BlockOrder, gather_refs_qt
+
+I_ROW = 2  # I-slice context init row
+
+
+# --- open-loop decision pass ------------------------------------------------
+
+def _openloop_refs(plane: np.ndarray, S: int, nh: int, nw: int):
+    """(top, left) refs of length 2S+1 for every aligned SxS block, taken
+    from the ORIGINAL plane with edge replication (decision pass only —
+    the coding pass re-derives spec refs from the reconstruction)."""
+    h, w = plane.shape
+    pp = np.pad(plane, ((1, 2 * S), (1, 2 * S)), mode="edge")
+    tops = np.empty((nh * nw, 2 * S + 1), np.int32)
+    lefts = np.empty((nh * nw, 2 * S + 1), np.int32)
+    for by in range(nh):
+        for bx in range(nw):
+            y0, x0 = by * S + 1, bx * S + 1  # in padded coords
+            tops[by * nw + bx] = pp[y0 - 1, x0 - 1 : x0 + 2 * S]
+            lefts[by * nw + bx] = pp[y0 - 1 : y0 + 2 * S, x0 - 1]
+    return tops, lefts
+
+
+def _batched_modes(tops, lefts, S, is_luma, bd, strong):
+    """(N, 35, S, S) predictions via the batched numpy predictor bank
+    (host decision pass; the jnp bank's math twin, tested equal)."""
+    from ..ops.intra import predict_all_modes_np
+
+    return predict_all_modes_np(tops, lefts, S, is_luma=is_luma,
+                                bit_depth=bd, strong_smoothing=strong)
+
+
+def _mode_bits_tab(fb: FracBits):
+    """(mpm_idx0, mpm_idx12, non-mpm) luma mode bits."""
+    f1 = fb.b("prev_intra_luma_pred_flag", 0, 1)
+    f0 = fb.b("prev_intra_luma_pred_flag", 0, 0)
+    return (f1 + 1.0, f1 + 2.0, f0 + 5.0)
+
+
+def _txq_cost(resi, qp, log2, bd, lam_fp, rdoq, est, scan_diag=True):
+    """(N, S, S) residual -> (levels, D_sse, bits) with the real
+    transform/quant + estimator bits. Intra-slice rounding."""
+    c = tx.forward_transform_np(resi, bd)
+    if rdoq:
+        lvl = tx.rdoq_np(c, qp, log2, bd, lam_fp, is_intra_slice=True)
+    else:
+        lvl = tx.quantize_np(c, qp, log2, bd, True)
+    d = tx.dequantize_np(lvl, qp, log2, bd)
+    r = tx.inverse_transform_np(d, bd)
+    err = resi - r
+    dist = (err.astype(np.float64) ** 2).sum(axis=(1, 2))
+    bits = np.asarray(est.tu_bits(np, lvl), np.float64)
+    return lvl, dist, bits
+
+
+def decide_intra_qt(oy, ou, ov, cfg: EncoderConfig, qp: int):
+    """Open-loop quadtree decision. Returns (cu_log2, luma_mode) maps on
+    the 8x8-cell grid."""
+    sps = cfg.sps
+    bd = sps.bit_depth
+    h, w = oy.shape
+    h8, w8 = h // 8, w // 8
+    lam = qp_to_lambda(qp, cfg.lambda_qp_factor)
+    sqlam = np.sqrt(lam)
+    lam_fp = int(round(lam * 256))
+    fb = FracBits(I_ROW, qp)
+    mpm0_b, mpm12_b, esc_b = _mode_bits_tab(fb)
+    split_b = [fb.b("split_cu_flag", 1, v) for v in (0, 1)]
+    part_b = fb.b("part_mode", 0, 1)  # 2Nx2N bin at min CU
+    cbf1_b = fb.b("qt_cbf", 1, 1)
+    cbf0_b = fb.b("qt_cbf", 1, 0)
+    ccbf_b = fb.b("qt_cbf", 5, 0)  # two chroma cbf flags per CU
+    qpc = chroma_qp(qp)
+    wch = 2.0 ** ((qp - qpc) / 3.0)  # HM chroma distortion weight
+
+    sizes = [8, 16, 32]
+    cost_tree: dict[int, np.ndarray] = {}
+    mode_by_size: dict[int, np.ndarray] = {}
+    cmode_maps: dict[int, np.ndarray] = {}
+    split_of: dict[int, np.ndarray] = {}
+
+    for S in sizes:
+        log2 = S.bit_length() - 1
+        nh, nw = h // S, w // S
+        if nh == 0 or nw == 0:
+            cost_tree[S] = None
+            continue
+        N = nh * nw
+        tops, lefts = _openloop_refs(oy, S, nh, nw)
+        preds = _batched_modes(tops, lefts, S, True, bd,
+                               sps.strong_intra_smoothing)
+        org = np.empty((N, S, S), np.int32)
+        for by in range(nh):
+            for bx in range(nw):
+                org[by * nw + bx] = oy[by * S : by * S + S,
+                                       bx * S : bx * S + S]
+        # SATD prescreen over all 35 modes (8x8 Hadamard tiles)
+        dd = org[:, None] - preds  # (N, 35, S, S)
+        t8 = dd.reshape(N, 35, S // 8, 8, S // 8, 8).transpose(
+            0, 1, 2, 4, 3, 5).reshape(-1, 8, 8)
+        sat = satd_np(t8, np.zeros_like(t8)).reshape(
+            N, 35, -1).sum(-1).astype(np.float64)
+        top3 = np.argsort(sat, axis=1)[:, :3]
+
+        # full RD (transform + quant + estimator bits) for the 3 SATD
+        # candidates — TEncSearch's two-stage prescreen (SURVEY.md §A.3)
+        est = ResidualBitEst(fb, log2, True)
+        rd_d = np.empty((N, 3))
+        rd_b = np.empty((N, 3))
+        for k in range(3):
+            sel = preds[np.arange(N), top3[:, k]]
+            lvl, dist, rbits = _txq_cost(org - sel, qp, log2, bd, lam_fp,
+                                         cfg.rdoq, est)
+            d0 = ((org - sel).astype(np.float64) ** 2).sum(axis=(1, 2))
+            use = dist + lam * (rbits + cbf1_b) < d0 + lam * cbf0_b
+            rd_d[:, k] = np.where(use, dist, d0)
+            rd_b[:, k] = np.where(use, rbits + cbf1_b, cbf0_b)
+
+        # MPM-aware final pick among the 3 (raster; decisions only)
+        mode_sel = np.empty(N, np.int32)
+        dL = np.empty(N)
+        bL = np.empty(N)
+        m2d = np.full((nh, nw), 1, np.int32)
+        for by in range(nh):
+            for bx in range(nw):
+                i = by * nw + bx
+                lm = int(m2d[by, bx - 1]) if bx else 1
+                am = int(m2d[by - 1, bx]) if by else 1
+                cand = intra_mpm_list(lm, am)
+                bc = None
+                for k in range(3):
+                    m = int(top3[i, k])
+                    if m in cand:
+                        mb = mpm0_b if cand.index(m) == 0 else mpm12_b
+                    else:
+                        mb = esc_b
+                    c = rd_d[i, k] + lam * (rd_b[i, k] + mb)
+                    if bc is None or c < bc:
+                        bc = c
+                        m2d[by, bx] = m
+                        mode_sel[i] = m
+                        dL[i] = rd_d[i, k]
+                        bL[i] = rd_b[i, k] + mb
+        mode_by_size[S] = m2d
+
+        # chroma mode decision at S/2 (>= 4): candidates planar/26/10/DC
+        # with the angular-replacement rule + DM (estIntraPredChromaQT)
+        Sc = max(4, S // 2)
+        log2c = Sc.bit_length() - 1
+        cest = ResidualBitEst(fb, log2c, False)
+        dm_b = fb.b("intra_chroma_pred_mode", 0, 0)
+        ex_b = fb.b("intra_chroma_pred_mode", 0, 1) + 2.0
+        ccost = np.zeros((N, 5))
+        cd_by = np.zeros((N, 5))
+        cb_by = np.zeros((N, 5))
+        for plane in (ou, ov):
+            ctops, clefts = _openloop_refs(plane, Sc, nh, nw)
+            cpreds = _batched_modes(ctops, clefts, Sc, False, bd, False)
+            corg = np.empty((N, Sc, Sc), np.int32)
+            for by in range(nh):
+                for bx in range(nw):
+                    corg[by * nw + bx] = plane[by * Sc : by * Sc + Sc,
+                                               bx * Sc : bx * Sc + Sc]
+            for ci in range(5):
+                if ci == 4:
+                    am = mode_sel  # DM
+                else:
+                    base = (0, 26, 10, 1)[ci]
+                    am = np.where(mode_sel == base, 34, base)
+                cpsel = cpreds[np.arange(N), am]
+                _, cd, cb = _txq_cost(corg - cpsel, qpc, log2c, bd,
+                                      lam_fp, cfg.rdoq, cest)
+                cd0 = ((corg - cpsel).astype(np.float64)
+                       ** 2).sum(axis=(1, 2))
+                cuse = wch * cd + lam * cb < wch * cd0
+                cd_by[:, ci] += np.where(cuse, cd, cd0)
+                cb_by[:, ci] += np.where(cuse, cb, 0.0)
+        for ci in range(5):
+            mb = dm_b if ci == 4 else ex_b
+            ccost[:, ci] = (wch * cd_by[:, ci]
+                            + lam * (cb_by[:, ci] + mb))
+        csel = np.argmin(ccost, axis=1)
+        cmode_maps[S] = csel.reshape(nh, nw)
+        cbest = ccost[np.arange(N), csel]
+
+        cost = dL + cbest + lam * (bL + 2 * ccbf_b + 1.0)
+        if S == 8:
+            cost = cost + lam * part_b
+        cost_tree[S] = cost.reshape(nh, nw)
+
+    # bottom-up tree compare
+    tree8 = cost_tree[8]
+    t16 = None
+    if cost_tree.get(16) is not None:
+        nh16, nw16 = cost_tree[16].shape
+        sum8 = tree8[: nh16 * 2, : nw16 * 2].reshape(
+            nh16, 2, nw16, 2).sum((1, 3))
+        c16 = cost_tree[16] + lam * split_b[0]
+        s16 = sum8 + lam * split_b[1]
+        split_of[16] = s16 < c16
+        t16 = np.minimum(c16, s16)
+    t32 = None
+    if cost_tree.get(32) is not None and t16 is not None:
+        nh32, nw32 = cost_tree[32].shape
+        sum16 = t16[: nh32 * 2, : nw32 * 2].reshape(
+            nh32, 2, nw32, 2).sum((1, 3))
+        c32 = cost_tree[32] + lam * split_b[0]
+        s32 = sum16 + lam * split_b[1]
+        split_of[32] = s32 < c32
+        t32 = np.minimum(c32, s32)
+
+    # compose maps (default: 8)
+    cu_log2 = np.full((h8, w8), 3, np.int8)
+    lm8 = np.zeros((h8, w8), np.int8)
+    lm8[:, :] = mode_by_size[8]
+    cm8 = np.zeros((h8, w8), np.int8)
+    cm8[:, :] = cmode_maps[8]
+    if t16 is not None:
+        nh16, nw16 = cost_tree[16].shape
+        keep16 = ~split_of[16]
+        for by in range(nh16):
+            for bx in range(nw16):
+                if keep16[by, bx]:
+                    sl = np.s_[by * 2 : by * 2 + 2, bx * 2 : bx * 2 + 2]
+                    cu_log2[sl] = 4
+                    lm8[sl] = mode_by_size[16][by, bx]
+                    cm8[sl] = cmode_maps[16][by, bx]
+    if t32 is not None:
+        nh32, nw32 = cost_tree[32].shape
+        keep32 = ~split_of[32]
+        for by in range(nh32):
+            for bx in range(nw32):
+                if keep32[by, bx]:
+                    sl = np.s_[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+                    cu_log2[sl] = 5
+                    lm8[sl] = mode_by_size[32][by, bx]
+                    cm8[sl] = cmode_maps[32][by, bx]
+    return cu_log2, lm8, cm8
+
+
+# --- closed-loop coding / reconstruction walk -------------------------------
+
+def _cu_roots(cu_log2: np.ndarray, order: BlockOrder):
+    """CU top-left cells in decode order."""
+    h8, w8 = cu_log2.shape
+    roots = []
+    for y8 in range(h8):
+        for x8 in range(w8):
+            n = 1 << (int(cu_log2[y8, x8]) - 3)
+            if x8 % n == 0 and y8 % n == 0:
+                roots.append((x8, y8))
+    roots.sort(key=lambda c: order.order[c[1], c[0]])
+    return roots
+
+
+def _code_tb(plane, coeff_pl, orig_pl, x0, y0, size, mode, order, qp,
+             is_luma, bd, strong, sdh, rdoq, lam_fp, cell_px, encode):
+    """Shared per-TB walk step: predict from recon refs; encoder mode
+    (encode=True) quantizes orig-pred into coeff_pl, decoder mode reads
+    coeff_pl; both reconstruct identically."""
+    top, left = gather_refs_qt(plane, x0, y0, size, order, bd, cell_px)
+    pred = predict_block_np(top, left, mode, size, is_luma, bd, strong)
+    log2 = size.bit_length() - 1
+    if encode:
+        oblk = orig_pl[y0 : y0 + size, x0 : x0 + size].astype(np.int32)
+        c = tx.forward_transform_np((oblk - pred)[None], bd)[0]
+        if rdoq:
+            lvl = tx.rdoq_np(c[None], qp, log2, bd, lam_fp,
+                             is_intra_slice=True)[0]
+        else:
+            lvl = tx.quantize_np(c[None], qp, log2, bd, True)[0]
+        if sdh:
+            from ..entropy.residual import apply_sign_bit_hiding
+
+            lvl = apply_sign_bit_hiding(
+                lvl, log2, intra_scan_idx(mode, log2, is_luma),
+                tx.ideal_levels_np(c, qp, log2, bd))
+        coeff_pl[y0 : y0 + size, x0 : x0 + size] = lvl
+    else:
+        lvl = coeff_pl[y0 : y0 + size, x0 : x0 + size]
+    if lvl.any():
+        d = tx.dequantize_np(lvl[None], qp, log2, bd)[0]
+        r = tx.inverse_transform_np(d[None], bd)[0]
+        rec = np.clip(pred + r, 0, (1 << bd) - 1)
+    else:
+        rec = pred
+    plane[y0 : y0 + size, x0 : x0 + size] = rec
+
+
+def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
+    bd = sps.bit_depth
+    order = BlockOrder(fs.width, fs.height, sps.log2_ctu)
+    qpc = chroma_qp(qp)
+    y, u, v = planes
+    oy, ou, ov = origs if origs else (None, None, None)
+    from .recon import _chroma_mode_resolver
+
+    resolve = _chroma_mode_resolver(fs)
+    for x8, y8 in _cu_roots(fs.cu_log2, order):
+        log2 = int(fs.cu_log2[y8, x8])
+        s = 1 << log2
+        mode = int(fs.luma_mode[y8, x8])
+        _code_tb(y, fs.coeff_y, oy, x8 * 8, y8 * 8, s, mode, order, qp,
+                 True, bd, sps.strong_intra_smoothing, sdh, rdoq, lam_fp,
+                 8, encode)
+        cmode = resolve(x8, y8)
+        cs = max(4, s // 2)
+        for pl, opl, cf in ((u, ou, fs.coeff_cb), (v, ov, fs.coeff_cr)):
+            _code_tb(pl, cf, opl, x8 * 4, y8 * 4, cs, cmode, order, qpc,
+                     False, bd, False, sdh, rdoq, lam_fp, 4, encode)
+
+
+def encode_frame_intra_qt(orig_y, orig_u, orig_v, cfg: EncoderConfig):
+    """Quadtree all-intra encode of one frame. Same contract as
+    recon.encode_frame_intra: returns (FrameSyntax, (y, u, v))."""
+    from ..entropy.syntax import FrameSyntax
+    from .recon import _pad_to
+
+    sps, qp = cfg.sps, cfg.qp
+    w, h = sps.coded_width, sps.coded_height
+    oy = _pad_to(orig_y, h, w)
+    ou = _pad_to(orig_u, h // 2, w // 2)
+    ov = _pad_to(orig_v, h // 2, w // 2)
+    cu_log2, lm8, cm8 = decide_intra_qt(oy, ou, ov, cfg, qp)
+
+    fs = FrameSyntax(w, h)
+    fs.cu_log2 = cu_log2.astype(np.int8)
+    fs.luma_mode = lm8.astype(np.int8)
+    fs.chroma_mode = cm8.astype(np.int8)
+    y = np.zeros((h, w), np.int32)
+    u = np.zeros((h // 2, w // 2), np.int32)
+    v = np.zeros((h // 2, w // 2), np.int32)
+    lam_fp = int(round(qp_to_lambda(qp, cfg.lambda_qp_factor) * 256))
+    _walk(fs, sps, qp, (y, u, v), (oy, ou, ov),
+          cfg.pps.sign_data_hiding, cfg.rdoq, lam_fp, True)
+    return fs, (y, u, v)
+
+
+def reconstruct_frame_qt(fs, sps, qp: int):
+    """Decoder-side reconstruction for quadtree intra frames (exact
+    mirror of the coding walk)."""
+    y = np.zeros((fs.height, fs.width), np.int32)
+    u = np.zeros((fs.height // 2, fs.width // 2), np.int32)
+    v = np.zeros((fs.height // 2, fs.width // 2), np.int32)
+    _walk(fs, sps, qp, (y, u, v), None, False, False, 256, False)
+    return y, u, v

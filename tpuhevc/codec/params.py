@@ -129,6 +129,7 @@ class EncoderConfig:
     gop_structure: str = "ldp"   # ldp | ra (hierarchical-B GOP4)
     target_bitrate: int = 0      # bps; > 0 enables R-lambda rate control
     intra_in_inter: bool = False # intra 8x8 fallback CUs in P frames
+    intra_qt: bool = True        # quadtree intra CUs 8/16/32 (vs fixed 8x8)
     rdoq: bool = False           # RD-optimized quantization (host paths)
 
     inter_backend: str = "np"    # "jax" = device compute stage for P frames

@@ -132,3 +132,98 @@ def gather_refs(plane: np.ndarray, x0: int, y0: int, size: int,
     top = np.concatenate([[corner], toprow])
     left = np.concatenate([[corner], left_rev[::-1]])
     return top, left
+
+
+def gather_refs_qt(plane: np.ndarray, x0: int, y0: int, size: int,
+                   order: BlockOrder, bit_depth: int = 8,
+                   cell_px: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """General (top, left) reference build for a TB of any size at
+    (x0, y0): availability evaluated per cell-sized sub-run, the full
+    §8.4.4.2.2 substitution scan over 4s+1 samples. `cell_px` = samples
+    per availability cell in this plane (8 luma, 4 chroma for 4:2:0 —
+    both map to the same 8x8-luma decode-order grid).
+
+    For size == cell_px this reduces exactly to gather_refs.
+    """
+    s = size
+    h, w = plane.shape
+    p = plane
+    cx8, cy8 = x0 // cell_px, y0 // cell_px  # top-left cell of this TB
+    nrun = s // cell_px
+
+    def prec(nx8, ny8):
+        return order.precedes(nx8, ny8, cx8, cy8)
+
+    def col(px, py, n):
+        py2 = min(py, h - 1)
+        end = min(py2 + n, h)
+        out = np.empty(n, dtype=np.int32)
+        m = end - py2
+        if m > 0:
+            out[:m] = p[py2:end, px]
+        if m < n:
+            out[m:] = out[m - 1] if m > 0 else 0
+        return out
+
+    def row(px, py, n):
+        end = min(px + n, w)
+        out = np.empty(n, dtype=np.int32)
+        m = end - px
+        if m > 0:
+            out[:m] = p[py, px:end]
+        if m < n:
+            out[m:] = out[m - 1] if m > 0 else 0
+        return out
+
+    # subruns in substitution scan order (bottom-left upward, corner,
+    # top rightward), each of cell_px samples
+    subs: list[tuple[bool, np.ndarray | None, int]] = []
+    # left-below: rows y0+s .. y0+2s-1, bottom-most cell first
+    for j in range(nrun - 1, -1, -1):
+        ny8 = cy8 + (s // cell_px) + j
+        a = prec(cx8 - 1, ny8) and (y0 + s + j * cell_px) < h
+        subs.append((a, col(x0 - 1, y0 + s + j * cell_px,
+                            cell_px)[::-1] if a else None, cell_px))
+    # left: rows y0 .. y0+s-1, bottom cell first (reversed layout)
+    for j in range(nrun - 1, -1, -1):
+        a = prec(cx8 - 1, cy8 + j)
+        subs.append((a, col(x0 - 1, y0 + j * cell_px,
+                            cell_px)[::-1] if a else None, cell_px))
+    # corner
+    a = prec(cx8 - 1, cy8 - 1)
+    subs.append((a, np.array([p[y0 - 1, x0 - 1]], dtype=np.int32)
+                 if a else None, 1))
+    # top: cols x0 .. x0+s-1
+    for j in range(nrun):
+        a = prec(cx8 + j, cy8 - 1)
+        subs.append((a, row(x0 + j * cell_px, y0 - 1,
+                            cell_px) if a else None, cell_px))
+    # top-right: cols x0+s .. x0+2s-1
+    for j in range(nrun):
+        nx8 = cx8 + nrun + j
+        a = prec(nx8, cy8 - 1) and (x0 + s + j * cell_px) < w
+        subs.append((a, row(x0 + s + j * cell_px, y0 - 1,
+                            cell_px) if a else None, cell_px))
+
+    if not any(a for a, _, _ in subs):
+        fill = 1 << (bit_depth - 1)
+        top = np.full(2 * s + 1, fill, dtype=np.int32)
+        left = np.full(2 * s + 1, fill, dtype=np.int32)
+        return top, left
+
+    vals = [v if a else np.full(ln, -1, dtype=np.int32)
+            for a, v, ln in subs]
+    arr = np.concatenate(vals)
+    first_av = int(np.argmax(arr >= 0))
+    if arr[0] < 0:
+        arr[:first_av] = arr[first_av]
+    for i in range(1, len(arr)):
+        if arr[i] < 0:
+            arr[i] = arr[i - 1]
+
+    left_rev = arr[: 2 * s]
+    corner = arr[2 * s]
+    toprow = arr[2 * s + 1 :]
+    top = np.concatenate([[corner], toprow])
+    left = np.concatenate([[corner], left_rev[::-1]])
+    return top, left

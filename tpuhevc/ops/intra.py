@@ -342,3 +342,117 @@ def _post_filter_jnp(pred, t, l, mode: int, bit_depth: int):
         )
         return pred.at[:, 0, :].set(row)
     return pred
+
+
+# --- batched numpy predictor bank (host decision passes) -------------------
+# Same math as the jnp versions above, without the jax runtime cold-start;
+# used by the open-loop quadtree intra decision (codec/intra_qt.py).
+
+def _predict_one_npb(t, l, mode: int, s: int):
+    n = t.shape[0]
+    if mode == PLANAR_IDX:
+        x = np.arange(s)[None, None, :]
+        y = np.arange(s)[None, :, None]
+        tr = t[:, s + 1][:, None, None]
+        bl = l[:, s + 1][:, None, None]
+        lcol = l[:, 1 : s + 1][:, :, None]
+        trow = t[:, 1 : s + 1][:, None, :]
+        shift = int(s).bit_length()
+        return (
+            (s - 1 - x) * lcol + (x + 1) * tr
+            + (s - 1 - y) * trow + (y + 1) * bl + s
+        ) >> shift
+    if mode == DC_IDX:
+        dc = (
+            t[:, 1 : s + 1].sum(-1) + l[:, 1 : s + 1].sum(-1) + s
+        ) >> int(s).bit_length()
+        return np.broadcast_to(dc[:, None, None], (n, s, s)).copy()
+    angle = mode_angle(mode)
+    main, side = (t, l) if mode >= 18 else (l, t)
+    need = (s * angle) >> 5 if angle < 0 else 0
+    if angle < 0 and need < -1:
+        inv = mode_inv_angle(mode)
+        proj_idx = [((x * inv + 128) >> 8) for x in range(need, 0)]
+        proj = side[:, np.asarray(proj_idx, dtype=np.int32)]
+        ref = np.concatenate([proj, main[:, : 2 * s + 1]], axis=-1)
+        base = -need
+    else:
+        ref = main[:, : 2 * s + 1]
+        base = 0
+    y = np.arange(1, s + 1)[:, None]
+    pos = y * angle
+    idx = (pos >> 5) + np.arange(s)[None, :] + 1
+    frac = pos & 31
+    idx_a = (base + idx).astype(np.int32).reshape(-1)
+    a = ref[:, idx_a].reshape(n, s, s)
+    # when frac == 0 the b term is weighted 0; clamp the gather (the jnp
+    # twin relies on XLA's clamped out-of-bounds gather for the same case)
+    b = ref[:, np.minimum(idx_a + 1, ref.shape[1] - 1)].reshape(n, s, s)
+    fr = frac.astype(np.int32)[None]
+    pred = ((32 - fr) * a + fr * b + 16) >> 5
+    if mode < 18:
+        pred = np.swapaxes(pred, -1, -2)
+    return pred
+
+
+def predict_all_modes_np(top, left, size: int, is_luma: bool = True,
+                         bit_depth: int = 8, strong_smoothing: bool = True):
+    """numpy twin of predict_all_modes: (N, 2S+1) refs -> (N, 35, S, S)."""
+    s = size
+    log2 = int(s).bit_length() - 1
+    t = top.astype(np.int32)
+    l = left.astype(np.int32)
+    maxv = (1 << bit_depth) - 1
+
+    if is_luma and log2 >= 3:
+        s2 = t.shape[-1] - 1
+        corner = (l[:, 1] + 2 * t[:, 0] + t[:, 1] + 2) >> 2
+        ft = np.concatenate(
+            [corner[:, None],
+             (t[:, : s2 - 1] + 2 * t[:, 1:s2] + t[:, 2:] + 2) >> 2,
+             t[:, s2:]], axis=-1)
+        fl = np.concatenate(
+            [corner[:, None],
+             (l[:, : s2 - 1] + 2 * l[:, 1:s2] + l[:, 2:] + 2) >> 2,
+             l[:, s2:]], axis=-1)
+        if log2 == 5 and strong_smoothing:
+            thr = 1 << (bit_depth - 5)
+            ok = ((np.abs(t[:, 0] + t[:, s2] - 2 * t[:, s2 // 2]) < thr)
+                  & (np.abs(l[:, 0] + l[:, s2] - 2 * l[:, s2 // 2]) < thr)
+                  )[:, None]
+            i = np.arange(1, s2)
+            tl_, tr_, bl_ = t[:, 0:1], t[:, s2 : s2 + 1], l[:, s2 : s2 + 1]
+            st = np.concatenate(
+                [tl_, ((63 - i) * tl_ + (i + 1) * tr_ + 32) >> 6, tr_], -1)
+            sl = np.concatenate(
+                [tl_, ((63 - i) * tl_ + (i + 1) * bl_ + 32) >> 6, bl_], -1)
+            ft = np.where(ok, st, ft)
+            fl = np.where(ok, sl, fl)
+    else:
+        ft, fl = t, l
+
+    preds = []
+    for mode in range(35):
+        use_f = is_luma and filter_flag(mode, log2)
+        tt = ft if use_f else t
+        ll = fl if use_f else l
+        p = _predict_one_npb(tt, ll, mode, s)
+        if is_luma and s < 32:
+            if mode == DC_IDX:
+                dc = p[:, 0, 0][:, None]
+                p = p.copy()
+                p[:, 0, 1:] = (t[:, 2 : s + 1] + 3 * dc + 2) >> 2
+                p[:, 1:, 0] = (l[:, 2 : s + 1] + 3 * dc + 2) >> 2
+                p[:, 0, 0] = (l[:, 1] + 2 * dc[:, 0] + t[:, 1] + 2) >> 2
+            elif mode == VER_IDX:
+                p = p.copy()
+                p[:, :, 0] = np.clip(
+                    t[:, 1][:, None]
+                    + ((l[:, 1 : s + 1] - l[:, 0][:, None]) >> 1), 0, maxv)
+            elif mode == HOR_IDX:
+                p = p.copy()
+                p[:, 0, :] = np.clip(
+                    l[:, 1][:, None]
+                    + ((t[:, 1 : s + 1] - t[:, 0][:, None]) >> 1), 0, maxv)
+        preds.append(p)
+    return np.stack(preds, axis=1)
