@@ -74,8 +74,13 @@ class Encoder:
         return min(max(cfg.qp + off, 0), 51)
 
     def _nn_for_qp(self, qp: int):
+        """NN-FME weights for a frame. The reference selects the weight
+        set ONCE from the base config QP (TEncSearch.cpp:472
+        m_pcEncCfg->getQP()), NOT the per-frame QP — GOP QP offsets must
+        not silently reroute every P frame to the QP22 fallback set."""
         if self.cfg.fme_mode != "nn":
             return None
+        qp = self.cfg.qp
         p = self._nn_cache.get(qp)
         if p is None and qp not in self._nn_cache:
             cfg_qp = dataclasses.replace(self.cfg, qp=qp)
@@ -115,8 +120,12 @@ class Encoder:
             fs, (ry, ru, rv) = self._frame_encoder(y, u, v, cfg)
         else:
             from .inter_enc import encode_frame_p
+            from .params import p_frame_lambda
 
-            cfg_f = dataclasses.replace(cfg, qp=fqp)
+            G = max(1, len(cfg.gop_qp_offsets))
+            cfg_f = dataclasses.replace(
+                cfg, qp=fqp,
+                frame_lambda=p_frame_lambda(cfg, (poc - 1) % G, fqp))
             fs, (ry, ru, rv) = encode_frame_p(
                 (y, u, v), self.dpb_recon, cfg_f, self._nn_for_qp(fqp),
                 backend=cfg.inter_backend)
@@ -135,8 +144,15 @@ class Encoder:
             org = (_pad_to(np.asarray(y), h_, w_),
                    _pad_to(np.asarray(u), h_ // 2, w_ // 2),
                    _pad_to(np.asarray(v), h_ // 2, w_ // 2))
+            from .params import i_frame_lambda, p_frame_lambda
+
+            if stype == I_SLICE:
+                lam_f = i_frame_lambda(cfg, fqp)
+            else:
+                G = max(1, len(cfg.gop_qp_offsets))
+                lam_f = p_frame_lambda(cfg, (poc - 1) % G, fqp)
             fs.sao = decide_sao_params(org, (ry, ru, rv), sps.ctu_size,
-                                       fqp, sps.bit_depth)
+                                       fqp, sps.bit_depth, lam=lam_f)
             ry, ru, rv = apply_sao_picture((ry, ru, rv), fs.sao,
                                            sps.ctu_size, sps.bit_depth)
 

@@ -89,8 +89,8 @@ def encode_frame_b(orig, ref_l0, ref_l1, cfg: EncoderConfig, qp: int,
     ov = _pad_to(np.asarray(orig[2]), h // 2, w // 2).astype(np.int32)
     r0 = [p.astype(np.int32) for p in ref_l0]
     r1 = [p.astype(np.int32) for p in ref_l1]
-    lam_full = _full_lambda_fp(qp)
-    lam_me = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
+    lam_full = _full_lambda_fp(cfg)
+    lam_me = int(round(np.sqrt(lam_full / 256.0) * 256))
     qpc = chroma_qp(qp)
     sr = min(cfg.search_range, 8)
 

@@ -215,7 +215,7 @@ def build_ldp_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         ry, ru, rv = ref
         qpc = chroma_qp(qp)
         log2 = size.bit_length() - 1
-        lam_me = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
+        lam_me = int(round(np.sqrt(lam_full / 256.0) * 256))
         cur = jnp.take(oy.reshape(-1), t["blk"])
         mv_int, sad9 = sad_search(ry.reshape(-1), cur, t, size, lam_me)
         mvq = mv_int * 4
@@ -263,7 +263,9 @@ def build_ldp_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
 
     def frame_step(ref, fu8, gpos):
         qp = qps[gpos]
-        lam_full = _full_lambda_fp(qp)
+        from .params import p_frame_lambda
+
+        lam_full = int(round(p_frame_lambda(cfg, gpos, qp) * 256))
         nn_p = nn_dev.get(qp)
         oy = fu8[: w * h].reshape(h, w).astype(jnp.int32)
         ou = fu8[w * h : w * h * 5 // 4].reshape(h // 2, w // 2).astype(jnp.int32)

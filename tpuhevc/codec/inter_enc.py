@@ -87,9 +87,12 @@ def _bits_est_jnp(lvl):
     return (2 * bl + (a > 0)).sum(axis=1)
 
 
-def _full_lambda_fp(qp: int) -> int:
-    """lambda in 8.8 fixed point (full, not sqrt) for the skip decision."""
-    return int(round(qp_to_lambda(qp, 0.4624) * 256))
+def _full_lambda_fp(cfg) -> int:
+    """Picture lambda in 8.8 fixed point (full, not sqrt). Uses the
+    encoder-set per-frame lambda (HM model incl. hierarchy multiplier,
+    params.p_frame_lambda) when present."""
+    lam = cfg.frame_lambda or qp_to_lambda(cfg.qp, 0.4624)
+    return int(round(lam * 256))
 
 def _grid_hier(w: int, h: int):
     """Hierarchical CU grid: aligned 32-regions (each with its 4 16-sub-CUs,
@@ -125,7 +128,7 @@ def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
     bd = sps.bit_depth
     qpc = chroma_qp(qp)
     sr = min(cfg.search_range, 16)
-    lam = _full_lambda_fp(qp)
+    lam = _full_lambda_fp(cfg)
     oy, ou, ov = orig
     ry, ru, rv = ref
     n = len(xs_np)
@@ -311,7 +314,7 @@ def _compute_stage_np(cfg, orig, ref, nn_params, lambda_fp):
     ref = tuple(np.asarray(p, dtype=np.int32) for p in ref)
     arrs = {}
     use32 = None
-    lam = _full_lambda_fp(cfg.qp)
+    lam = _full_lambda_fp(cfg)
 
     def run(poss, size):
         xs = np.array([p[0] for p in poss])
@@ -353,7 +356,7 @@ def _stage_fn(cfg, nn_params, lambda_fp):
     F = _jax_backend()
     grids = _grid_hier(w, h)
     pos32, sub16, pos16_free, pos8 = grids
-    lam = _full_lambda_fp(cfg.qp)
+    lam = _full_lambda_fp(cfg)
     nn_dev = ({k: jnp.asarray(v) for k, v in nn_params.items()}
               if nn_params is not None and cfg.fme_mode == "nn" else None)
 
@@ -500,7 +503,8 @@ def encode_frame_p(orig, ref_recon, cfg: EncoderConfig, nn_params=None,
     ou = _pad_to(np.asarray(orig[1]), h // 2, w // 2)
     ov = _pad_to(np.asarray(orig[2]), h // 2, w // 2)
     ry, ru, rv = (p.astype(np.int32) for p in ref_recon)
-    lambda_fp = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
+    lambda_fp = int(round(np.sqrt(cfg.frame_lambda
+                                  or qp_to_lambda(qp, 0.4624)) * 256))
     if cfg.fme_mode == "dctif" or cfg.pps.sign_data_hiding or cfg.rdoq:
         backend = "np"  # DCT-IF / SBH / RDOQ are host-side for now
     stage = _compute_stage_jax if backend == "jax" else _compute_stage_np
@@ -580,7 +584,7 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict, num_ref: int = 1,
     # --- decision walk in decode order (merge/skip/AMVP + store) ---------
     cells = sorted(per_cu.keys(), key=lambda p: order.order[p[1] // 8, p[0] // 8])
     h8w8 = fs.cu_log2
-    lam_intra = _full_lambda_fp(cfg.qp)
+    lam_intra = _full_lambda_fp(cfg)
     for x0, y0 in cells:
         cu = per_cu[(x0, y0)]
         size = cu["size"]

@@ -32,12 +32,12 @@ from __future__ import annotations
 import numpy as np
 
 from ..utils.tables import chroma_qp, qp_to_lambda
-from .params import EncoderConfig
+from .params import EncoderConfig, p_frame_lambda
 
 _BUILD_CACHE: dict = {}
 
 # experiment knobs (ablation / debugging; part of the build cache key)
-_TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True)
+_TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True, zme=True)
 
 
 def supports(cfg) -> bool:
@@ -124,6 +124,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     key = ("v3", W, H, bd, sr, cfg.fme_mode, qps, n_gops, fetch_recon,
            R, MM, cfg.nn_weights_dir, not nn_by_qp.get(qps[0]),
            use_rdoq, use_sbh, use_deblock, use_sao,
+           tuple(cfg.gop_qp_factors), cfg.qp,
            tuple(sorted(_TUNE.items())))
     hit = _BUILD_CACHE.get(key)
     if hit is not None:
@@ -366,20 +367,46 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return (lv + delta).reshape(-1)[inv].reshape(hp, wp)
 
     # --- ME --------------------------------------------------------------
+    # DC-aware matching: a candidate whose residual is (smooth offset +
+    # aligned texture) must beat one that scrambles texture to minimize
+    # plain SAD — the offset costs one cheap DC coefficient while grain
+    # costs uncodable bits. zcost = SAD - |sum| + min(|sum|, DCC): the
+    # zero-mean SAD plus the (capped) price of coding the DC. DCC =
+    # lambda*bits(DC) + quantizer-step floor, per block size.
+    zme = _TUNE["zme"]
+
+    def _dcc(qp, npx, lam_me):
+        qstep = 2.0 ** ((qp + 6 * (bd - 8) - 4) / 6.0)
+        return jnp.int32(int((lam_me * 12) >> 8) + int(npx * qstep / 4.0))
+
+    def _zc(sad, sdc, dcc):
+        a = jnp.abs(sdc)
+        return sad - a + jnp.minimum(a, dcc)
+
     def coarse_stack(oy2, ry2p):
-        sads = []
+        sads, sums = [], []
         for dy in range(nc):
             for dx in range(nc):
-                d = jnp.abs(ry2p[dy : dy + H // 2, dx : dx + W // 2] - oy2)
-                sads.append(tile_sum(d.astype(jnp.int32), 8) << 1)
-        return jnp.stack(sads)  # (nc*nc, nh16, nw16), ~full-SAD scale
+                d = (ry2p[dy : dy + H // 2, dx : dx + W // 2]
+                     - oy2).astype(jnp.int32)
+                sads.append(tile_sum(jnp.abs(d), 8) << 1)
+                if zme:
+                    sums.append(tile_sum(d, 8))
+        return (jnp.stack(sads),
+                jnp.stack(sums) if zme else None)
 
-    def pick_coarse(s16, lam_me, nbh, nbw, f):
+    def pick_coarse(s16, sum16, qp, lam_me, nbh, nbw, f):
         """Coarse winner per block; f = aggregation factor in 16-units."""
         s = s16
+        sm = sum16
         if f > 1:
             s = s[:, : nbh * f, : nbw * f].reshape(-1, nbh, f, nbw, f).sum(
                 (2, 4))
+            if zme:
+                sm = sm[:, : nbh * f, : nbw * f].reshape(
+                    -1, nbh, f, nbw, f).sum((2, 4))
+        if zme:
+            s = _zc(s, sm, _dcc(qp, (16 * f) ** 2, lam_me))
         cost = s + ((jnp.asarray(coarse_bits.reshape(-1))[:, None, None]
                      * lam_me) >> 8)
         ci = jnp.argmin(cost.reshape(nc * nc, -1), axis=0)
@@ -387,9 +414,11 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         cx = ci % nc - R2
         return cx.astype(jnp.int32), cy.astype(jnp.int32)
 
-    def _refine_grid(ry, cur, bx, by, ccx, ccy, S, lam_me):
+    def _refine_grid(ry, cur, bx, by, ccx, ccy, S, qp, lam_me):
         """7x7 SAD grid at full-pel centers (ccx, ccy) per block.
-        Returns (sad (nb,49), cost masked to the inner 5x5, mvx, mvy)."""
+        Returns (sad (nb,49), zcost masked to the inner 5x5, mvx, mvy).
+        sad stays RAW (the NN-FME surface input, reference semantics);
+        only the selection cost is DC-aware."""
         win = S + 6
         yy = jnp.clip(by[:, None] + ccy[:, None] - 3
                       + jnp.arange(win)[None], 0, H - 1)
@@ -399,20 +428,24 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                        yy[:, :, None] * W + xx[:, None, :]).astype(jnp.int16)
         i49 = _idx49(S, win)
         sl = jnp.take(wnd.reshape(wnd.shape[0], -1), i49, axis=1)
-        sad = jnp.abs(sl - cur[:, None]).astype(jnp.int32).sum((-1, -2))
+        d = (sl - cur[:, None]).astype(jnp.int32)
+        sad = jnp.abs(d).sum((-1, -2))
+        sel = sad
+        if zme:
+            sel = _zc(sad, d.sum((-1, -2)), _dcc(qp, S * S, lam_me))
         mvx = ccx[:, None] + jnp.asarray(rdxs)[None]
         mvy = ccy[:, None] + jnp.asarray(rdys)[None]
         babs = (2 * jnp.ceil(jnp.log2(2.0 * jnp.abs(mvx * 4) + 1))
                 .astype(jnp.int32)
                 + 2 * jnp.ceil(jnp.log2(2.0 * jnp.abs(mvy * 4) + 1))
                 .astype(jnp.int32) + 2)
-        cost = sad + ((babs * lam_me) >> 8)
+        cost = sel + ((babs * lam_me) >> 8)
         inner = (np.abs(rdxs) <= 2) & (np.abs(rdys) <= 2)
         cost = jnp.where(jnp.asarray(inner)[None], cost, jnp.int32(1 << 30))
         return sad, cost, mvx, mvy
 
-    def refine(ry, oy, cx4, cy4, S, nbh, nbw, lam_me, with_zero=True,
-               global_c=None):
+    def refine(ry, oy, cx4, cy4, S, nbh, nbw, qp, lam_me, with_zero=True,
+               global_c=None, extra_c=None):
         """Full-pel refinement: 7x7 grids around the coarse winner AND
         (optionally) the zero MV and the frame-global coarse winner (the
         TZ predictor set's start candidates: median/zero + the dominant
@@ -428,15 +461,22 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         cur = oy[: nbh * S, : nbw * S].reshape(
             nbh, S, nbw, S).transpose(0, 2, 1, 3).reshape(nb, S, S)
         cur = cur.astype(jnp.int16)
-        grids = [_refine_grid(ry, cur, bx, by, ccx, ccy, S, lam_me)]
+        grids = [_refine_grid(ry, cur, bx, by, ccx, ccy, S, qp, lam_me)]
         if with_zero:
             zero = jnp.zeros_like(ccx)
-            grids.append(_refine_grid(ry, cur, bx, by, zero, zero, S,
+            grids.append(_refine_grid(ry, cur, bx, by, zero, zero, S, qp,
                                       lam_me))
         if global_c is not None:
             ggx = jnp.broadcast_to(global_c[0] * 2, ccx.shape)
             ggy = jnp.broadcast_to(global_c[1] * 2, ccy.shape)
-            grids.append(_refine_grid(ry, cur, bx, by, ggx, ggy, S,
+            grids.append(_refine_grid(ry, cur, bx, by, ggx, ggy, S, qp,
+                                      lam_me))
+        if extra_c is not None:
+            # temporal seed: the co-located previous-frame MV (a TMVP-
+            # style start candidate; TZ's predictor set analog)
+            grids.append(_refine_grid(ry, cur, bx, by,
+                                      extra_c[0].reshape(-1),
+                                      extra_c[1].reshape(-1), S, qp,
                                       lam_me))
         sad = jnp.concatenate([g[0] for g in grids], axis=1)
         cost = jnp.concatenate([g[1] for g in grids], axis=1)
@@ -560,6 +600,35 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         f = S // 8
         return m8.reshape(Hp // S, f, Wp // S, f).sum((1, 3)).astype(
             jnp.float32)
+
+    def pred_satd_z(planes_y, oy_c, mv_grid, ref_grid, S, Hp, Wp, qp,
+                    lam_me_f):
+        """DC-aware per-CU SATD: AC Hadamard energy + the (capped) price
+        of the DC terms. A merge candidate whose residual is the aligned
+        texture plus a smooth offset scores its true coding cost instead
+        of being punished for the offset (xCheckRDCostMerge2Nx2N codes
+        the residual and gets this discrimination for free)."""
+        if not zme:
+            return pred_satd(planes_y, oy_c, mv_grid, ref_grid, S, Hp, Wp)
+        mvp_ = jnp.stack([up(mv_grid[..., 0], S), up(mv_grid[..., 1], S)],
+                         -1)
+        p = pred_luma(planes_y, mvp_, up(ref_grid, S), Hp, Wp)
+        r = oy_c - p
+        m8 = satd8_plane(r)
+        dc8 = (jnp.abs(tile_sum(r, 8)) + 2) >> 2
+        ac8 = (m8 - dc8).astype(jnp.float32)
+        qstep = 2.0 ** ((qp + 6 * (bd - 8) - 4) / 6.0)
+        dcc = lam_me_f * 12.0 + (S * S) * qstep / 4.0
+        if S == 8:
+            return ac8 + jnp.minimum(dc8.astype(jnp.float32), dcc)
+        f = S // 8
+        ac = ac8.reshape(Hp // S, f, Wp // S, f).sum((1, 3))
+        dcsum = dc8.reshape(Hp // S, f, Wp // S, f).sum(
+            (1, 3)).astype(jnp.float32)
+        cu_dc = ((jnp.abs(tile_sum(r, S)) + 2) >> 2).astype(jnp.float32)
+        dcvar = jnp.maximum(dcsum - cu_dc, 0.0)
+        return (ac + 0.5 * dcvar
+                + jnp.minimum(cu_dc, dcc))
 
     def subpel_refine(planes_y, oy, mv_int, ref_grid, S, nbh, nbw):
         """DCT-IF fractional refinement (xPatternSearchFracDIF /
@@ -906,7 +975,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         out = out + jnp.where(t_pix == 4, addb, 0)
         return jnp.clip(out, 0, maxv)
 
-    def sao_device(oy, ouv, rec_y, rec_uv, lam_f):
+    def sao_device(oy, ouv, rec_y, rec_uv, lam_f, sao_qp):
         """Stats + RDO + apply for all components (chroma shares the
         type). Returns filtered planes + packed per-CTU params. No merge
         flags yet (each CTU codes new params; the host syntax supports
@@ -916,6 +985,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         st_cr = _sao_stats(ouv[:, Wc:], rec_uv[:, Wc:], CTU // 2)
         ty, ay, offy, _, _, _, _, _, _ = _sao_decide_plane(
             st_y, lam_f, 2.0 * lam_f)
+        lam_f = lam_f / jnp.float32(
+            2.0 ** ((sao_qp - chroma_qp(sao_qp)) / 3.0))  # chroma weight
         # chroma: shared type minimizing joint cost
         _, _, _, _, eo_off_cb, eo_cost_cb, bo_off_cb, bo_pos_cb, \
             bo_cost_cb = _sao_decide_plane(st_cb, lam_f, 0.0)
@@ -947,7 +1018,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             for x in (ty, ay, offy, tc, acb, ocb, acr, ocr)])
         return new_y, jnp.concatenate([new_cb, new_cr], 1), params
 
-    def cand_sweep(tabs, lam_me_f, oy, planes_y, mv_grid, ref_grid, S,
+    def cand_sweep(tabs, qp, lam_me_f, oy, planes_y, mv_grid, ref_grid, S,
                    nbh, nbw):
         """Merge-candidate RD sweeps (left, top, left, top). Adopts the
         neighbor's (mv, ref) when prediction SATD + merge bits beat the
@@ -960,25 +1031,44 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         oy_c = oy[:Hp, :Wp]
         mvd_lut = jnp.asarray(tabs["mvd_lut"])
         ref_lut = jnp.asarray(tabs["ref_bits"])
-        sat0 = pred_satd(planes_y, oy_c, mv_grid, ref_grid, S, Hp, Wp)
+        sat0 = pred_satd_z(planes_y, oy_c, mv_grid, ref_grid, S, Hp, Wp,
+                           qp, lam_me_f)
         merged = jnp.zeros((nbh, nbw), bool)
         midx_b = jnp.zeros((nbh, nbw), jnp.float32)
-        sweeps = ((1, tabs["midx"][0]), (0, tabs["midx"][1]),
-                  (1, tabs["midx"][0]), (0, tabs["midx"][1])) \
-            if _TUNE["sweep"] else ()
-        for axis, mb in sweeps:
+        # jump-flood schedule: HM's raster wavefront propagates a good MV
+        # across the whole frame within one picture (each CU merges from
+        # already-decided neighbors); log-distance passes give the same
+        # reach in O(log n) batched steps instead of a sequential walk
+        sweeps = []
+        if _TUNE["sweep"]:
+            d = 1
+            while d < max(nbh, nbw):
+                sweeps += [(1, d, tabs["midx"][0]), (0, d, tabs["midx"][1])]
+                d *= 2
+            sweeps += [(1, 1, tabs["midx"][0]), (0, 1, tabs["midx"][1]),
+                       (1, 1, tabs["midx"][0]), (0, 1, tabs["midx"][1])]
+        for axis, d, mb in sweeps:
             if axis == 1:
-                mvc = jnp.concatenate([mv_grid[:, :1], mv_grid[:, :-1]], 1)
-                refc = jnp.concatenate([ref_grid[:, :1], ref_grid[:, :-1]],
-                                       1)
+                if d >= nbw:
+                    continue
+                mvc = jnp.concatenate(
+                    [jnp.repeat(mv_grid[:, :1], d, 1), mv_grid[:, :-d]], 1)
+                refc = jnp.concatenate(
+                    [jnp.repeat(ref_grid[:, :1], d, 1), ref_grid[:, :-d]],
+                    1)
                 edge = jnp.asarray(
-                    (np.arange(nbw) == 0)[None].repeat(nbh, 0))
+                    (np.arange(nbw) < d)[None].repeat(nbh, 0))
             else:
-                mvc = jnp.concatenate([mv_grid[:1], mv_grid[:-1]], 0)
-                refc = jnp.concatenate([ref_grid[:1], ref_grid[:-1]], 0)
+                if d >= nbh:
+                    continue
+                mvc = jnp.concatenate(
+                    [jnp.repeat(mv_grid[:1], d, 0), mv_grid[:-d]], 0)
+                refc = jnp.concatenate(
+                    [jnp.repeat(ref_grid[:1], d, 0), ref_grid[:-d]], 0)
                 edge = jnp.asarray(
-                    (np.arange(nbh) == 0)[:, None].repeat(nbw, 1))
-            satc = pred_satd(planes_y, oy_c, mvc, refc, S, Hp, Wp)
+                    (np.arange(nbh) < d)[:, None].repeat(nbw, 1))
+            satc = pred_satd_z(planes_y, oy_c, mvc, refc, S, Hp, Wp,
+                               qp, lam_me_f)
             dmv = jnp.minimum(jnp.abs(mv_grid - mvc), 4095)
             keep_b = (mvd_lut[dmv[..., 0]] + mvd_lut[dmv[..., 1]]
                       + ref_lut[ref_grid] + tabs["mf0"] + tabs["mvp"])
@@ -1069,9 +1159,13 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         pred_uv = jnp.concatenate([pu, pv], axis=1)  # (Hpc, 2*Wpc)
         ouv_c = jnp.concatenate([ouv[:Hpc, :Wpc], ouv[:Hpc, Wc : Wc + Wpc]],
                                 axis=1)
+        # HM weights chroma distortion by 2^((qp-qpc)/3) in RD (TEncSlice
+        # setUpLambda): equivalently chroma-only decisions use lam/wch
+        wch = jnp.float32(2.0 ** ((qp - qpc) / 3.0))
+        lam_c = lam / wch
         coef_c = fwd_tx(ouv_c - pred_uv, Tc)
         if use_rdoq:
-            lvl_c = rdoq_plane(coef_c, qpc, log2c, lam)
+            lvl_c = rdoq_plane(coef_c, qpc, log2c, lam_c)
         else:
             lvl_c = quant_plane(coef_c, qpc, log2c)
         if use_sbh:
@@ -1087,8 +1181,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             jnp, plane_tiles(lvl_c, Tc, Hpc, 2 * Wpc),
             sbh=use_sbh).reshape(nzc.shape)
         cbfc_b = tabs["cbf_c"]
-        drop_c = (dc_s + lam * cbfc_b[0]
-                  <= dc_c + lam * (bits_ctu + cbfc_b[1]))
+        drop_c = (dc_s + lam_c * cbfc_b[0]
+                  <= dc_c + lam_c * (bits_ctu + cbfc_b[1]))
         dropp_c = up(drop_c, Tc)
         lvl_c = jnp.where(dropp_c, 0, lvl_c)
         rec_c = jnp.where(dropp_c, pred_uv, rec_c)
@@ -1104,7 +1198,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 v_ = v_.reshape(nbh, fTc, nbw, fTc).sum((1, 3))
             return u_ + v_
 
-        d_cu = d_cu + cu_sum_c(duv)
+        d_cu = d_cu + wch * cu_sum_c(duv)
         b_cu = b_cu + cu_sum_c(buv)
         cbf_cu = cbf_cu + cu_sum_c(nzk)
         return dict(lvl=lvl, rec=rec, lvl_c=lvl_c, rec_c=rec_c,
@@ -1125,12 +1219,15 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return c["d"] + lam * bits, bits
 
     def frame_step(ref, fu8, navail, gpos):
+        ry_stack, ruv_stack, mv16p = ref  # + prev-frame full-pel 16-MVs
         qp = qps[gpos]
         tabs = tabs_by_qp[qp]
-        lam = jnp.float32(qp_to_lambda(qp, 0.4624))
-        lam_me_f = jnp.float32(np.sqrt(qp_to_lambda(qp, 0.4624)))
-        lam_me = int(round(np.sqrt(qp_to_lambda(qp, 0.4624)) * 256))
-        ry_stack, ruv_stack = ref  # (R, H, W), (R, Hc, W)
+        # full HM picture lambda incl. the QPfactor column and the
+        # depth>0 hierarchy multiplier (TEncSlice.cpp:283-325)
+        lam_py = p_frame_lambda(cfg, gpos, qp)
+        lam = jnp.float32(lam_py)
+        lam_me_f = jnp.float32(np.sqrt(lam_py))
+        lam_me = int(round(np.sqrt(lam_py) * 256))
         oy = fu8[: W * H].reshape(H, W).astype(jnp.int32)
         ou = fu8[W * H : W * H * 5 // 4].reshape(Hc, Wc)
         ov = fu8[W * H * 5 // 4 :].reshape(Hc, Wc)
@@ -1146,34 +1243,56 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             if r == 0:
                 ry2p = jnp.pad(tile_sum(ryr, 2).astype(jnp.int16), R2,
                                mode="edge")
-                s16c = coarse_stack(oy2, ry2p)
-                cx16, cy16 = pick_coarse(s16c, lam_me, nh16, nw16, 1)
+                s16c, sum16c = coarse_stack(oy2, ry2p)
+                cx16, cy16 = pick_coarse(s16c, sum16c, qp, lam_me,
+                                         nh16, nw16, 1)
                 if has32:
-                    cx32, cy32 = pick_coarse(s16c, lam_me, nh32, nw32, 2)
+                    cx32, cy32 = pick_coarse(s16c, sum16c, qp, lam_me,
+                                             nh32, nw32, 2)
                 # frame-global dominant motion: coarse offset minimizing
-                # the total SAD — refine evaluates it per block so a
-                # frame-wide translation needs no propagation
-                gi = jnp.argmin(s16c.sum((1, 2)))
+                # the total (DC-aware) SAD — refine evaluates it per
+                # block so a frame-wide translation needs no propagation
+                gtot = s16c
+                if zme:
+                    gtot = _zc(s16c, sum16c,
+                               _dcc(qp, 16 * 16, lam_me))
+                gi = jnp.argmin(gtot.sum((1, 2)))
                 gcand = (gi % nc - R2, gi // nc - R2)
             sc = r + 1
             cxr = jnp.clip(cx16 * sc, -R2, R2)
             cyr = jnp.clip(cy16 * sc, -R2, R2)
             gc = gcand if r == 0 else None
-            m16.append(refine(ryr, oy, cxr, cyr, 16, nh16, nw16, lam_me,
-                              with_zero=(r == 0), global_c=gc))
+            tseed = None
+            if r == 0:
+                tx_ = jnp.clip(mv16p[:, 0], -sr, sr).reshape(nh16, nw16)
+                ty_ = jnp.clip(mv16p[:, 1], -sr, sr).reshape(nh16, nw16)
+                tseed = (tx_, ty_)
+            m16.append(refine(ryr, oy, cxr, cyr, 16, nh16, nw16, qp,
+                              lam_me, with_zero=(r == 0), global_c=gc,
+                              extra_c=tseed))
             if _TUNE["enable8"]:
                 # 8-blocks refine around the parent 16's coarse center
                 cx8 = jnp.repeat(jnp.repeat(cxr.reshape(nh16, nw16), 2, 0),
                                  2, 1)
                 cy8 = jnp.repeat(jnp.repeat(cyr.reshape(nh16, nw16), 2, 0),
                                  2, 1)
-                m8.append(refine(ryr, oy, cx8, cy8, 8, nh8, nw8, lam_me,
-                                 with_zero=(r == 0), global_c=gc))
+                ts8 = None
+                if tseed is not None:
+                    ts8 = (jnp.repeat(jnp.repeat(tseed[0], 2, 0), 2, 1),
+                           jnp.repeat(jnp.repeat(tseed[1], 2, 0), 2, 1))
+                m8.append(refine(ryr, oy, cx8, cy8, 8, nh8, nw8, qp,
+                                 lam_me, with_zero=(r == 0), global_c=gc,
+                                 extra_c=ts8))
             if has32:
                 cxr32 = jnp.clip(cx32 * sc, -R2, R2)
                 cyr32 = jnp.clip(cy32 * sc, -R2, R2)
+                ts32 = None
+                if tseed is not None:
+                    ts32 = (tseed[0][: nh32 * 2 : 2, : nw32 * 2 : 2],
+                            tseed[1][: nh32 * 2 : 2, : nw32 * 2 : 2])
                 m32.append(refine(ryr, oy, cxr32, cyr32, 32, nh32, nw32,
-                                  lam_me, with_zero=(r == 0), global_c=gc))
+                                  qp, lam_me, with_zero=(r == 0),
+                                  global_c=gc, extra_c=ts32))
 
         def pick_ref(ms):
             if R == 1:
@@ -1218,7 +1337,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         # --- per-class candidate sweep + residual coding ---------------
         def run_class(mvq, refv, S, nbh, nbw):
             mvg, refg, mode_b, merged, midx_b = cand_sweep(
-                tabs, lam_me_f, oy, planes_y, mvq.reshape(nbh, nbw, 2),
+                tabs, qp, lam_me_f, oy, planes_y, mvq.reshape(nbh, nbw, 2),
                 refv.reshape(nbh, nbw), S, nbh, nbw)
             c = class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u, pl_v,
                            mvg, refg, S, nbh, nbw)
@@ -1362,7 +1481,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         sao_params = None
         if use_sao:
             rec_y, rec_uv, sao_params = sao_device(oy, ouv, rec_y, rec_uv,
-                                                   lam)
+                                                   lam, qp)
 
         ldt = jnp.int8 if lvl8 else jnp.int16
         parts = [u8(lvl_y.astype(ldt)), u8(lvl_uv.astype(ldt))]
@@ -1393,7 +1512,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                   u8(mv16.astype(jnp.int16))]
         new_ry = jnp.concatenate([rec_y[None], ry_stack[:-1]])
         new_ruv = jnp.concatenate([rec_uv[None], ruv_stack[:-1]])
-        return (new_ry, new_ruv), jnp.concatenate(parts)
+        # temporal seed for the next frame: the settled per-16 MVs
+        # (post-sweep map, full-pel)
+        seed16 = (mv_map[::2, ::2].reshape(n16, 2) // 4).astype(jnp.int32)
+        return (new_ry, new_ruv, seed16), jnp.concatenate(parts)
 
     def gop_step(carry, xs):
         frames_g, navail_g = xs
@@ -1404,8 +1526,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return carry, jnp.stack(outs)
 
     def run(frames_u8, navail, ry_stack, ruv_stack):
-        (ry_stack, ruv_stack), packed = jax.lax.scan(
-            gop_step, (ry_stack, ruv_stack), (frames_u8, navail))
+        mv0 = jnp.zeros((n16, 2), jnp.int32)
+        (ry_stack, ruv_stack, _), packed = jax.lax.scan(
+            gop_step, (ry_stack, ruv_stack, mv0), (frames_u8, navail))
         return packed.reshape(n_gops * G, -1), ry_stack, ruv_stack
 
     fn = jax.jit(run, donate_argnums=(2, 3))

@@ -87,11 +87,13 @@ def _txq_cost(resi, qp, log2, bd, lam_fp, rdoq, est, scan_diag=True):
 def decide_intra_qt(oy, ou, ov, cfg: EncoderConfig, qp: int):
     """Open-loop quadtree decision. Returns (cu_log2, luma_mode) maps on
     the 8x8-cell grid."""
+    from .params import i_frame_lambda
+
     sps = cfg.sps
     bd = sps.bit_depth
     h, w = oy.shape
     h8, w8 = h // 8, w // 8
-    lam = qp_to_lambda(qp, cfg.lambda_qp_factor)
+    lam = i_frame_lambda(cfg, qp)
     sqlam = np.sqrt(lam)
     lam_fp = int(round(lam * 256))
     fb = FracBits(I_ROW, qp)
@@ -361,7 +363,9 @@ def encode_frame_intra_qt(orig_y, orig_u, orig_v, cfg: EncoderConfig):
     y = np.zeros((h, w), np.int32)
     u = np.zeros((h // 2, w // 2), np.int32)
     v = np.zeros((h // 2, w // 2), np.int32)
-    lam_fp = int(round(qp_to_lambda(qp, cfg.lambda_qp_factor) * 256))
+    from .params import i_frame_lambda
+
+    lam_fp = int(round(i_frame_lambda(cfg, qp) * 256))
     _walk(fs, sps, qp, (y, u, v), (oy, ou, ov),
           cfg.pps.sign_data_hiding, cfg.rdoq, lam_fp, True)
     return fs, (y, u, v)

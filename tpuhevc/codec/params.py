@@ -138,7 +138,40 @@ class EncoderConfig:
                                  # hash + PSNR computed there; no ReconFile)
     gop_qp_offsets: tuple = ()   # per-GOP-position P-frame QP offsets (HM
                                  # GOP table QPoffset column; () = flat QP)
+    gop_qp_factors: tuple = ()   # per-GOP-position QPfactor column; when
+                                 # empty, the CTC LD-P defaults apply
+                                 # (0.4624, key picture 0.578)
     deblocking: bool = False     # in-loop deblocking filter (host pass)
 
     # encoder-side lambda model (TEncSlice.cpp:295-310)
     lambda_qp_factor: float = 0.57  # intra QPfactor as in HM for I slices
+    frame_lambda: float = 0.0    # per-frame picture lambda (set by the
+                                 # encoder from p_frame_lambda; 0 = derive
+                                 # from qp with flat defaults)
+
+
+def p_frame_lambda(cfg: EncoderConfig, gpos: int, frame_qp: int) -> float:
+    """Full HM picture lambda for the P frame at GOP position index
+    `gpos` (0-based: frames with POC % G == (gpos+1) % G). Includes the
+    QPfactor column and the depth>0 multiplier (TEncSlice.cpp:283-325)."""
+    from ..utils.tables import gop_depth, slice_lambda
+
+    G = max(1, len(cfg.gop_qp_offsets))
+    if cfg.gop_qp_factors and len(cfg.gop_qp_factors) >= G:
+        qf = float(cfg.gop_qp_factors[gpos % G])
+    elif G > 1 and (gpos + 1) % G == 0:
+        qf = 0.578  # CTC LD-P key-picture factor
+    else:
+        qf = 0.4624
+    depth = gop_depth((gpos + 1) % G, G) if G > 1 else 0
+    return slice_lambda(frame_qp, qf, depth, G)
+
+
+def i_frame_lambda(cfg: EncoderConfig, frame_qp: int) -> float:
+    """I-slice lambda: 0.57 * (1 - clip(0.05*(GOPSize-1))) * 2^((qp-12)/3)."""
+    from ..utils.tables import slice_lambda
+
+    G = max(1, len(cfg.gop_qp_offsets) or cfg.gop_size)
+    if cfg.intra_period == 1:
+        G = 1  # all-intra: no GOP hierarchy, full 0.57
+    return slice_lambda(frame_qp, 0.57, 0, G, is_intra=True)

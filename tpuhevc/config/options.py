@@ -207,6 +207,7 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
     if gop and all(e.slice_type == "P" for e in gop) \
             and [e.poc_offset for e in gop] == list(range(1, len(gop) + 1)):
         cfg.gop_qp_offsets = tuple(e.qp_offset for e in gop)
+        cfg.gop_qp_factors = tuple(e.qp_factor for e in gop)
         nact = max((e.num_ref_pics_active for e in gop), default=1)
         if nact > 1:
             cfg.num_ref_frames = nact

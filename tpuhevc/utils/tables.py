@@ -175,6 +175,45 @@ def qp_to_lambda(qp: int, qp_factor: float = 0.57, frame_type_scale: float = 1.0
     return qp_factor * frame_type_scale * (2.0 ** (qp_temp / 3.0))
 
 
+def gop_depth(poc_in_gop: int, gop_size: int) -> int:
+    """Hierarchy depth of a GOP position (TEncSlice::initEncSlice
+    TEncSlice.cpp:166-199): 0 for the key picture, else the dyadic level.
+    GOP4: {0:0, 1:2, 2:1, 3:2}."""
+    if poc_in_gop == 0 or gop_size <= 1:
+        return 0
+    step = gop_size
+    depth = 0
+    i = step >> 1
+    while i >= 1:
+        for j in range(i, gop_size, step):
+            if j == poc_in_gop:
+                return depth
+        step >>= 1
+        depth += 1
+        i >>= 1
+    return depth
+
+
+def slice_lambda(frame_qp: int, qp_factor: float, depth: int,
+                 gop_size: int = 4, is_intra: bool = False,
+                 had_me: bool = True) -> float:
+    """The full HM picture-lambda model (TEncSlice.cpp:283-325):
+    lambda = QPfactor * 2^((qp-12)/3), with the I-slice factor
+    0.57*(1 - clip(0.05*(GOPSize-1), 0, 0.5)) and the non-key-picture
+    multiplier clip(qp_temp/6, 2, 4) for depth > 0. This multiplier is
+    what makes HM code hierarchy-leaf pictures cheaply."""
+    qp_temp = frame_qp - 12
+    if is_intra:
+        scale = 1.0 - min(0.5, max(0.0, 0.05 * (gop_size - 1)))
+        qp_factor = 0.57 * scale
+    lam = qp_factor * (2.0 ** (qp_temp / 3.0))
+    if not is_intra and depth > 0:
+        lam *= min(4.0, max(2.0, qp_temp / 6.0))
+    if not is_intra and not had_me:
+        lam *= 0.95
+    return lam
+
+
 # --- MPM derivation (§8.4.2) ----------------------------------------------
 
 def intra_mpm_list(left_mode: int, above_mode: int) -> list[int]:
