@@ -36,6 +36,7 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
     pps = None
     sps_rps: list = []
     frames: list[DecodedFrame] = []
+    cols: dict = {}  # poc -> ColMotion (TMVP collocated-picture motion)
     pending = None  # last decoded picture awaiting its suffix SEI
     for nal in nals:
         nal_type = (nal[0] >> 1) & 0x3F
@@ -83,6 +84,10 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                     if num_ref_l1 else []
             else:
                 deltas, num_ref, l1_deltas, num_ref_l1 = [], 1, [], 0
+            col = None
+            if hdr.slice_type != I_SLICE and hdr.temporal_mvp and deltas:
+                ci = min(hdr.collocated_ref_idx, len(deltas) - 1)
+                col = cols.get(hdr.poc - deltas[ci])
             if pps.entropy_coding_sync:
                 from ..entropy.syntax import decode_slice_data_wpp
 
@@ -92,7 +97,7 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                     hdr.slice_type, max_merge, sao_luma=hdr.sao_luma,
                     sao_chroma=hdr.sao_chroma, num_ref=num_ref,
                     ref_deltas=deltas, num_ref_l1=num_ref_l1,
-                    l1_deltas=l1_deltas)
+                    l1_deltas=l1_deltas, col=col)
             else:
                 fs = decode_slice_data(dec, sps, pps, sps.coded_width,
                                        sps.coded_height, hdr.slice_type,
@@ -100,11 +105,21 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                                        sao_chroma=hdr.sao_chroma,
                                        num_ref=num_ref, ref_deltas=deltas,
                                        num_ref_l1=num_ref_l1,
-                                       l1_deltas=l1_deltas)
-            if hdr.slice_type == I_SLICE:
-                from .intra_qt import reconstruct_frame_qt
+                                       l1_deltas=l1_deltas, col=col)
+            if hdr.slice_type != I_SLICE:
+                from .mv import ColMotion
 
-                y, u, v = reconstruct_frame_qt(fs, sps, hdr.qp)
+                cols[hdr.poc] = ColMotion(
+                    fs, [hdr.poc - d for d in deltas], hdr.poc)
+            if hdr.slice_type == I_SLICE:
+                if fs.full_features:
+                    from .recon_full import reconstruct_frame_full
+
+                    y, u, v = reconstruct_frame_full(fs, sps, hdr.qp)
+                else:
+                    from .intra_qt import reconstruct_frame_qt
+
+                    y, u, v = reconstruct_frame_qt(fs, sps, hdr.qp)
             else:
                 by_poc = {f.poc: f for f in frames}
 

@@ -62,6 +62,55 @@ class MvField:
         return None
 
 
+class ColMotion:
+    """Collocated-picture motion for TMVP (§8.5.3.2.7): per-16x16
+    compressed (MV, ref-POC) + validity, with the col picture's POC.
+    Built by the decoder from each reconstructed P frame's MV field."""
+
+    def __init__(self, fs, ref_pocs_abs: list[int], poc: int):
+        self.poc = poc
+        mv = fs.mv[::2, ::2]                       # motion compression:
+        ref = fs.ref_idx[::2, ::2]                 # top-left of each 16x16
+        inter = fs.inter_dir[::2, ::2] != 0
+        self.mv16 = mv.copy()
+        self.refpoc16 = np.asarray(
+            [[ref_pocs_abs[min(int(r), len(ref_pocs_abs) - 1)]
+              for r in row] for row in ref], dtype=np.int64)
+        self.valid16 = inter.copy()
+
+    def at(self, x: int, y: int):
+        """(mvx, mvy, refpoc) at luma sample (x, y), or None."""
+        x16, y16 = (x >> 4), (y >> 4)
+        if (0 <= y16 < self.valid16.shape[0]
+                and 0 <= x16 < self.valid16.shape[1]
+                and self.valid16[y16, x16]):
+            return (int(self.mv16[y16, x16, 0]),
+                    int(self.mv16[y16, x16, 1]),
+                    int(self.refpoc16[y16, x16]))
+        return None
+
+
+def temporal_candidate(col: ColMotion, x0: int, y0: int, size: int,
+                       target_poc: int, cur_poc: int, pic_w: int,
+                       pic_h: int, log2_ctu: int):
+    """§8.5.3.2.7: bottom-right col PU first (same CTU row + inside the
+    picture), else the center; §8.5.3.2.8 POC scaling to target_poc."""
+    cand = None
+    xbr, ybr = x0 + size, y0 + size
+    if (ybr >> log2_ctu) == (y0 >> log2_ctu) and ybr < pic_h \
+            and xbr < pic_w:
+        cand = col.at(xbr, ybr)
+    if cand is None:
+        cand = col.at(x0 + size // 2, y0 + size // 2)
+    if cand is None:
+        return None
+    tb = cur_poc - target_poc
+    td = col.poc - cand[2]
+    if td == 0:
+        return None
+    return scale_mv((cand[0], cand[1]), tb, td)
+
+
 def _neighbor(field: MvField, order: BlockOrder, cur_cell, px: int, py: int):
     """(mv, ref) of the PU covering sample (px, py), if decoded."""
     if px < 0 or py < 0:
@@ -73,10 +122,13 @@ def _neighbor(field: MvField, order: BlockOrder, cur_cell, px: int, py: int):
 
 
 def merge_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
-                     size: int, max_cand: int = 5,
-                     num_ref: int = 1) -> list[tuple[int, int, int]]:
-    """Spatial merge list (§8.5.3.2.3) + zero fill; entries (mvx, mvy, ref).
-    P slice, L0 only."""
+                     size: int, max_cand: int = 5, num_ref: int = 1,
+                     col: "ColMotion | None" = None,
+                     ref_pocs: list[int] | None = None, cur_poc: int = 0,
+                     pic_w: int = 0, pic_h: int = 0,
+                     log2_ctu: int = 6) -> list[tuple[int, int, int]]:
+    """Merge list (§8.5.3.2.3): spatial + temporal (when a collocated
+    picture is given) + zero fill; entries (mvx, mvy, ref). P, L0 only."""
     cur = (x0 // 8, y0 // 8)
     n = size
     a1 = _neighbor(field, order, cur, x0 - 1, y0 + n - 1)
@@ -95,6 +147,12 @@ def merge_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
         out.append(a0)
     if len(out) < 4 and b2 is not None and b2 != a1 and b2 != b1:
         out.append(b2)
+    if col is not None and len(out) < max_cand:
+        tpoc = ref_pocs[0] if ref_pocs else cur_poc - 1
+        t = temporal_candidate(col, x0, y0, size, tpoc, cur_poc,
+                               pic_w, pic_h, log2_ctu)
+        if t is not None:  # temporal is not pruned against spatial
+            out.append((t[0], t[1], 0))
     # zero candidates with increasing ref, then ref 0 (HM's zero-mv fill)
     zero_i = 0
     while len(out) < max_cand:
@@ -106,7 +164,9 @@ def merge_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
 def amvp_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
                     size: int, target_ref: int = 0,
                     ref_pocs: list[int] | None = None,
-                    cur_poc: int = 0) -> list[tuple[int, int]]:
+                    cur_poc: int = 0, col: "ColMotion | None" = None,
+                    pic_w: int = 0, pic_h: int = 0,
+                    log2_ctu: int = 6) -> list[tuple[int, int]]:
     """AMVP list (§8.5.3.2.6) for target_ref: candA from {A0, A1}, candB
     from {B0, B1, B2}; same-ref MVs preferred, otherwise POC-scaled;
     dedup; zero-fill to 2. ref_pocs: POC of each L0 entry (None = single
@@ -155,6 +215,11 @@ def amvp_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
             out.append(c)
     if len(out) == 2 and out[0] == out[1]:
         out = out[:1]
+    if len(out) < 2 and col is not None:
+        t = temporal_candidate(col, x0, y0, size, poc_of(target_ref),
+                               cur_poc, pic_w, pic_h, log2_ctu)
+        if t is not None:  # col candidate is not pruned against A/B
+            out.append(t)
     while len(out) < 2:
         out.append((0, 0))
     return out[:2]

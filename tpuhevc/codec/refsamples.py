@@ -20,13 +20,17 @@ def morton(cx: int, cy: int, bits: int = 3) -> int:
 
 
 class BlockOrder:
-    """Decode-order indexing of the 8x8 cell grid of a frame."""
+    """Decode-order indexing of the cell grid of a frame (cells of
+    2^cell_log2 luma samples; 8 for the encoder's TB grid, 4 for the
+    general decoder's PU/TU granularity)."""
 
-    def __init__(self, width: int, height: int, log2_ctu: int = 6):
-        self.w8 = width // 8
-        self.h8 = height // 8
+    def __init__(self, width: int, height: int, log2_ctu: int = 6,
+                 cell_log2: int = 3):
+        c = cell_log2
+        self.w8 = width >> c
+        self.h8 = height >> c
         self.log2_ctu = log2_ctu
-        self.cells_per_ctu_side = 1 << (log2_ctu - 3)
+        self.cells_per_ctu_side = 1 << (log2_ctu - c)
         self.wctu = (width + (1 << log2_ctu) - 1) >> log2_ctu
         order = np.empty((self.h8, self.w8), dtype=np.int64)
         per_ctu = self.cells_per_ctu_side ** 2
@@ -37,7 +41,7 @@ class BlockOrder:
                 )
                 z = morton(x8 % self.cells_per_ctu_side,
                            y8 % self.cells_per_ctu_side,
-                           self.log2_ctu - 3)
+                           log2_ctu - c)
                 order[y8, x8] = ctu * per_ctu + z
         self.order = order
 

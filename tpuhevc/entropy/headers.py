@@ -109,10 +109,66 @@ def write_st_rps(w: BitWriter, rps: ShortTermRPS, idx: int, first: bool) -> None
         w.write_flag(rps.used[rps.delta_pocs.index(d)])
 
 
-def parse_st_rps(r: BitReader, first: bool) -> ShortTermRPS:
+def parse_st_rps(r: BitReader, first: bool,
+                 prev_sets: list[ShortTermRPS] | None = None,
+                 slice_level: bool = False) -> ShortTermRPS:
+    """§7.4.8 st_ref_pic_set incl. inter-RPS prediction (the form the
+    reference encoder emits for sets 1..n, TEncCavlc::codeShortTermRefPicSet
+    / TDecCAVLC parse counterpart)."""
     if not first:
         pred = r.read_flag()
-        assert pred == 0, "inter-RPS prediction not emitted by this encoder"
+        if pred:
+            assert prev_sets, "inter-RPS prediction without prior sets"
+            if slice_level:
+                delta_idx = r.read_ue() + 1
+            else:
+                delta_idx = 1
+            ref = prev_sets[len(prev_sets) - delta_idx]
+            sign = r.read_flag()
+            abs_delta = r.read_ue() + 1
+            delta_rps = (1 - 2 * sign) * abs_delta
+            ref_neg = sorted([d for d in ref.delta_pocs if d < 0],
+                             reverse=True)      # S0: -1, -2, ...
+            ref_pos = sorted([d for d in ref.delta_pocs if d > 0])
+            ref_used = {d: u for d, u in zip(ref.delta_pocs, ref.used)}
+            nref = len(ref_neg) + len(ref_pos)
+            used_by = []
+            use_delta = []
+            for _ in range(nref + 1):
+                ub = r.read_flag()
+                used_by.append(ub)
+                use_delta.append(r.read_flag() if not ub else 1)
+            # derivation (7-57..7-60): j indexes S0 first then S1
+            deltas, used = [], []
+            # S0 of the new set
+            for j in range(len(ref_pos) - 1, -1, -1):
+                dpoc = ref_pos[j] + delta_rps
+                if dpoc < 0 and use_delta[len(ref_neg) + j]:
+                    deltas.append(dpoc)
+                    used.append(used_by[len(ref_neg) + j])
+            if delta_rps < 0 and use_delta[nref]:
+                deltas.append(delta_rps)
+                used.append(used_by[nref])
+            for j in range(len(ref_neg)):
+                dpoc = ref_neg[j] + delta_rps
+                if dpoc < 0 and use_delta[j]:
+                    deltas.append(dpoc)
+                    used.append(used_by[j])
+            # S1
+            for j in range(len(ref_neg) - 1, -1, -1):
+                dpoc = ref_neg[j] + delta_rps
+                if dpoc > 0 and use_delta[j]:
+                    deltas.append(dpoc)
+                    used.append(used_by[j])
+            if delta_rps > 0 and use_delta[nref]:
+                deltas.append(delta_rps)
+                used.append(used_by[nref])
+            for j in range(len(ref_pos)):
+                dpoc = ref_pos[j] + delta_rps
+                if dpoc > 0 and use_delta[len(ref_neg) + j]:
+                    deltas.append(dpoc)
+                    used.append(used_by[len(ref_neg) + j])
+            return ShortTermRPS(deltas, used)
     n_neg = r.read_ue()
     n_pos = r.read_ue()
     deltas, used = [], []
@@ -226,7 +282,10 @@ def parse_sps(data: bytes) -> tuple[SeqParams, list[ShortTermRPS]]:
     sps.pcm_enabled = bool(r.read_flag())
     assert not sps.pcm_enabled
     n_rps = r.read_ue()
-    rps_list = [parse_st_rps(r, first=(i == 0)) for i in range(n_rps)]
+    rps_list: list = []
+    for i in range(n_rps):
+        rps_list.append(parse_st_rps(r, first=(i == 0),
+                                     prev_sets=rps_list))
     lt = r.read_flag()
     assert lt == 0
     sps.temporal_mvp_enabled = bool(r.read_flag())
@@ -311,6 +370,7 @@ def parse_pps(data: bytes) -> PicParams:
     pps.entropy_coding_sync = bool(r.read_flag())  # WPP
     pps.loop_filter_across_slices = bool(r.read_flag())
     pps.deblocking_control_present = bool(r.read_flag())
+    pps.deblocking_disabled = False  # spec default when not signaled
     if pps.deblocking_control_present:
         pps.deblocking_override_enabled = bool(r.read_flag())
         pps.deblocking_disabled = bool(r.read_flag())
@@ -344,6 +404,7 @@ class SliceHeader:
     num_ref_idx_l1: int = 0
     five_minus_max_num_merge_cand: int = 0
     collocated_from_l0: bool = True
+    collocated_ref_idx: int = 0
     temporal_id: int = 0
     entry_points: list | None = None  # WPP substream byte sizes
 
@@ -441,7 +502,8 @@ def parse_slice_header(
             hdr.rps_sps_idx = idx
             hdr.rps = sps_rps[idx]
         else:
-            hdr.rps = parse_st_rps(r, first=(len(sps_rps) == 0))
+            hdr.rps = parse_st_rps(r, first=(len(sps_rps) == 0),
+                                   prev_sets=sps_rps, slice_level=True)
         if sps.temporal_mvp_enabled:
             hdr.temporal_mvp = bool(r.read_flag())
     if sps.sao_enabled:
@@ -463,7 +525,7 @@ def parse_slice_header(
                 hdr.collocated_from_l0 = bool(r.read_flag())
             nrefs = hdr.num_ref_idx_l0 if hdr.collocated_from_l0 else hdr.num_ref_idx_l1
             if nrefs > 1:
-                r.read_ue()
+                hdr.collocated_ref_idx = r.read_ue()
         hdr.five_minus_max_num_merge_cand = r.read_ue()
     hdr.qp = pps.init_qp + r.read_se()
     if pps.deblocking_control_present and pps.deblocking_override_enabled:

@@ -51,9 +51,30 @@ class FrameSyntax:
     ref_idx_l1: np.ndarray = None
     mvp_flag_l1: np.ndarray = None
     sao: object = None             # codec.sao_enc.SaoPicParams, or None
+    # general-stream (foreign-encoder) features, per 4x4 luma cell; only
+    # populated by the decoder's parse. full_features flips when a
+    # feature outside this encoder's subset appears (NxN, TU split,
+    # transform skip, 64 intra CU) and routes recon to recon_full.
+    tu_log2: np.ndarray = None     # leaf luma TB log2 per 4-cell (-1 unset)
+    luma_mode4: np.ndarray = None  # intra mode per 4-cell (PU granularity)
+    ts_y: np.ndarray = None        # transform_skip per luma 4-cell
+    ts_cb: np.ndarray = None       # transform_skip per chroma 4-cell
+    ts_cr: np.ndarray = None
+    full_features: bool = False
 
     def __post_init__(self):
         h8, w8 = self.height // 8, self.width // 8
+        h4, w4 = self.height // 4, self.width // 4
+        if self.tu_log2 is None:
+            self.tu_log2 = np.full((h4, w4), -1, dtype=np.int8)
+        if self.luma_mode4 is None:
+            self.luma_mode4 = np.full((h4, w4), DC_MODE, dtype=np.int8)
+        if self.ts_y is None:
+            self.ts_y = np.zeros((h4, w4), dtype=np.int8)
+        if self.ts_cb is None:
+            self.ts_cb = np.zeros((h8, w8), dtype=np.int8)
+        if self.ts_cr is None:
+            self.ts_cr = np.zeros((h8, w8), dtype=np.int8)
         if self.cu_log2 is None:
             self.cu_log2 = np.full((h8, w8), 3, dtype=np.int32)
         if self.luma_mode is None:
@@ -111,6 +132,9 @@ class _SliceCoder:
         # B slices: L1 deltas (negative = future picture)
         self.num_ref_l1 = 0
         self.l1_pocs = []
+        # TMVP (decode side): collocated-picture motion + current POC
+        self.col = None
+        self.cur_poc = 0
         self.ctu = sps.ctu_size
         self.log2_ctu = sps.log2_ctu
         self.w = fs.width
@@ -140,17 +164,18 @@ class _SliceCoder:
         return CTX_OFFSET["split_cu_flag"] + c
 
     def neighbor_mode(self, x0: int, y0: int, left: bool) -> int:
-        """candIntraPredModeA/B with availability rules (§8.4.2)."""
+        """candIntraPredModeA/B with availability rules (§8.4.2), at PU
+        (4-sample) granularity so NxN partitions resolve correctly."""
         if left:
             if x0 == 0:
                 return DC_MODE
-            return int(self.fs.luma_mode[y0 // 8, (x0 - 1) // 8])
+            return int(self.fs.luma_mode4[y0 // 4, (x0 - 1) // 4])
         if y0 == 0:
             return DC_MODE
         # above outside this CTU row -> DC
         if (y0 - 1) < ((y0 >> self.log2_ctu) << self.log2_ctu):
             return DC_MODE
-        return int(self.fs.luma_mode[(y0 - 1) // 8, x0 // 8])
+        return int(self.fs.luma_mode4[(y0 - 1) // 4, x0 // 4])
 
     def mark_cu(self, x0: int, y0: int, log2: int, mode: int, cmode: int):
         s = 1 << (log2 - 3)
@@ -159,6 +184,14 @@ class _SliceCoder:
         self.fs.cu_log2[y8 : y8 + s, x8 : x8 + s] = log2
         self.fs.luma_mode[y8 : y8 + s, x8 : x8 + s] = mode
         self.fs.chroma_mode[y8 : y8 + s, x8 : x8 + s] = cmode
+        s4 = 1 << (log2 - 2)
+        y4, x4 = y0 // 4, x0 // 4
+        self.fs.luma_mode4[y4 : y4 + s4, x4 : x4 + s4] = mode
+
+    def mark_pu4(self, x0: int, y0: int, size: int, mode: int):
+        s4 = size // 4
+        self.fs.luma_mode4[y0 // 4 : y0 // 4 + s4,
+                           x0 // 4 : x0 // 4 + s4] = mode
 
     def chroma_actual_mode(self, cmode_syntax: int, luma_mode: int) -> int:
         """intra_chroma_pred_mode syntax -> actual mode (§7.4.9.6/Table 8-3)."""
@@ -448,10 +481,11 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
                       max_merge: int = 5, sao_luma: bool = False,
                       sao_chroma: bool = False, num_ref: int = 1,
                       ref_deltas=None, num_ref_l1: int = 0,
-                      l1_deltas=None) -> FrameSyntax:
+                      l1_deltas=None, col=None) -> FrameSyntax:
     fs = FrameSyntax(width, height)
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
                      ref_deltas)
+    sc.col = col
     if num_ref_l1:
         sc.num_ref_l1 = num_ref_l1
         sc.l1_pocs = [-d for d in l1_deltas]
@@ -497,83 +531,168 @@ def _dec_quadtree(dec, sc, x0, y0, log2, depth):
         _dec_cu_p(dec, sc, x0, y0, log2)
 
 
-def _dec_cu(dec, sc, x0, y0, log2):
-    sps = sc.sps
-    if log2 == sps.log2_min_cu:
-        part = dec.decode_bin(CTX_OFFSET["part_mode"])
-        assert part == 1, "NxN partitions not yet supported"
+def _dec_luma_mode(dec, sc, x0, y0, prev_flag):
     cand = intra_mpm_list(sc.neighbor_mode(x0, y0, True),
                           sc.neighbor_mode(x0, y0, False))
-    if dec.decode_bin(CTX_OFFSET["prev_intra_luma_pred_flag"]):
+    if prev_flag:
         idx = 0
         if dec.decode_bin_ep():
             idx = 1 + dec.decode_bin_ep()
-        mode = cand[idx]
-    else:
-        rem = dec.decode_bins_ep(5)
-        for c in sorted(cand):
-            if rem >= c:
-                rem += 1
-        mode = rem
+        return cand[idx]
+    rem = dec.decode_bins_ep(5)
+    for c in sorted(cand):
+        if rem >= c:
+            rem += 1
+    return rem
+
+
+def _dec_cu(dec, sc, x0, y0, log2):
+    sps = sc.sps
+    nxn = False
+    if log2 == sps.log2_min_cu:
+        part = dec.decode_bin(CTX_OFFSET["part_mode"])
+        nxn = part == 0
+    if not nxn:
+        mode = _dec_luma_mode(
+            dec, sc, x0, y0,
+            dec.decode_bin(CTX_OFFSET["prev_intra_luma_pred_flag"]))
+        if dec.decode_bin(CTX_OFFSET["intra_chroma_pred_mode"]):
+            cmode = dec.decode_bins_ep(2)
+        else:
+            cmode = 4
+        sc.mark_cu(x0, y0, log2, mode, cmode)
+        _dec_transform_tree(dec, sc, x0, y0, log2, 0, mode, cmode,
+                            True, True)
+        return
+    # NxN: 4 luma PUs (prev flags first, then idx/rem per PU — §7.3.8.5)
+    sc.fs.full_features = True
+    half = 1 << (log2 - 1)
+    offs = [(0, 0), (half, 0), (0, half), (half, half)]
+    flags = [dec.decode_bin(CTX_OFFSET["prev_intra_luma_pred_flag"])
+             for _ in range(4)]
+    modes = []
+    for (dx, dy), fl in zip(offs, flags):
+        m = _dec_luma_mode(dec, sc, x0 + dx, y0 + dy, fl)
+        sc.mark_pu4(x0 + dx, y0 + dy, half, m)
+        modes.append(m)
     if dec.decode_bin(CTX_OFFSET["intra_chroma_pred_mode"]):
         cmode = dec.decode_bins_ep(2)
     else:
         cmode = 4
-    sc.mark_cu(x0, y0, log2, mode, cmode)
-    _dec_transform_tree(dec, sc, x0, y0, log2, 0, mode, cmode, True, True)
+    sc.mark_cu(x0, y0, log2, modes[0], cmode)
+    for (dx, dy), m in zip(offs, modes):
+        sc.mark_pu4(x0 + dx, y0 + dy, half, m)
+    # IntraSplit: depth-0 split inferred (§7.4.9.8), luma mode per quadrant
+    _dec_transform_tree(dec, sc, x0, y0, log2, 0, modes[0], cmode,
+                        True, True, intra_split=True, pu_modes=modes)
 
 
 def _dec_transform_tree(dec, sc, x0, y0, log2, depth, mode, cmode,
-                        parent_cb, parent_cr):
+                        parent_cb, parent_cr, intra_split=False,
+                        pu_modes=None, cu_x0=None, cu_y0=None):
+    """§7.3.8.8 transform_tree (intra). Handles IntraSplit (NxN),
+    MaxTrafoDepth, the 4x4-split chroma-at-parent rule, and records leaf
+    TBs into fs.tu_log2 for the general reconstruction."""
     sps = sc.sps
-    explicit = (
-        log2 <= sps.log2_max_tu and log2 > sps.log2_min_tu
-        and depth < sps.max_tu_depth_intra
-    )
-    if explicit:
-        split = dec.decode_bin(CTX_OFFSET["split_transform_flag"] + (5 - log2))
+    fs = sc.fs
+    if cu_x0 is None:
+        cu_x0, cu_y0 = x0, y0
+    max_depth = sps.max_tu_depth_intra + (1 if intra_split else 0)
+    if intra_split and depth == 0:
+        split = 1
+    elif log2 > sps.log2_max_tu:
+        split = 1
+    elif log2 <= sps.log2_min_tu or depth >= max_depth:
+        split = 0
     else:
-        split = 1 if log2 > sps.log2_max_tu else 0
+        split = dec.decode_bin(CTX_OFFSET["split_transform_flag"]
+                               + (5 - log2))
     cbf_cb = cbf_cr = False
     if log2 > 2:
         if parent_cb:
             cbf_cb = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + 5 + depth))
         if parent_cr:
             cbf_cr = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + 5 + depth))
+    else:
+        cbf_cb, cbf_cr = parent_cb, parent_cr
     if split:
+        if depth > 0 or not intra_split:
+            fs.full_features = True  # a real TU split (not TU = CU)
         half = 1 << (log2 - 1)
         for sy in (0, half):
             for sx in (0, half):
+                sub_mode = mode
+                if pu_modes is not None and depth == 0:
+                    sub_mode = pu_modes[(1 if sy else 0) * 2
+                                        + (1 if sx else 0)]
                 _dec_transform_tree(dec, sc, x0 + sx, y0 + sy, log2 - 1,
-                                    depth + 1, mode, cmode, cbf_cb, cbf_cr)
+                                    depth + 1, sub_mode, cmode, cbf_cb,
+                                    cbf_cr, intra_split, pu_modes,
+                                    cu_x0, cu_y0)
+        if log2 == 3 and (cbf_cb or cbf_cr):
+            # chroma residual of the split 8x8 node lives at this level
+            _dec_chroma_tu(dec, sc, x0, y0, 2, mode, cmode, cbf_cb,
+                           cbf_cr, cu_x0, cu_y0)
         return
-    cbf_y = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + (1 if depth == 0 else 0)))
+    s4 = 1 << (log2 - 2)
+    fs.tu_log2[y0 // 4 : y0 // 4 + s4, x0 // 4 : x0 // 4 + s4] = log2
+    if log2 == 6:
+        fs.full_features = True
+    cbf_y = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"]
+                                + (1 if depth == 0 else 0)))
     _dec_transform_unit(dec, sc, x0, y0, log2, depth, mode, cmode,
-                        cbf_y, cbf_cb, cbf_cr)
+                        cbf_y, cbf_cb, cbf_cr, cu_x0, cu_y0)
+
+
+def _dec_ts_flag(dec, comp_c=False):
+    return dec.decode_bin(CTX_OFFSET["transform_skip_flag"]
+                          + (1 if comp_c else 0))
+
+
+def _dec_chroma_tu(dec, sc, x0, y0, clog2, mode, cmode, cbf_cb, cbf_cr,
+                   cu_x0, cu_y0):
+    """Chroma residual blocks for a TU node (luma coords x0,y0)."""
+    fs, pps = sc.fs, sc.pps
+    cs = 1 << clog2
+    cx, cy2 = x0 // 2, y0 // 2
+    # DM chroma of an NxN CU follows PU0's mode (§8.4.3)
+    lm = int(fs.luma_mode4[cu_y0 // 4, cu_x0 // 4])
+    actual_cmode = sc.chroma_actual_mode(cmode, lm)
+    cscan = intra_scan_idx(actual_cmode, clog2, False)
+    ts_ok = pps.transform_skip_enabled and clog2 == 2
+    if cbf_cb:
+        if ts_ok and _dec_ts_flag(dec, True):
+            fs.ts_cb[cy2 // 4, cx // 4] = 1
+            fs.full_features = True
+        fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
+            dec, clog2, False, cscan, pps.sign_data_hiding)
+    if cbf_cr:
+        if ts_ok and _dec_ts_flag(dec, True):
+            fs.ts_cr[cy2 // 4, cx // 4] = 1
+            fs.full_features = True
+        fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
+            dec, clog2, False, cscan, pps.sign_data_hiding)
 
 
 def _dec_transform_unit(dec, sc, x0, y0, log2, depth, mode, cmode,
-                        cbf_y, cbf_cb, cbf_cr):
+                        cbf_y, cbf_cb, cbf_cr, cu_x0=None, cu_y0=None):
     fs, pps = sc.fs, sc.pps
+    if cu_x0 is None:
+        cu_x0, cu_y0 = x0, y0
     s = 1 << log2
     if not (cbf_y or cbf_cb or cbf_cr):
         return
     if cbf_y:
+        if pps.transform_skip_enabled and log2 == 2 \
+                and _dec_ts_flag(dec, False):
+            fs.ts_y[y0 // 4, x0 // 4] = 1
+            fs.full_features = True
         scan = intra_scan_idx(mode, log2, True)
         fs.coeff_y[y0 : y0 + s, x0 : x0 + s] = decode_residual(
             dec, log2, True, scan, pps.sign_data_hiding)
     if log2 > 2:
-        clog2 = log2 - 1
-        cs = 1 << clog2
-        cx, cy2 = x0 // 2, y0 // 2
-        actual_cmode = sc.chroma_actual_mode(cmode, mode)
-        cscan = intra_scan_idx(actual_cmode, clog2, False)
-        if cbf_cb:
-            fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
-                dec, clog2, False, cscan, pps.sign_data_hiding)
-        if cbf_cr:
-            fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
-                dec, clog2, False, cscan, pps.sign_data_hiding)
+        _dec_chroma_tu(dec, sc, x0, y0, log2 - 1, mode, cmode, cbf_cb,
+                       cbf_cr, cu_x0, cu_y0)
 
 
 # --- inter (P slice) CU coding ----------------------------------------------
@@ -768,7 +887,10 @@ def _dec_cu_p(dec, sc, x0, y0, log2):
     if skip:
         merge_i = _dec_merge_idx(dec, sc.max_merge)
         cands = merge_candidates(sc.mvfield, sc.order, x0, y0, size,
-                                 sc.max_merge, sc.num_ref)
+                                 sc.max_merge, sc.num_ref, col=sc.col,
+                                 ref_pocs=sc.ref_pocs, cur_poc=sc.cur_poc,
+                                 pic_w=sc.w, pic_h=sc.h,
+                                 log2_ctu=sc.log2_ctu)
         mv = np.array(cands[merge_i][:2], dtype=np.int32)
         _mark_inter_cu(sc, x0, y0, log2, mv, 1, 1, merge_i, 0, (0, 0),
                        cands[merge_i][2])
@@ -789,7 +911,10 @@ def _dec_cu_p(dec, sc, x0, y0, log2):
     if merge_f:
         merge_i = _dec_merge_idx(dec, sc.max_merge)
         cands = merge_candidates(sc.mvfield, sc.order, x0, y0, size,
-                                 sc.max_merge, sc.num_ref)
+                                 sc.max_merge, sc.num_ref, col=sc.col,
+                                 ref_pocs=sc.ref_pocs, cur_poc=sc.cur_poc,
+                                 pic_w=sc.w, pic_h=sc.h,
+                                 log2_ctu=sc.log2_ctu)
         mv = np.array(cands[merge_i][:2], dtype=np.int32)
         ref = cands[merge_i][2]
     else:
@@ -797,7 +922,9 @@ def _dec_cu_p(dec, sc, x0, y0, log2):
         mvd = np.array(_dec_mvd(dec), dtype=np.int32)
         mvp_f = dec.decode_bin(CTX_OFFSET["mvp_flag"])
         cands = amvp_candidates(sc.mvfield, sc.order, x0, y0, size, ref,
-                                sc.ref_pocs, 0)
+                                sc.ref_pocs, sc.cur_poc, col=sc.col,
+                                pic_w=sc.w, pic_h=sc.h,
+                                log2_ctu=sc.log2_ctu)
         mv = mvd + np.array(cands[mvp_f], dtype=np.int32)
     _mark_inter_cu(sc, x0, y0, log2, mv, 0, merge_f, merge_i, mvp_f, mvd,
                    ref)
@@ -1133,12 +1260,14 @@ def decode_slice_data_wpp(payload: bytes, entry_points: list[int],
                           slice_type: int = I_SLICE, max_merge: int = 5,
                           sao_luma: bool = False, sao_chroma: bool = False,
                           num_ref: int = 1, ref_deltas=None,
-                          num_ref_l1: int = 0, l1_deltas=None) -> FrameSyntax:
+                          num_ref_l1: int = 0, l1_deltas=None,
+                          col=None) -> FrameSyntax:
     from .cabac import CabacDecoder, ContextSet
 
     fs = FrameSyntax(width, height)
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
                      ref_deltas)
+    sc.col = col
     if num_ref_l1:
         sc.num_ref_l1 = num_ref_l1
         sc.l1_pocs = [-d for d in l1_deltas]

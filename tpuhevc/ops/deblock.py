@@ -33,14 +33,22 @@ BETA_TABLE = np.array(
 def _edge_columns(fs, axis: int) -> np.ndarray:
     """(h8, w8) bool: True where a block edge starts at this cell's
     left (axis=0, vertical edges) / top (axis=1, horizontal edges).
-    Block edges = TU edges (TU = min(CU, 32), so a 64 CU also has its
-    internal 32-grid edges); PU edges coincide with CU edges (2Nx2N)."""
+    Block edges = TU edges. For this encoder's streams TU = min(CU, 32);
+    general (foreign) streams carry the parsed RQT leaves in fs.tu_log2
+    (4-cell granularity; the deblock grid itself stays 8-aligned, so a
+    cell whose TU is 4x4 always starts an edge)."""
     cu = np.minimum(fs.cu_log2, 5)
     h8, w8 = cu.shape
     y8, x8 = np.mgrid[0:h8, 0:w8]
+    if fs.tu_log2 is not None and (fs.tu_log2 >= 0).any():
+        tl = fs.tu_log2[::2, ::2].astype(np.int64)  # cell's top-left 4x4
+        tl = np.where(tl < 0, cu, tl)
+        tsz = np.int64(1) << tl
+    else:
+        tsz = np.int64(1) << cu
     if axis == 0:
-        return ((x8 * 8) % (1 << cu)) == 0
-    return ((y8 * 8) % (1 << cu)) == 0
+        return ((x8 * 8) % tsz) == 0
+    return ((y8 * 8) % tsz) == 0
 
 
 def _cell_cbf(fs) -> np.ndarray:
