@@ -53,7 +53,9 @@ def run_hm(yuv: str, w: int, h: int, n: int, qp: int, fr: int = 50,
         out = os.path.join(td, "str.bin")
         cmd = [enc, "-c", cfg, "-i", yuv, "-wdt", str(w), "-hgt", str(h),
                "-f", str(n), "-fr", str(fr), "-q", str(qp), "-b", out,
-               "--ConformanceWindowMode=1", "--Level=4.1"]
+               "--ConformanceWindowMode=1", "--Level=4.1",
+               "--SEIDecodedPictureHash=1"]  # ours always carries the
+               # hash SEI (the conformance oracle); compare like for like
         # the fork's encmain has a trailing getchar() (SURVEY.md §A.4.1)
         r = subprocess.run(cmd, input=b"\n", capture_output=True,
                            timeout=3600)

@@ -136,6 +136,11 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                     y, u, v = reconstruct_frame_b(
                         fs, sps, hdr.qp, ref_list(deltas),
                         ref_list(l1_deltas))
+                elif fs.full_features:
+                    from .recon_full import reconstruct_frame_p_full
+
+                    y, u, v = reconstruct_frame_p_full(fs, sps, hdr.qp,
+                                                       ref_list(deltas))
                 else:
                     from .inter_enc import reconstruct_frame_p
 

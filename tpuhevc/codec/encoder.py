@@ -59,6 +59,14 @@ class Encoder:
         self.dpb_recon = None  # previous frame recon (single-ref LD-P)
         self._nn_cache: dict = {}
         self.nn_params = self._nn_for_qp(cfg.qp)
+        # steady-state LD-P RPS published in the SPS; slices reference it
+        # by index (TEncCavlc SPS RPS list) instead of re-coding it
+        if cfg.intra_period == -1 and cfg.gop_structure == "ldp":
+            n = max(1, cfg.num_ref_frames)
+            self._sps_rps = [headers.ShortTermRPS(
+                [-(i + 1) for i in range(n)], [1] * n)]
+        else:
+            self._sps_rps = []
 
     def _slice_type(self, poc: int) -> int:
         ip = self.cfg.intra_period
@@ -99,7 +107,8 @@ class Encoder:
         t0 = time.time()
         if not self._wrote_ps:
             self._emit(bitio.make_nal(bitio.NAL_VPS, headers.write_vps(sps)))
-            self._emit(bitio.make_nal(bitio.NAL_SPS, headers.write_sps(sps)))
+            self._emit(bitio.make_nal(
+                bitio.NAL_SPS, headers.write_sps(sps, self._sps_rps or None)))
             self._emit(bitio.make_nal(bitio.NAL_PPS, headers.write_pps(pps)))
             self._wrote_ps = True
 
@@ -188,6 +197,13 @@ class Encoder:
         if fs.sao is not None:
             hdr.sao_luma = fs.sao.luma_on
             hdr.sao_chroma = fs.sao.chroma_on
+        if (stype != I_SLICE and getattr(self, "_sps_rps", None)
+                and hdr.rps is not None):
+            for i, r in enumerate(self._sps_rps):
+                if (r.delta_pocs == hdr.rps.delta_pocs
+                        and r.used == hdr.rps.used):
+                    hdr.rps_sps_idx = i
+                    break
         n_ref_slice = hdr.num_ref_idx_l0 if stype != I_SLICE else 1
         n_ref_l1 = hdr.num_ref_idx_l1 if stype == B_SLICE else 0
         l0d = l1d = None
@@ -202,11 +218,13 @@ class Encoder:
                 num_ref=n_ref_slice, ref_deltas=l0d,
                 num_ref_l1=n_ref_l1, l1_deltas=l1d)
             hdr.entry_points = [len(s) for s in subs[:-1]]
-            w = headers.write_slice_header(hdr, sps, pps)
+            w = headers.write_slice_header(
+                hdr, sps, pps, num_sps_rps=len(getattr(self, "_sps_rps", [])))
             for s in subs:
                 w.write_bytes(s)
         else:
-            w = headers.write_slice_header(hdr, sps, pps)
+            w = headers.write_slice_header(
+                hdr, sps, pps, num_sps_rps=len(getattr(self, "_sps_rps", [])))
             has_intra_cu = (stype != I_SLICE
                             and bool((fs.inter_dir == 0).any()))
             payload = (None if fs.sao is not None or stype == B_SLICE

@@ -99,6 +99,12 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent XLA cache: the scan graph is large, compile once
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from ..models import nnfme
     from ..ops import transforms as tx
     from ..ops.interp import CHROMA_TAPS, LUMA_TAPS
@@ -843,6 +849,20 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         mp = jnp.pad(m, ((0, ny * ctu - hh), (0, nx * ctu - ww)))
         return tile_sum(mp, ctu)
 
+    def _cls_hist(cls, diff, ncls, ctu, hh, ww, ny, nx):
+        """One-hot class histogram + diff sums per CTU in two einsum
+        reductions instead of ncls masked tile-sum passes."""
+        oh = (cls[..., None] == jnp.arange(ncls)[None, None]).astype(
+            jnp.float32)
+        ohp = jnp.pad(oh, ((0, ny * ctu - hh), (0, nx * ctu - ww),
+                           (0, 0)))
+        dp = jnp.pad(diff, ((0, ny * ctu - hh), (0, nx * ctu - ww)))
+        oh4 = ohp.reshape(ny, ctu, nx, ctu, ncls)
+        cnt = oh4.sum((1, 3))
+        sm = jnp.einsum("abcde,abcd->ace", oh4,
+                        dp.reshape(ny, ctu, nx, ctu))
+        return cnt, sm
+
     def _sao_stats(org, rec, ctu):
         hh, ww = rec.shape
         ny = (hh + ctu - 1) // ctu
@@ -851,25 +871,15 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         eo_cnt, eo_sum = [], []
         for klass in range(4):
             cat, valid = _eo_cat(rec, klass)
-            cs, ss = [], []
-            for c in range(1, 5):
-                m = (cat == c) & valid
-                cs.append(_ctu_sum(m.astype(jnp.float32), ctu, hh, ww,
-                                   ny, nx))
-                ss.append(_ctu_sum(jnp.where(m, diff, 0.0), ctu, hh, ww,
-                                   ny, nx))
-            eo_cnt.append(jnp.stack(cs, -1))
-            eo_sum.append(jnp.stack(ss, -1))
+            cls = jnp.where(valid, cat, 0)  # cat 0 never coded
+            cnt, sm = _cls_hist(cls, diff, 5, ctu, hh, ww, ny, nx)
+            eo_cnt.append(cnt[..., 1:])
+            eo_sum.append(sm[..., 1:])
         eo_cnt = jnp.stack(eo_cnt, -2)  # (ny, nx, 4, 4)
         eo_sum = jnp.stack(eo_sum, -2)
         band = rec >> (bd - 5)
-        bc, bs_ = [], []
-        for b in range(32):
-            m = band == b
-            bc.append(_ctu_sum(m.astype(jnp.float32), ctu, hh, ww, ny, nx))
-            bs_.append(_ctu_sum(jnp.where(m, diff, 0.0), ctu, hh, ww,
-                                ny, nx))
-        return (eo_cnt, eo_sum, jnp.stack(bc, -1), jnp.stack(bs_, -1))
+        bc, bs_ = _cls_hist(band, diff, 32, ctu, hh, ww, ny, nx)
+        return (eo_cnt, eo_sum, bc, bs_)
 
     def _best_eo(cnt, s, lam_f, sign):
         """(ny, nx) count/sum for one class+cat -> (offset, cost)."""
@@ -1038,48 +1048,47 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         # jump-flood schedule: HM's raster wavefront propagates a good MV
         # across the whole frame within one picture (each CU merges from
         # already-decided neighbors); log-distance passes give the same
-        # reach in O(log n) batched steps instead of a sequential walk
-        sweeps = []
+        # reach in O(log n) batched steps. Rolled into one lax.scan body
+        # (dynamic shift distances) so the graph holds TWO sweep bodies,
+        # not 2*log2(n) — compile time and step latency both depend on it.
         if _TUNE["sweep"]:
-            d = 1
-            while d < max(nbh, nbw):
-                sweeps += [(1, d, tabs["midx"][0]), (0, d, tabs["midx"][1])]
-                d *= 2
-            sweeps += [(1, 1, tabs["midx"][0]), (0, 1, tabs["midx"][1]),
-                       (1, 1, tabs["midx"][0]), (0, 1, tabs["midx"][1])]
-        for axis, d, mb in sweeps:
-            if axis == 1:
-                if d >= nbw:
-                    continue
-                mvc = jnp.concatenate(
-                    [jnp.repeat(mv_grid[:, :1], d, 1), mv_grid[:, :-d]], 1)
-                refc = jnp.concatenate(
-                    [jnp.repeat(ref_grid[:, :1], d, 1), ref_grid[:, :-d]],
-                    1)
-                edge = jnp.asarray(
-                    (np.arange(nbw) < d)[None].repeat(nbh, 0))
-            else:
-                if d >= nbh:
-                    continue
-                mvc = jnp.concatenate(
-                    [jnp.repeat(mv_grid[:1], d, 0), mv_grid[:-d]], 0)
-                refc = jnp.concatenate(
-                    [jnp.repeat(ref_grid[:1], d, 0), ref_grid[:-d]], 0)
-                edge = jnp.asarray(
-                    (np.arange(nbh) < d)[:, None].repeat(nbw, 1))
-            satc = pred_satd_z(planes_y, oy_c, mvc, refc, S, Hp, Wp,
-                               qp, lam_me_f)
-            dmv = jnp.minimum(jnp.abs(mv_grid - mvc), 4095)
-            keep_b = (mvd_lut[dmv[..., 0]] + mvd_lut[dmv[..., 1]]
-                      + ref_lut[ref_grid] + tabs["mf0"] + tabs["mvp"])
-            keep_b = jnp.where(merged, tabs["mf1"] + midx_b, keep_b)
-            adopt = (satc + lam_me_f * (tabs["mf1"] + mb)
-                     <= sat0 + lam_me_f * keep_b) & ~edge
-            mv_grid = jnp.where(adopt[..., None], mvc, mv_grid)
-            ref_grid = jnp.where(adopt, refc, ref_grid)
-            sat0 = jnp.where(adopt, satc, sat0)
-            merged = merged | adopt
-            midx_b = jnp.where(adopt, jnp.float32(mb), midx_b)
+            # sparse jump schedule: reach ~21 blocks/frame; the temporal
+            # seed carries converged MVs across frames, so full single-
+            # frame reach is not worth 2x the sweep passes
+            dists = [d for d in (1, 4, 16) if d < max(nbh, nbw)] + [1]
+            mb0 = jnp.float32(tabs["midx"][0])
+            mb1 = jnp.float32(tabs["midx"][1])
+
+            def sweep_pair(carry, dist):
+                mv_g, ref_g, s0, mrg, mib = carry
+                for axis, mb in ((1, mb0), (0, mb1)):
+                    mvc = jnp.roll(mv_g, dist, axis=axis)
+                    refc = jnp.roll(ref_g, dist, axis=axis)
+                    if axis == 1:
+                        edge = jnp.arange(nbw)[None] < dist
+                        edge = jnp.broadcast_to(edge, (nbh, nbw))
+                    else:
+                        edge = jnp.arange(nbh)[:, None] < dist
+                        edge = jnp.broadcast_to(edge, (nbh, nbw))
+                    satc = pred_satd_z(planes_y, oy_c, mvc, refc, S, Hp,
+                                       Wp, qp, lam_me_f)
+                    dmv = jnp.minimum(jnp.abs(mv_g - mvc), 4095)
+                    keep_b = (mvd_lut[dmv[..., 0]] + mvd_lut[dmv[..., 1]]
+                              + ref_lut[ref_g] + tabs["mf0"]
+                              + tabs["mvp"])
+                    keep_b = jnp.where(mrg, tabs["mf1"] + mib, keep_b)
+                    adopt = (satc + lam_me_f * (tabs["mf1"] + mb)
+                             <= s0 + lam_me_f * keep_b) & ~edge
+                    mv_g = jnp.where(adopt[..., None], mvc, mv_g)
+                    ref_g = jnp.where(adopt, refc, ref_g)
+                    s0 = jnp.where(adopt, satc, s0)
+                    mrg = mrg | adopt
+                    mib = jnp.where(adopt, mb, mib)
+                return (mv_g, ref_g, s0, mrg, mib), None
+
+            (mv_grid, ref_grid, sat0, merged, midx_b), _ = jax.lax.scan(
+                sweep_pair, (mv_grid, ref_grid, sat0, merged, midx_b),
+                jnp.asarray(dists, jnp.int32))
         # final mode bits (non-skip CU): pred_mode + part + merge/amvp
         left_mv = jnp.concatenate([mv_grid[:, :1], mv_grid[:, :-1]], 1)
         top_mv = jnp.concatenate([mv_grid[:1], mv_grid[:-1]], 0)
@@ -1234,81 +1243,104 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         ouv = jnp.concatenate([ou, ov], axis=1).astype(jnp.int32)
 
         # --- ME over every L0 reference; per-block best ref by cost ----
+        # ref 0 gets the full candidate set (coarse + zero + global +
+        # temporal seed); refs 1..R-1 run one scaled-coarse grid each
+        # inside a lax.scan so the traced graph holds ONE extra-ref body
+        # instead of R-1 copies (compile time).
         oy2 = tile_sum(oy, 2).astype(jnp.int16)
-        m8, m16, m32 = [], [], []
-        cx16 = cy16 = cx32 = cy32 = None
-        gcand = None
-        for r in range(R):
-            ryr = ry_stack[r]
-            if r == 0:
-                ry2p = jnp.pad(tile_sum(ryr, 2).astype(jnp.int16), R2,
-                               mode="edge")
-                s16c, sum16c = coarse_stack(oy2, ry2p)
-                cx16, cy16 = pick_coarse(s16c, sum16c, qp, lam_me,
-                                         nh16, nw16, 1)
-                if has32:
-                    cx32, cy32 = pick_coarse(s16c, sum16c, qp, lam_me,
-                                             nh32, nw32, 2)
-                # frame-global dominant motion: coarse offset minimizing
-                # the total (DC-aware) SAD — refine evaluates it per
-                # block so a frame-wide translation needs no propagation
-                gtot = s16c
-                if zme:
-                    gtot = _zc(s16c, sum16c,
-                               _dcc(qp, 16 * 16, lam_me))
-                gi = jnp.argmin(gtot.sum((1, 2)))
-                gcand = (gi % nc - R2, gi // nc - R2)
-            sc = r + 1
-            cxr = jnp.clip(cx16 * sc, -R2, R2)
-            cyr = jnp.clip(cy16 * sc, -R2, R2)
-            gc = gcand if r == 0 else None
-            tseed = None
-            if r == 0:
-                tx_ = jnp.clip(mv16p[:, 0], -sr, sr).reshape(nh16, nw16)
-                ty_ = jnp.clip(mv16p[:, 1], -sr, sr).reshape(nh16, nw16)
-                tseed = (tx_, ty_)
-            m16.append(refine(ryr, oy, cxr, cyr, 16, nh16, nw16, qp,
-                              lam_me, with_zero=(r == 0), global_c=gc,
-                              extra_c=tseed))
-            if _TUNE["enable8"]:
-                # 8-blocks refine around the parent 16's coarse center
-                cx8 = jnp.repeat(jnp.repeat(cxr.reshape(nh16, nw16), 2, 0),
-                                 2, 1)
-                cy8 = jnp.repeat(jnp.repeat(cyr.reshape(nh16, nw16), 2, 0),
-                                 2, 1)
-                ts8 = None
-                if tseed is not None:
-                    ts8 = (jnp.repeat(jnp.repeat(tseed[0], 2, 0), 2, 1),
-                           jnp.repeat(jnp.repeat(tseed[1], 2, 0), 2, 1))
-                m8.append(refine(ryr, oy, cx8, cy8, 8, nh8, nw8, qp,
-                                 lam_me, with_zero=(r == 0), global_c=gc,
-                                 extra_c=ts8))
-            if has32:
-                cxr32 = jnp.clip(cx32 * sc, -R2, R2)
-                cyr32 = jnp.clip(cy32 * sc, -R2, R2)
-                ts32 = None
-                if tseed is not None:
-                    ts32 = (tseed[0][: nh32 * 2 : 2, : nw32 * 2 : 2],
-                            tseed[1][: nh32 * 2 : 2, : nw32 * 2 : 2])
-                m32.append(refine(ryr, oy, cxr32, cyr32, 32, nh32, nw32,
-                                  qp, lam_me, with_zero=(r == 0),
-                                  global_c=gc, extra_c=ts32))
+        ry0 = ry_stack[0]
+        ry2p = jnp.pad(tile_sum(ry0, 2).astype(jnp.int16), R2,
+                       mode="edge")
+        s16c, sum16c = coarse_stack(oy2, ry2p)
+        cx16, cy16 = pick_coarse(s16c, sum16c, qp, lam_me, nh16, nw16, 1)
+        cx32 = cy32 = None
+        if has32:
+            cx32, cy32 = pick_coarse(s16c, sum16c, qp, lam_me,
+                                     nh32, nw32, 2)
+        gtot = s16c
+        if zme:
+            gtot = _zc(s16c, sum16c, _dcc(qp, 16 * 16, lam_me))
+        gi = jnp.argmin(gtot.sum((1, 2)))
+        gcand = (gi % nc - R2, gi // nc - R2)
+        tx_ = jnp.clip(mv16p[:, 0], -sr, sr).reshape(nh16, nw16)
+        ty_ = jnp.clip(mv16p[:, 1], -sr, sr).reshape(nh16, nw16)
+        tseed = (tx_, ty_)
 
-        def pick_ref(ms):
-            if R == 1:
-                mv, sad9, _ = ms[0]
-                return mv, sad9, jnp.zeros(mv.shape[0], jnp.int32)
-            cost = jnp.stack([m[2] + ((_REF_BITS[r] * lam_me) >> 8)
-                              for r, m in enumerate(ms)], axis=1)
-            mask = jnp.arange(R)[None] >= navail
-            cost = jnp.where(mask, jnp.int32(1 << 30), cost)
-            refi = jnp.argmin(cost, axis=1).astype(jnp.int32)
-            mv = jnp.stack([m[0] for m in ms], 1)
-            sad9 = jnp.stack([m[1] for m in ms], 1)
-            mv = jnp.take_along_axis(mv, refi[:, None, None].repeat(2, 2),
-                                     1)[:, 0]
-            sad9 = jnp.take_along_axis(
-                sad9, refi[:, None, None].repeat(9, 2), 1)[:, 0]
+        def ref0_class(S, nbh_, nbw_, cxr, cyr, ts):
+            return refine(ry0, oy, cxr, cyr, S, nbh_, nbw_, qp, lam_me,
+                          with_zero=True, global_c=gcand, extra_c=ts)
+
+        m16_0 = ref0_class(16, nh16, nw16, cx16, cy16, tseed)
+        if _TUNE["enable8"]:
+            cx8 = jnp.repeat(jnp.repeat(cx16.reshape(nh16, nw16), 2, 0),
+                             2, 1)
+            cy8 = jnp.repeat(jnp.repeat(cy16.reshape(nh16, nw16), 2, 0),
+                             2, 1)
+            ts8 = (jnp.repeat(jnp.repeat(tseed[0], 2, 0), 2, 1),
+                   jnp.repeat(jnp.repeat(tseed[1], 2, 0), 2, 1))
+            m8_0 = ref0_class(8, nh8, nw8, cx8, cy8, ts8)
+        if has32:
+            ts32 = (tseed[0][: nh32 * 2 : 2, : nw32 * 2 : 2],
+                    tseed[1][: nh32 * 2 : 2, : nw32 * 2 : 2])
+            m32_0 = ref0_class(32, nh32, nw32, cx32, cy32, ts32)
+
+        def acc_init(m, r0_bits):
+            mv, sad9, cost = m
+            return (cost + ((r0_bits * lam_me) >> 8) if R > 1 else cost,
+                    mv, sad9, jnp.zeros(mv.shape[0], jnp.int32))
+
+        acc16 = acc_init(m16_0, _REF_BITS[0])
+        acc8 = acc_init(m8_0, _REF_BITS[0]) if _TUNE["enable8"] else None
+        acc32 = acc_init(m32_0, _REF_BITS[0]) if has32 else None
+
+        if R > 1:
+            scales = jnp.arange(2, R + 1, dtype=jnp.int32)
+            rbits = jnp.asarray([_REF_BITS[r] for r in range(1, R)],
+                                jnp.int32)
+            ridxs = jnp.arange(1, R, dtype=jnp.int32)
+
+            def merge_acc(acc, m, rb, ridx):
+                cost0, mv0, sad0, ref0_ = acc
+                mv, sad9, cost = m
+                cost = cost + ((rb * lam_me) >> 8)
+                cost = jnp.where(ridx < navail, cost, jnp.int32(1 << 30))
+                take = cost < cost0
+                return (jnp.where(take, cost, cost0),
+                        jnp.where(take[:, None], mv, mv0),
+                        jnp.where(take[:, None], sad9, sad0),
+                        jnp.where(take, ridx, ref0_))
+
+            def ref_body(carry, xs):
+                a16, a8, a32 = carry
+                ryr, sc_, rb, ridx = xs
+                cxr = jnp.clip(cx16 * sc_, -R2, R2)
+                cyr = jnp.clip(cy16 * sc_, -R2, R2)
+                a16 = merge_acc(a16, refine(ryr, oy, cxr, cyr, 16, nh16,
+                                            nw16, qp, lam_me,
+                                            with_zero=False), rb, ridx)
+                if _TUNE["enable8"]:
+                    cx8_ = jnp.repeat(jnp.repeat(
+                        cxr.reshape(nh16, nw16), 2, 0), 2, 1)
+                    cy8_ = jnp.repeat(jnp.repeat(
+                        cyr.reshape(nh16, nw16), 2, 0), 2, 1)
+                    a8 = merge_acc(a8, refine(ryr, oy, cx8_, cy8_, 8,
+                                              nh8, nw8, qp, lam_me,
+                                              with_zero=False), rb, ridx)
+                if has32:
+                    cxr32 = jnp.clip(cx32 * sc_, -R2, R2)
+                    cyr32 = jnp.clip(cy32 * sc_, -R2, R2)
+                    a32 = merge_acc(a32, refine(ryr, oy, cxr32, cyr32, 32,
+                                                nh32, nw32, qp, lam_me,
+                                                with_zero=False), rb,
+                                    ridx)
+                return (a16, a8, a32), None
+
+            (acc16, acc8, acc32), _ = jax.lax.scan(
+                ref_body, (acc16, acc8, acc32),
+                (ry_stack[1:], scales, rbits, ridxs))
+
+        def pick_ref(acc):
+            _, mv, sad9, refi = acc
             return mv, sad9, refi
 
         # MC phase planes for every reference (einsum-batched)
@@ -1325,13 +1357,13 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 mvq = subpel_refine(planes_y, oy, mv, refv, S, nbh_, nbw_)
             return mvq
 
-        mv16, sad9_16, ref16 = pick_ref(m16)
+        mv16, sad9_16, ref16 = pick_ref(acc16)
         mvq16 = with_fme(mv16, sad9_16, ref16, 16, nh16, nw16)
         if _TUNE["enable8"]:
-            mv8, sad9_8, ref8 = pick_ref(m8)
+            mv8, sad9_8, ref8 = pick_ref(acc8)
             mvq8 = with_fme(mv8, sad9_8, ref8, 8, nh8, nw8)
         if has32:
-            mv32, sad9_32, ref32 = pick_ref(m32)
+            mv32, sad9_32, ref32 = pick_ref(acc32)
             mvq32 = with_fme(mv32, sad9_32, ref32, 32, nh32, nw32)
 
         # --- per-class candidate sweep + residual coding ---------------

@@ -61,6 +61,18 @@ def _batched_modes(tops, lefts, S, is_luma, bd, strong):
                                 bit_depth=bd, strong_smoothing=strong)
 
 
+_HAD8_F32 = None
+
+
+def _had8_f32():
+    global _HAD8_F32
+    if _HAD8_F32 is None:
+        from ..ops.cost import hadamard
+
+        _HAD8_F32 = hadamard(8).astype(np.float32)
+    return _HAD8_F32
+
+
 def _mode_bits_tab(fb: FracBits):
     """(mpm_idx0, mpm_idx12, non-mpm) luma mode bits."""
     f1 = fb.b("prev_intra_luma_pred_flag", 0, 1)
@@ -127,11 +139,14 @@ def decide_intra_qt(oy, ou, ov, cfg: EncoderConfig, qp: int):
             for bx in range(nw):
                 org[by * nw + bx] = oy[by * S : by * S + S,
                                        bx * S : bx * S + S]
-        # SATD prescreen over all 35 modes (8x8 Hadamard tiles)
-        dd = org[:, None] - preds  # (N, 35, S, S)
+        # SATD prescreen over all 35 modes (8x8 Hadamard tiles), in
+        # float32 BLAS: |values| stay < 2^24 so the result is exact
+        dd = (org[:, None] - preds).astype(np.float32)  # (N, 35, S, S)
         t8 = dd.reshape(N, 35, S // 8, 8, S // 8, 8).transpose(
             0, 1, 2, 4, 3, 5).reshape(-1, 8, 8)
-        sat = satd_np(t8, np.zeros_like(t8)).reshape(
+        Hf = _had8_f32()
+        m = Hf @ t8 @ Hf.T
+        sat = ((np.abs(m).sum((1, 2)) + 2) // 4).reshape(
             N, 35, -1).sum(-1).astype(np.float64)
         top3 = np.argsort(sat, axis=1)[:, :3]
 

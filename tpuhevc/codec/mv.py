@@ -40,25 +40,33 @@ def scale_mv(mv: tuple[int, int], tb: int, td: int) -> tuple[int, int]:
 
 
 class MvField:
-    def __init__(self, w8: int, h8: int):
-        self.mv = np.zeros((h8, w8, 2), dtype=np.int32)  # quarter-pel
-        self.ref = np.zeros((h8, w8), dtype=np.int32)
-        self.valid = np.zeros((h8, w8), dtype=bool)  # coded + inter
-        self.w8 = w8
-        self.h8 = h8
+    def __init__(self, w8: int, h8: int, cell: int = 8):
+        # grid of `cell`-sample cells; (w8, h8) counts are in 8-sample
+        # units for backward compatibility, scaled up for finer cells
+        f = 8 // cell
+        self.cell = cell
+        self.w8 = w8 * f
+        self.h8 = h8 * f
+        self.mv = np.zeros((self.h8, self.w8, 2), dtype=np.int32)
+        self.ref = np.zeros((self.h8, self.w8), dtype=np.int32)
+        self.valid = np.zeros((self.h8, self.w8), dtype=bool)
 
     def set_cu(self, x0: int, y0: int, size: int, mv, ref: int = 0) -> None:
-        s8 = size // 8
-        x8, y8 = x0 // 8, y0 // 8
-        self.mv[y8 : y8 + s8, x8 : x8 + s8] = mv
-        self.ref[y8 : y8 + s8, x8 : x8 + s8] = ref
-        self.valid[y8 : y8 + s8, x8 : x8 + s8] = True
+        self.set_pu(x0, y0, size, size, mv, ref)
 
-    def at(self, x8: int, y8: int):
-        """(mvx, mvy, ref) or None."""
-        if 0 <= x8 < self.w8 and 0 <= y8 < self.h8 and self.valid[y8, x8]:
-            return (int(self.mv[y8, x8, 0]), int(self.mv[y8, x8, 1]),
-                    int(self.ref[y8, x8]))
+    def set_pu(self, x0: int, y0: int, w: int, h: int, mv,
+               ref: int = 0) -> None:
+        c = self.cell
+        xc, yc = x0 // c, y0 // c
+        self.mv[yc : yc + h // c, xc : xc + w // c] = mv
+        self.ref[yc : yc + h // c, xc : xc + w // c] = ref
+        self.valid[yc : yc + h // c, xc : xc + w // c] = True
+
+    def at(self, xc: int, yc: int):
+        """(mvx, mvy, ref) at cell coords, or None."""
+        if 0 <= xc < self.w8 and 0 <= yc < self.h8 and self.valid[yc, xc]:
+            return (int(self.mv[yc, xc, 0]), int(self.mv[yc, xc, 1]),
+                    int(self.ref[yc, xc]))
         return None
 
 
@@ -92,16 +100,17 @@ class ColMotion:
 
 def temporal_candidate(col: ColMotion, x0: int, y0: int, size: int,
                        target_poc: int, cur_poc: int, pic_w: int,
-                       pic_h: int, log2_ctu: int):
+                       pic_h: int, log2_ctu: int, pu_h: int | None = None):
     """§8.5.3.2.7: bottom-right col PU first (same CTU row + inside the
     picture), else the center; §8.5.3.2.8 POC scaling to target_poc."""
+    nh = pu_h if pu_h is not None else size
     cand = None
-    xbr, ybr = x0 + size, y0 + size
+    xbr, ybr = x0 + size, y0 + nh
     if (ybr >> log2_ctu) == (y0 >> log2_ctu) and ybr < pic_h \
             and xbr < pic_w:
         cand = col.at(xbr, ybr)
     if cand is None:
-        cand = col.at(x0 + size // 2, y0 + size // 2)
+        cand = col.at(x0 + size // 2, y0 + nh // 2)
     if cand is None:
         return None
     tb = cur_poc - target_poc
@@ -112,13 +121,16 @@ def temporal_candidate(col: ColMotion, x0: int, y0: int, size: int,
 
 
 def _neighbor(field: MvField, order: BlockOrder, cur_cell, px: int, py: int):
-    """(mv, ref) of the PU covering sample (px, py), if decoded."""
+    """(mv, ref) of the PU covering sample (px, py), if decoded.
+    Cell granularity follows the field (8 for the encoder walk, 4 for
+    the general decoder); `order` must match."""
     if px < 0 or py < 0:
         return None
-    x8, y8 = px // 8, py // 8
-    if not order.precedes(x8, y8, cur_cell[0], cur_cell[1]):
+    c = field.cell
+    xc, yc = px // c, py // c
+    if not order.precedes(xc, yc, cur_cell[0], cur_cell[1]):
         return None
-    return field.at(x8, y8)
+    return field.at(xc, yc)
 
 
 def merge_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
@@ -126,16 +138,25 @@ def merge_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
                      col: "ColMotion | None" = None,
                      ref_pocs: list[int] | None = None, cur_poc: int = 0,
                      pic_w: int = 0, pic_h: int = 0,
-                     log2_ctu: int = 6) -> list[tuple[int, int, int]]:
+                     log2_ctu: int = 6, pu_h: int | None = None,
+                     excl: str | None = None) -> list[tuple[int, int, int]]:
     """Merge list (§8.5.3.2.3): spatial + temporal (when a collocated
-    picture is given) + zero fill; entries (mvx, mvy, ref). P, L0 only."""
-    cur = (x0 // 8, y0 // 8)
+    picture is given) + zero fill; entries (mvx, mvy, ref). P, L0 only.
+    pu_h: PU height when rectangular (width = size). excl: 'A1' for the
+    second PU of vertical splits, 'B1' for horizontal (availability step
+    2 — a merge equal to PU0 would re-create 2Nx2N)."""
+    cur = (x0 // field.cell, y0 // field.cell)
     n = size
-    a1 = _neighbor(field, order, cur, x0 - 1, y0 + n - 1)
+    nh = pu_h if pu_h is not None else size
+    a1 = _neighbor(field, order, cur, x0 - 1, y0 + nh - 1)
     b1 = _neighbor(field, order, cur, x0 + n - 1, y0 - 1)
     b0 = _neighbor(field, order, cur, x0 + n, y0 - 1)
-    a0 = _neighbor(field, order, cur, x0 - 1, y0 + n)
+    a0 = _neighbor(field, order, cur, x0 - 1, y0 + nh)
     b2 = _neighbor(field, order, cur, x0 - 1, y0 - 1)
+    if excl == "A1":
+        a1 = None
+    elif excl == "B1":
+        b1 = None
     out: list[tuple[int, int, int]] = []
     if a1 is not None:
         out.append(a1)
@@ -150,7 +171,7 @@ def merge_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
     if col is not None and len(out) < max_cand:
         tpoc = ref_pocs[0] if ref_pocs else cur_poc - 1
         t = temporal_candidate(col, x0, y0, size, tpoc, cur_poc,
-                               pic_w, pic_h, log2_ctu)
+                               pic_w, pic_h, log2_ctu, pu_h=nh)
         if t is not None:  # temporal is not pruned against spatial
             out.append((t[0], t[1], 0))
     # zero candidates with increasing ref, then ref 0 (HM's zero-mv fill)
@@ -166,19 +187,21 @@ def amvp_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
                     ref_pocs: list[int] | None = None,
                     cur_poc: int = 0, col: "ColMotion | None" = None,
                     pic_w: int = 0, pic_h: int = 0,
-                    log2_ctu: int = 6) -> list[tuple[int, int]]:
+                    log2_ctu: int = 6,
+                    pu_h: int | None = None) -> list[tuple[int, int]]:
     """AMVP list (§8.5.3.2.6) for target_ref: candA from {A0, A1}, candB
     from {B0, B1, B2}; same-ref MVs preferred, otherwise POC-scaled;
     dedup; zero-fill to 2. ref_pocs: POC of each L0 entry (None = single
     ref, no scaling)."""
-    cur = (x0 // 8, y0 // 8)
+    cur = (x0 // field.cell, y0 // field.cell)
     n = size
+    nh = pu_h if pu_h is not None else size
 
     def poc_of(r):
         return ref_pocs[r] if ref_pocs is not None else cur_poc - 1
 
-    nb_a = [_neighbor(field, order, cur, x0 - 1, y0 + n),      # A0
-            _neighbor(field, order, cur, x0 - 1, y0 + n - 1)]  # A1
+    nb_a = [_neighbor(field, order, cur, x0 - 1, y0 + nh),      # A0
+            _neighbor(field, order, cur, x0 - 1, y0 + nh - 1)]  # A1
     nb_b = [_neighbor(field, order, cur, x0 + n, y0 - 1),      # B0
             _neighbor(field, order, cur, x0 + n - 1, y0 - 1),  # B1
             _neighbor(field, order, cur, x0 - 1, y0 - 1)]      # B2
@@ -217,7 +240,7 @@ def amvp_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,
         out = out[:1]
     if len(out) < 2 and col is not None:
         t = temporal_candidate(col, x0, y0, size, poc_of(target_ref),
-                               cur_poc, pic_w, pic_h, log2_ctu)
+                               cur_poc, pic_w, pic_h, log2_ctu, pu_h=nh)
         if t is not None:  # col candidate is not pruned against A/B
             out.append(t)
     while len(out) < 2:

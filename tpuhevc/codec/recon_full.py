@@ -105,3 +105,134 @@ def _chroma_resolver(fs):
         return 34 if m == lm else m
 
     return resolve
+
+
+def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon):
+    """P-frame reconstruction honoring rectangular partitions (mv4/ref4
+    at 4-sample granularity), the parsed TU tree, transform skip, and
+    intra CUs (full feature set) — TDecCu::xReconInter counterpart for
+    foreign streams. MC is per 4x4 cell: block partitioning does not
+    change per-sample interpolation, so this equals per-PU MC."""
+    from ..ops.interp import mc_np
+
+    bd = sps.bit_depth
+    w, h = fs.width, fs.height
+    if isinstance(ref_recon, tuple) or (isinstance(ref_recon, list)
+                                        and len(ref_recon) == 3
+                                        and hasattr(ref_recon[0], "shape")):
+        ref_recon = [ref_recon]
+    refs = [tuple(p.astype(np.int32) for p in r) for r in ref_recon]
+    qpc = chroma_qp(qp)
+    h4, w4 = h // 4, w // 4
+    ys4, xs4 = np.mgrid[0:h4, 0:w4]
+    xs4 = (xs4 * 4).reshape(-1)
+    ys4 = (ys4 * 4).reshape(-1)
+    mv4 = fs.mv4.reshape(-1, 2)
+    ref4 = np.minimum(fs.ref4.reshape(-1), len(refs) - 1)
+    intra4 = np.repeat(np.repeat(fs.inter_dir == 0, 2, 0), 2, 1).reshape(-1)
+
+    rec_y = np.zeros((h, w), np.int32)
+    rec_u = np.zeros((h // 2, w // 2), np.int32)
+    rec_v = np.zeros((h // 2, w // 2), np.int32)
+    for r in range(len(refs)):
+        m = (ref4 == r) & ~intra4
+        if not m.any():
+            continue
+        ry, ru, rv = refs[r]
+        p = mc_np(ry, xs4[m], ys4[m], mv4[m], 4, True, bd)
+        for i, (bx, by) in enumerate(zip(xs4[m], ys4[m])):
+            rec_y[by : by + 4, bx : bx + 4] = p[i]
+        pu = mc_np(ru, xs4[m] // 2, ys4[m] // 2, mv4[m], 2, False, bd)
+        pv = mc_np(rv, xs4[m] // 2, ys4[m] // 2, mv4[m], 2, False, bd)
+        for i, (bx, by) in enumerate(zip(xs4[m] // 2, ys4[m] // 2)):
+            rec_u[by : by + 2, bx : bx + 2] = pu[i]
+            rec_v[by : by + 2, bx : bx + 2] = pv[i]
+
+    # residual per TU leaf (inter CUs; DCT, diag scan, optional TS)
+    def add_resi(plane, coeff_pl, x0, y0, size, cqp, tsf):
+        blk = coeff_pl[y0 : y0 + size, x0 : x0 + size]
+        if not blk.any():
+            return
+        log2 = size.bit_length() - 1
+        d = tx.dequantize_np(blk[None], cqp, log2, bd)[0]
+        if tsf:
+            r_ = _inv_ts(d, bd)
+        else:
+            r_ = tx.inverse_transform_np(d[None], bd)[0]
+        plane[y0 : y0 + size, x0 : x0 + size] = np.clip(
+            plane[y0 : y0 + size, x0 : x0 + size] + r_, 0, (1 << bd) - 1)
+
+    order8 = BlockOrder(w, h, sps.log2_ctu)
+    from .intra_qt import _cu_roots
+
+    def walk_tu_p(x0, y0, log2):
+        leaf = int(fs.tu_log2[y0 // 4, x0 // 4])
+        if leaf >= 0 and leaf < log2:
+            half = 1 << (log2 - 1)
+            for sy in (0, half):
+                for sx in (0, half):
+                    walk_tu_p(x0 + sx, y0 + sy, log2 - 1)
+            if log2 == 3:
+                add_resi(rec_u, fs.coeff_cb, x0 // 2, y0 // 2, 4, qpc,
+                         bool(fs.ts_cb[y0 // 8, x0 // 8]))
+                add_resi(rec_v, fs.coeff_cr, x0 // 2, y0 // 2, 4, qpc,
+                         bool(fs.ts_cr[y0 // 8, x0 // 8]))
+            return
+        sz = 1 << log2
+        add_resi(rec_y, fs.coeff_y, x0, y0, sz, qp,
+                 log2 == 2 and bool(fs.ts_y[y0 // 4, x0 // 4]))
+        if log2 > 2:
+            cs = sz // 2
+            add_resi(rec_u, fs.coeff_cb, x0 // 2, y0 // 2, cs, qpc,
+                     cs == 4 and bool(fs.ts_cb[y0 // 8, x0 // 8]))
+            add_resi(rec_v, fs.coeff_cr, x0 // 2, y0 // 2, cs, qpc,
+                     cs == 4 and bool(fs.ts_cr[y0 // 8, x0 // 8]))
+
+    intra_roots = []
+    for x8, y8 in _cu_roots(fs.cu_log2, order8):
+        if int(fs.inter_dir[y8, x8]) == 0:
+            intra_roots.append((x8, y8))
+            continue
+        log2 = int(fs.cu_log2[y8, x8])
+        walk_tu_p(x8 * 8, y8 * 8, log2)
+
+    # intra CUs last, in decode order (their refs precede in decode
+    # order, and inter recon does not depend on intra neighbors)
+    if intra_roots:
+        order4 = BlockOrder(w, h, sps.log2_ctu, cell_log2=2)
+        resolve = _chroma_resolver(fs)
+
+        def luma_tb(x0, y0, log2):
+            mode = int(fs.luma_mode4[y0 // 4, x0 // 4])
+            ts = log2 == 2 and bool(fs.ts_y[y0 // 4, x0 // 4])
+            _recon_tb(rec_y, fs.coeff_y, x0, y0, 1 << log2, mode, order4,
+                      qp, True, bd, sps.strong_intra_smoothing, 4,
+                      is_dst=(log2 == 2), ts=ts)
+
+        def chroma_tb(x0, y0, clog2, cmode_actual):
+            cs = 1 << clog2
+            cx, cy = x0 // 2, y0 // 2
+            for pl, cf, tsm in ((rec_u, fs.coeff_cb, fs.ts_cb),
+                                (rec_v, fs.coeff_cr, fs.ts_cr)):
+                ts = clog2 == 2 and bool(tsm[cy // 4, cx // 4])
+                _recon_tb(pl, cf, cx, cy, cs, cmode_actual, order8, qpc,
+                          False, bd, False, 4, is_dst=False, ts=ts)
+
+        def walk_tu_i(x0, y0, log2, cmode_actual):
+            leaf = int(fs.tu_log2[y0 // 4, x0 // 4])
+            if leaf >= 0 and leaf < log2:
+                half = 1 << (log2 - 1)
+                for sy in (0, half):
+                    for sx in (0, half):
+                        walk_tu_i(x0 + sx, y0 + sy, log2 - 1, cmode_actual)
+                if log2 == 3:
+                    chroma_tb(x0, y0, 2, cmode_actual)
+                return
+            luma_tb(x0, y0, log2)
+            if log2 > 2:
+                chroma_tb(x0, y0, log2 - 1, cmode_actual)
+
+        for x8, y8 in intra_roots:
+            log2 = int(fs.cu_log2[y8, x8])
+            walk_tu_i(x8 * 8, y8 * 8, log2, resolve(x8, y8))
+    return rec_y, rec_u, rec_v

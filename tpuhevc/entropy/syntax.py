@@ -60,6 +60,8 @@ class FrameSyntax:
     ts_y: np.ndarray = None        # transform_skip per luma 4-cell
     ts_cb: np.ndarray = None       # transform_skip per chroma 4-cell
     ts_cr: np.ndarray = None
+    mv4: np.ndarray = None         # (h4, w4, 2) PU-granularity motion
+    ref4: np.ndarray = None
     full_features: bool = False
 
     def __post_init__(self):
@@ -75,6 +77,10 @@ class FrameSyntax:
             self.ts_cb = np.zeros((h8, w8), dtype=np.int8)
         if self.ts_cr is None:
             self.ts_cr = np.zeros((h8, w8), dtype=np.int8)
+        if self.mv4 is None:
+            self.mv4 = np.zeros((h4, w4, 2), dtype=np.int32)
+        if self.ref4 is None:
+            self.ref4 = np.zeros((h4, w4), dtype=np.int32)
         if self.cu_log2 is None:
             self.cu_log2 = np.full((h8, w8), 3, dtype=np.int32)
         if self.luma_mode is None:
@@ -149,7 +155,11 @@ class _SliceCoder:
             from ..codec.refsamples import BlockOrder
 
             self.order = BlockOrder(self.w, self.h, self.log2_ctu)
-            self.mvfield = MvField(self.w // 8, self.h // 8)
+            # P-path motion at 4-sample granularity (rect partitions);
+            # equivalent to the old 8-cell field for 2Nx2N-only streams
+            self.order4 = BlockOrder(self.w, self.h, self.log2_ctu,
+                                     cell_log2=2)
+            self.mvfield = MvField(self.w // 8, self.h // 8, cell=4)
             self.mvfield_b = MvFieldB(self.w // 8, self.h // 8)
 
     # --- context helpers ---------------------------------------------------
@@ -711,6 +721,12 @@ def _mark_inter_cu(sc, x0, y0, log2, mv, skip, merge_f, merge_i, mvp_f,
     fs.mv[y8 : y8 + s8, x8 : x8 + s8] = mv
     fs.mvd[y8 : y8 + s8, x8 : x8 + s8] = mvd
     fs.ref_idx[y8 : y8 + s8, x8 : x8 + s8] = ref
+    s4 = 1 << (log2 - 2)
+    y4, x4 = y0 // 4, x0 // 4
+    fs.mv4[y4 : y4 + s4, x4 : x4 + s4] = mv
+    fs.ref4[y4 : y4 + s4, x4 : x4 + s4] = ref
+    if skip:
+        fs.tu_log2[y4 : y4 + s4, x4 : x4 + s4] = min(log2, 5)
     sc.mvfield.set_cu(x0, y0, 1 << log2, mv, ref)
 
 
@@ -886,7 +902,7 @@ def _dec_cu_p(dec, sc, x0, y0, log2):
     skip = dec.decode_bin(_skip_ctx(sc, x0, y0))
     if skip:
         merge_i = _dec_merge_idx(dec, sc.max_merge)
-        cands = merge_candidates(sc.mvfield, sc.order, x0, y0, size,
+        cands = merge_candidates(sc.mvfield, sc.order4, x0, y0, size,
                                  sc.max_merge, sc.num_ref, col=sc.col,
                                  ref_pocs=sc.ref_pocs, cur_poc=sc.cur_poc,
                                  pic_w=sc.w, pic_h=sc.h,
@@ -902,37 +918,120 @@ def _dec_cu_p(dec, sc, x0, y0, log2):
         y8, x8 = y0 // 8, x0 // 8
         sc.fs.inter_dir[y8 : y8 + s8, x8 : x8 + s8] = 0
         return
-    part = dec.decode_bin(CTX_OFFSET["part_mode"])
-    assert part == 1
-    merge_f = dec.decode_bin(CTX_OFFSET["merge_flag"])
-    merge_i = mvp_f = 0
-    ref = 0
-    mvd = np.zeros(2, dtype=np.int32)
-    if merge_f:
-        merge_i = _dec_merge_idx(dec, sc.max_merge)
-        cands = merge_candidates(sc.mvfield, sc.order, x0, y0, size,
-                                 sc.max_merge, sc.num_ref, col=sc.col,
-                                 ref_pocs=sc.ref_pocs, cur_poc=sc.cur_poc,
-                                 pic_w=sc.w, pic_h=sc.h,
-                                 log2_ctu=sc.log2_ctu)
-        mv = np.array(cands[merge_i][:2], dtype=np.int32)
-        ref = cands[merge_i][2]
-    else:
-        ref = _dec_ref_idx(dec, sc.num_ref)
-        mvd = np.array(_dec_mvd(dec), dtype=np.int32)
-        mvp_f = dec.decode_bin(CTX_OFFSET["mvp_flag"])
-        cands = amvp_candidates(sc.mvfield, sc.order, x0, y0, size, ref,
-                                sc.ref_pocs, sc.cur_poc, col=sc.col,
-                                pic_w=sc.w, pic_h=sc.h,
-                                log2_ctu=sc.log2_ctu)
-        mv = mvd + np.array(cands[mvp_f], dtype=np.int32)
-    _mark_inter_cu(sc, x0, y0, log2, mv, 0, merge_f, merge_i, mvp_f, mvd,
-                   ref)
+    part = _dec_part_mode_inter(dec, sc, log2)
+    pus = _pu_geometry(part, size)
+    if part != "2Nx2N":
+        sc.fs.full_features = True
+    any_merge = False
+    for pi, (dx, dy, pw, ph) in enumerate(pus):
+        px, py = x0 + dx, y0 + dy
+        excl = None
+        if pi == 1 and part in ("Nx2N", "nLx2N", "nRx2N"):
+            excl = "A1"
+        elif pi == 1 and part in ("2NxN", "2NxnU", "2NxnD"):
+            excl = "B1"
+        merge_f = dec.decode_bin(CTX_OFFSET["merge_flag"])
+        merge_i = mvp_f = 0
+        ref = 0
+        mvd = np.zeros(2, dtype=np.int32)
+        if merge_f:
+            any_merge = True
+            merge_i = _dec_merge_idx(dec, sc.max_merge)
+            cands = merge_candidates(
+                sc.mvfield, sc.order4, px, py, pw, sc.max_merge,
+                sc.num_ref, col=sc.col, ref_pocs=sc.ref_pocs,
+                cur_poc=sc.cur_poc, pic_w=sc.w, pic_h=sc.h,
+                log2_ctu=sc.log2_ctu, pu_h=ph, excl=excl)
+            mv = np.array(cands[merge_i][:2], dtype=np.int32)
+            ref = cands[merge_i][2]
+        else:
+            ref = _dec_ref_idx(dec, sc.num_ref)
+            mvd = np.array(_dec_mvd(dec), dtype=np.int32)
+            mvp_f = dec.decode_bin(CTX_OFFSET["mvp_flag"])
+            cands = amvp_candidates(
+                sc.mvfield, sc.order4, px, py, pw, ref, sc.ref_pocs,
+                sc.cur_poc, col=sc.col, pic_w=sc.w, pic_h=sc.h,
+                log2_ctu=sc.log2_ctu, pu_h=ph)
+            mv = mvd + np.array(cands[mvp_f], dtype=np.int32)
+        if part == "2Nx2N":
+            _mark_inter_cu(sc, x0, y0, log2, mv, 0, merge_f, merge_i,
+                           mvp_f, mvd, ref)
+        else:
+            _mark_inter_pu(sc, x0, y0, log2, px, py, pw, ph, mv, ref,
+                           pi == 0)
     root_cbf = 1
-    if not merge_f:
+    if not (part == "2Nx2N" and any_merge):
         root_cbf = dec.decode_bin(CTX_OFFSET["rqt_root_cbf"])
     if root_cbf:
-        _dec_transform_tree_p(dec, sc, x0, y0, log2, 0, True, True)
+        intersplit = sc.sps.max_tu_depth_inter == 0 and part != "2Nx2N"
+        _dec_transform_tree_p(dec, sc, x0, y0, log2, 0, True, True,
+                              inter_split=intersplit)
+    else:
+        s4 = 1 << (log2 - 2)
+        sc.fs.tu_log2[y0 // 4 : y0 // 4 + s4,
+                      x0 // 4 : x0 // 4 + s4] = min(log2, 5)
+
+
+def _dec_part_mode_inter(dec, sc, log2):
+    """TDecSbac::parsePartSize inter branch: up to 2 ctx bins (3 at min
+    CU when CU > 8x8), then the AMP refinement bin + bypass."""
+    sps = sc.sps
+    at_min = log2 == sps.log2_min_cu
+    max_bits = 2 + (1 if at_min and log2 > 3 else 0)
+    mode = 0
+    for ui in range(max_bits):
+        if dec.decode_bin(CTX_OFFSET["part_mode"] + ui):
+            break
+        mode += 1
+    names = ("2Nx2N", "2NxN", "Nx2N", "NxN")
+    part = names[mode]
+    if sps.amp_enabled and not at_min:
+        if part == "2NxN":
+            if not dec.decode_bin(CTX_OFFSET["part_mode"] + 3):
+                part = "2NxnD" if dec.decode_bin_ep() else "2NxnU"
+        elif part == "Nx2N":
+            if not dec.decode_bin(CTX_OFFSET["part_mode"] + 3):
+                part = "nRx2N" if dec.decode_bin_ep() else "nLx2N"
+    return part
+
+
+def _pu_geometry(part: str, s: int):
+    """[(dx, dy, w, h)] per PU, in PU decode order."""
+    h = s // 2
+    q = s // 4
+    return {
+        "2Nx2N": [(0, 0, s, s)],
+        "2NxN": [(0, 0, s, h), (0, h, s, h)],
+        "Nx2N": [(0, 0, h, s), (h, 0, h, s)],
+        "NxN": [(0, 0, h, h), (h, 0, h, h), (0, h, h, h), (h, h, h, h)],
+        "2NxnU": [(0, 0, s, q), (0, q, s, s - q)],
+        "2NxnD": [(0, 0, s, s - q), (0, s - q, s, q)],
+        "nLx2N": [(0, 0, q, s), (q, 0, s - q, s)],
+        "nRx2N": [(0, 0, s - q, s), (s - q, 0, q, s)],
+    }[part]
+
+
+def _mark_inter_pu(sc, cu_x0, cu_y0, log2, px, py, pw, ph, mv, ref,
+                   first_pu):
+    """Store one rectangular PU: 4-granularity motion + the legacy 8-cell
+    maps (first PU's values, for deblock/ColMotion compatibility)."""
+    fs = sc.fs
+    fs.mv4[py // 4 : (py + ph) // 4, px // 4 : (px + pw) // 4] = mv
+    fs.ref4[py // 4 : (py + ph) // 4, px // 4 : (px + pw) // 4] = ref
+    sc.mvfield.set_pu(px, py, pw, ph, mv, ref)
+    if first_pu:
+        s8 = 1 << (log2 - 3)
+        y8, x8 = cu_y0 // 8, cu_x0 // 8
+        fs.cu_log2[y8 : y8 + s8, x8 : x8 + s8] = log2
+        sc.depth8[y8 : y8 + s8, x8 : x8 + s8] = sc.log2_ctu - log2
+    # legacy 8-cell maps get each cell's top-left 4-cell motion
+    for cy in range(py // 8, -(-(py + ph) // 8)):
+        for cx in range(px // 8, -(-(px + pw) // 8)):
+            fs.mv[cy, cx] = fs.mv4[cy * 2, cx * 2]
+            fs.ref_idx[cy, cx] = fs.ref4[cy * 2, cx * 2]
+            fs.inter_dir[cy, cx] = 1
+            fs.skip[cy, cx] = 0
+            fs.merge_flag[cy, cx] = 0
 
 
 def _enc_transform_tree_p(enc, sc, x0, y0, log2, depth, parent_cb, parent_cr):
@@ -967,29 +1066,42 @@ def _enc_transform_tree_p(enc, sc, x0, y0, log2, depth, parent_cb, parent_cr):
     _enc_transform_unit_p(enc, sc, x0, y0, log2, cbf_y, cbf_cb, cbf_cr)
 
 
-def _dec_transform_tree_p(dec, sc, x0, y0, log2, depth, parent_cb, parent_cr):
+def _dec_transform_tree_p(dec, sc, x0, y0, log2, depth, parent_cb,
+                          parent_cr, inter_split=False):
     sps = sc.sps
-    explicit = (
-        log2 <= sps.log2_max_tu and log2 > sps.log2_min_tu
-        and depth < sps.max_tu_depth_inter
-    )
-    if explicit:
-        split = dec.decode_bin(CTX_OFFSET["split_transform_flag"] + (5 - log2))
+    fs = sc.fs
+    if inter_split and depth == 0:
+        split = 1
+    elif log2 > sps.log2_max_tu:
+        split = 1
+    elif log2 <= sps.log2_min_tu or depth >= sps.max_tu_depth_inter + (
+            1 if inter_split else 0):
+        split = 0
     else:
-        split = 1 if log2 > sps.log2_max_tu else 0
+        split = dec.decode_bin(CTX_OFFSET["split_transform_flag"] + (5 - log2))
     cbf_cb = cbf_cr = False
     if log2 > 2:
         if parent_cb:
             cbf_cb = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + 5 + depth))
         if parent_cr:
             cbf_cr = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + 5 + depth))
+    else:
+        cbf_cb, cbf_cr = parent_cb, parent_cr
     if split:
+        if depth > 0 or not inter_split:
+            if log2 <= sps.log2_max_tu:
+                fs.full_features = True  # real TU split below the CU
         half = 1 << (log2 - 1)
         for sy in (0, half):
             for sx in (0, half):
                 _dec_transform_tree_p(dec, sc, x0 + sx, y0 + sy, log2 - 1,
-                                      depth + 1, cbf_cb, cbf_cr)
+                                      depth + 1, cbf_cb, cbf_cr,
+                                      inter_split)
+        if log2 == 3 and (cbf_cb or cbf_cr):
+            _dec_chroma_tu_p(dec, sc, x0, y0, 2, cbf_cb, cbf_cr)
         return
+    s4 = 1 << (log2 - 2)
+    fs.tu_log2[y0 // 4 : y0 // 4 + s4, x0 // 4 : x0 // 4 + s4] = log2
     if depth != 0 or cbf_cb or cbf_cr:
         cbf_y = bool(dec.decode_bin(CTX_OFFSET["qt_cbf"] + (1 if depth == 0 else 0)))
     else:
@@ -1027,18 +1139,35 @@ def _dec_transform_unit_p(dec, sc, x0, y0, log2, cbf_y, cbf_cb, cbf_cr):
     if not (cbf_y or cbf_cb or cbf_cr):
         return
     if cbf_y:
+        if pps.transform_skip_enabled and log2 == 2 \
+                and _dec_ts_flag(dec, False):
+            fs.ts_y[y0 // 4, x0 // 4] = 1
+            fs.full_features = True
         fs.coeff_y[y0 : y0 + s, x0 : x0 + s] = decode_residual(
             dec, log2, True, SCAN_DIAG, pps.sign_data_hiding)
     if log2 > 2:
-        clog2 = log2 - 1
-        cs = 1 << clog2
-        cx, cy2 = x0 // 2, y0 // 2
-        if cbf_cb:
-            fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
-                dec, clog2, False, SCAN_DIAG, pps.sign_data_hiding)
-        if cbf_cr:
-            fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
-                dec, clog2, False, SCAN_DIAG, pps.sign_data_hiding)
+        _dec_chroma_tu_p(dec, sc, x0, y0, log2 - 1, cbf_cb, cbf_cr)
+
+
+def _dec_chroma_tu_p(dec, sc, x0, y0, clog2, cbf_cb, cbf_cr):
+    from ..utils.tables import SCAN_DIAG
+
+    fs, pps = sc.fs, sc.pps
+    cs = 1 << clog2
+    cx, cy2 = x0 // 2, y0 // 2
+    ts_ok = pps.transform_skip_enabled and clog2 == 2
+    if cbf_cb:
+        if ts_ok and _dec_ts_flag(dec, True):
+            fs.ts_cb[cy2 // 4, cx // 4] = 1
+            fs.full_features = True
+        fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
+            dec, clog2, False, SCAN_DIAG, pps.sign_data_hiding)
+    if cbf_cr:
+        if ts_ok and _dec_ts_flag(dec, True):
+            fs.ts_cr[cy2 // 4, cx // 4] = 1
+            fs.full_features = True
+        fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs] = decode_residual(
+            dec, clog2, False, SCAN_DIAG, pps.sign_data_hiding)
 
 
 # --- B slices (two lists) ---------------------------------------------------

@@ -431,7 +431,7 @@ def predict_all_modes_np(top, left, size: int, is_luma: bool = True,
     else:
         ft, fl = t, l
 
-    preds = []
+    out = np.empty((t.shape[0], 35, s, s), dtype=np.int32)
     for mode in range(35):
         use_f = is_luma and filter_flag(mode, log2)
         tt = ft if use_f else t
@@ -454,5 +454,5 @@ def predict_all_modes_np(top, left, size: int, is_luma: bool = True,
                 p[:, 0, :] = np.clip(
                     l[:, 1][:, None]
                     + ((t[:, 1 : s + 1] - t[:, 0][:, None]) >> 1), 0, maxv)
-        preds.append(p)
-    return np.stack(preds, axis=1)
+        out[:, mode] = p
+    return out
