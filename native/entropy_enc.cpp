@@ -228,6 +228,8 @@ struct Frame {
   int slice_type;  // 2 = I, 1 = P
   int max_merge;
   int sign_hiding;
+  const int32_t* sao = nullptr;  // per-CTU packed params (18 each)
+  int sao_luma = 0, sao_chroma = 0;
   std::vector<int8_t> depth8;  // decoded-CU depth map (-1 = none)
 };
 
@@ -746,12 +748,57 @@ struct SliceEnc {
     }
   }
 
+  // ------------------------------------------------------------- SAO
+  // syntax twin of entropy/syntax._enc_sao_ctu (sao() §7.3.8.3); params
+  // packed per CTU as 18 int32: ty, ay, oy[4], tc, acb, ocb[4], acr,
+  // ocr[4], merge
+  void sao_uvlc(int val) {
+    c.ep(val ? 1 : 0);
+    if (val) {
+      for (int i = 1; i < val; i++) c.ep(1);
+      if (val < 7) c.ep(0);
+    }
+  }
+  void sao_type(int t) {
+    if (t < 0) {
+      c.bin(0, kOffSaoTypeIdx);
+    } else {
+      c.bin(1, kOffSaoTypeIdx);
+      c.ep(t == 4 ? 0 : 1);
+    }
+  }
+  void sao_comp(int t, int aux, const int32_t* off4, bool code_type) {
+    if (code_type) sao_type(t);
+    if (t < 0) return;
+    for (int i = 0; i < 4; i++) sao_uvlc(off4[i] < 0 ? -off4[i] : off4[i]);
+    if (t == 4) {
+      for (int i = 0; i < 4; i++)
+        if (off4[i]) c.ep(off4[i] < 0 ? 1 : 0);
+      c.eps((uint32_t)aux, 5);
+    } else if (code_type) {
+      c.eps((uint32_t)t, 2);
+    }
+  }
+  void sao_ctu(int cx, int cy, int wctu) {
+    const int32_t* s = f.sao + (size_t)(cy * wctu + cx) * 18;
+    int merge = s[17];
+    if (cx > 0) c.bin(merge == 1 ? 1 : 0, kOffSaoMergeFlag);
+    if (cy > 0 && merge != 1) c.bin(merge == 2 ? 1 : 0, kOffSaoMergeFlag);
+    if (merge != 0) return;
+    if (f.sao_luma) sao_comp(s[0], s[1], s + 2, true);
+    if (f.sao_chroma) {
+      sao_comp(s[6], s[7], s + 8, true);
+      if (s[6] >= 0) sao_comp(s[6], s[12], s + 13, false);
+    }
+  }
+
   void run() {
     int ctu = 1 << f.log2_ctu;
     int wctu = (f.w + ctu - 1) >> f.log2_ctu;
     int hctu = (f.h + ctu - 1) >> f.log2_ctu;
     for (int cy = 0; cy < hctu; cy++)
       for (int cx = 0; cx < wctu; cx++) {
+        if (f.sao && (f.sao_luma || f.sao_chroma)) sao_ctu(cx, cy, wctu);
         quadtree(cx << f.log2_ctu, cy << f.log2_ctu, f.log2_ctu, 0);
         c.trm((cy == hctu - 1 && cx == wctu - 1) ? 1 : 0);
       }
@@ -789,6 +836,60 @@ int tpuhevc_encode_slice_data(
   e.f.mvp_flag = mvp_flag;
   e.f.mvd = mvd;
   e.f.ref_idx = ref_idx;
+  e.f.num_ref = num_ref;
+  e.f.max_tu_depth_inter = max_tu_depth_inter;
+  e.f.slice_type = slice_type;
+  e.f.max_merge = max_merge;
+  e.f.w = width;
+  e.f.h = height;
+  e.f.w8 = width >> 3;
+  e.f.h8 = height >> 3;
+  e.f.cw = width >> 1;
+  e.f.log2_ctu = log2_ctu;
+  e.f.log2_min_cu = log2_min_cu;
+  e.f.log2_min_tu = log2_min_tu;
+  e.f.log2_max_tu = log2_max_tu;
+  e.f.max_tu_depth_intra = max_tu_depth_intra;
+  e.f.sign_hiding = sign_hiding;
+  e.f.depth8.assign(e.f.w8 * e.f.h8, -1);
+  e.c.init_ctx(slice_type_row, qp);
+  e.run();
+  if ((int)e.c.out.size() > out_cap) return -1;
+  std::memcpy(out, e.c.out.data(), e.c.out.size());
+  return (int)e.c.out.size();
+}
+
+// v2: adds SAO per-CTU parameters (18 int32 per CTU in raster order:
+// type_y, aux_y, off_y[4], type_c, aux_cb, off_cb[4], aux_cr, off_cr[4],
+// merge) coded before each CTU's quadtree when sao_luma/sao_chroma set.
+int tpuhevc_encode_slice_data_sao(
+    const int32_t* cu_log2, const int32_t* luma_mode,
+    const int32_t* chroma_mode, const int32_t* coeff_y,
+    const int32_t* coeff_cb, const int32_t* coeff_cr,
+    const int32_t* skip, const int32_t* merge_flag, const int32_t* merge_idx,
+    const int32_t* mvp_flag, const int32_t* mvd, const int32_t* ref_idx,
+    const int32_t* sao, int sao_luma, int sao_chroma,
+    int width, int height,
+    int log2_ctu, int log2_min_cu, int log2_min_tu, int log2_max_tu,
+    int max_tu_depth_intra, int max_tu_depth_inter, int slice_type,
+    int max_merge, int slice_type_row, int qp, int sign_hiding, int num_ref,
+    uint8_t* out, int out_cap) {
+  SliceEnc e;
+  e.f.cu_log2 = cu_log2;
+  e.f.luma_mode = luma_mode;
+  e.f.chroma_mode = chroma_mode;
+  e.f.coeff_y = coeff_y;
+  e.f.coeff_cb = coeff_cb;
+  e.f.coeff_cr = coeff_cr;
+  e.f.skip = skip;
+  e.f.merge_flag = merge_flag;
+  e.f.merge_idx = merge_idx;
+  e.f.mvp_flag = mvp_flag;
+  e.f.mvd = mvd;
+  e.f.ref_idx = ref_idx;
+  e.f.sao = sao;
+  e.f.sao_luma = sao_luma;
+  e.f.sao_chroma = sao_chroma;
   e.f.num_ref = num_ref;
   e.f.max_tu_depth_inter = max_tu_depth_inter;
   e.f.slice_type = slice_type;

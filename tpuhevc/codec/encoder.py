@@ -227,7 +227,7 @@ class Encoder:
                 hdr, sps, pps, num_sps_rps=len(getattr(self, "_sps_rps", [])))
             has_intra_cu = (stype != I_SLICE
                             and bool((fs.inter_dir == 0).any()))
-            payload = (None if fs.sao is not None or stype == B_SLICE
+            payload = (None if stype == B_SLICE
                        or has_intra_cu else
                        encode_slice_data_native(fs, sps, pps, init_row, fqp,
                                                 stype, max_merge,

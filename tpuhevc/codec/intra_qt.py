@@ -40,15 +40,12 @@ def _openloop_refs(plane: np.ndarray, S: int, nh: int, nw: int):
     """(top, left) refs of length 2S+1 for every aligned SxS block, taken
     from the ORIGINAL plane with edge replication (decision pass only —
     the coding pass re-derives spec refs from the reconstruction)."""
-    h, w = plane.shape
     pp = np.pad(plane, ((1, 2 * S), (1, 2 * S)), mode="edge")
-    tops = np.empty((nh * nw, 2 * S + 1), np.int32)
-    lefts = np.empty((nh * nw, 2 * S + 1), np.int32)
-    for by in range(nh):
-        for bx in range(nw):
-            y0, x0 = by * S + 1, bx * S + 1  # in padded coords
-            tops[by * nw + bx] = pp[y0 - 1, x0 - 1 : x0 + 2 * S]
-            lefts[by * nw + bx] = pp[y0 - 1 : y0 + 2 * S, x0 - 1]
+    ys = (np.arange(nh) * S)[:, None, None]          # padded row of block
+    xs = (np.arange(nw) * S)[None, :, None]
+    rng = np.arange(2 * S + 1)[None, None, :]
+    tops = pp[ys + 0, xs + rng].reshape(nh * nw, -1).astype(np.int32)
+    lefts = pp[ys + rng, xs + 0].reshape(nh * nw, -1).astype(np.int32)
     return tops, lefts
 
 
@@ -134,11 +131,9 @@ def decide_intra_qt(oy, ou, ov, cfg: EncoderConfig, qp: int):
         tops, lefts = _openloop_refs(oy, S, nh, nw)
         preds = _batched_modes(tops, lefts, S, True, bd,
                                sps.strong_intra_smoothing)
-        org = np.empty((N, S, S), np.int32)
-        for by in range(nh):
-            for bx in range(nw):
-                org[by * nw + bx] = oy[by * S : by * S + S,
-                                       bx * S : bx * S + S]
+        org = np.ascontiguousarray(
+            oy[: nh * S, : nw * S].reshape(nh, S, nw, S)
+            .transpose(0, 2, 1, 3).reshape(N, S, S))
         # SATD prescreen over all 35 modes (8x8 Hadamard tiles), in
         # float32 BLAS: |values| stay < 2^24 so the result is exact
         dd = (org[:, None] - preds).astype(np.float32)  # (N, 35, S, S)
@@ -204,11 +199,9 @@ def decide_intra_qt(oy, ou, ov, cfg: EncoderConfig, qp: int):
         for plane in (ou, ov):
             ctops, clefts = _openloop_refs(plane, Sc, nh, nw)
             cpreds = _batched_modes(ctops, clefts, Sc, False, bd, False)
-            corg = np.empty((N, Sc, Sc), np.int32)
-            for by in range(nh):
-                for bx in range(nw):
-                    corg[by * nw + bx] = plane[by * Sc : by * Sc + Sc,
-                                               bx * Sc : bx * Sc + Sc]
+            corg = np.ascontiguousarray(
+                plane[: nh * Sc, : nw * Sc].reshape(nh, Sc, nw, Sc)
+                .transpose(0, 2, 1, 3).reshape(N, Sc, Sc))
             for ci in range(5):
                 if ci == 4:
                     am = mode_sel  # DM

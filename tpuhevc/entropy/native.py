@@ -43,6 +43,11 @@ def get_lib():
     lib.tpuhevc_encode_slice_data.argtypes = [
         ctypes.POINTER(ctypes.c_int32)] * 12 + [ctypes.c_int] * 14 + [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    if hasattr(lib, "tpuhevc_encode_slice_data_sao"):
+        lib.tpuhevc_encode_slice_data_sao.restype = ctypes.c_int
+        lib.tpuhevc_encode_slice_data_sao.argtypes = (
+            [ctypes.POINTER(ctypes.c_int32)] * 13 + [ctypes.c_int] * 16
+            + [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int])
     if hasattr(lib, "tpuhevc_decision_walk"):
         lib.tpuhevc_decision_walk.restype = ctypes.c_int
         lib.tpuhevc_decision_walk.argtypes = (
@@ -139,9 +144,12 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
                              slice_type: int = 2, max_merge: int = 5,
                              num_ref: int = 1) -> bytes | None:
     """Full slice-data payload (CABAC bytes + rbsp trailing), or None if
-    the native library is unavailable. slice_type: 2 = I, 1 = P."""
+    the native library is unavailable (or it predates SAO support and the
+    frame carries SAO params). slice_type: 2 = I, 1 = P."""
     lib = get_lib()
     if lib is None:
+        return None
+    if fs.sao is not None and not hasattr(lib, "tpuhevc_encode_slice_data_sao"):
         return None
 
     def ptr(a):
@@ -158,6 +166,31 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
         ptrs.append(p)
     cap = fs.width * fs.height * 4 + 1024
     out = np.empty(cap, dtype=np.uint8)
+    if fs.sao is not None:
+        pp = fs.sao
+        nctu = pp.ny * pp.nx
+        pack = np.zeros((nctu, 18), np.int32)
+        pack[:, 0] = pp.type_y.reshape(-1)
+        pack[:, 1] = pp.aux_y.reshape(-1)
+        pack[:, 2:6] = pp.off_y.reshape(nctu, 4)
+        pack[:, 6] = pp.type_c.reshape(-1)
+        pack[:, 7] = pp.aux_cb.reshape(-1)
+        pack[:, 8:12] = pp.off_cb.reshape(nctu, 4)
+        pack[:, 12] = pp.aux_cr.reshape(-1)
+        pack[:, 13:17] = pp.off_cr.reshape(nctu, 4)
+        pack[:, 17] = pp.merge.reshape(-1)
+        a, p = ptr(pack)
+        keep.append(a)
+        n = lib.tpuhevc_encode_slice_data_sao(
+            *ptrs, p, 1 if pp.luma_on else 0, 1 if pp.chroma_on else 0,
+            fs.width, fs.height, sps.log2_ctu, sps.log2_min_cu,
+            sps.log2_min_tu, sps.log2_max_tu, sps.max_tu_depth_intra,
+            sps.max_tu_depth_inter, slice_type, max_merge,
+            slice_type_row, qp, 1 if pps.sign_data_hiding else 0, num_ref,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n < 0:
+            return None
+        return out[:n].tobytes()
     n = lib.tpuhevc_encode_slice_data(
         *ptrs, fs.width, fs.height, sps.log2_ctu, sps.log2_min_cu,
         sps.log2_min_tu, sps.log2_max_tu, sps.max_tu_depth_intra,
