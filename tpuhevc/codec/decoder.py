@@ -146,7 +146,9 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
 
                     y, u, v = reconstruct_frame_p(fs, sps, hdr.qp,
                                                   ref_list(deltas))
-                if (fs.inter_dir == 0).any():
+                if (fs.inter_dir == 0).any() and not fs.full_features:
+                    # full-feature frames recon intra CUs inside
+                    # reconstruct_frame_p_full already
                     from .recon import reconstruct_intra_cus_inter_frame
 
                     reconstruct_intra_cus_inter_frame(fs, sps, hdr.qp,
