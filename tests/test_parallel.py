@@ -84,3 +84,32 @@ def test_segment_parallel_encoding():
     dec = decode_stream(bs)
     assert len(dec) == n
     assert all(f.md5_ok for f in dec)
+
+
+def test_segment_overlapped_encoding():
+    """Overlap driver: each segment's device chunks dispatched before any
+    collect blocks; stitched stream must decode with every hash OK."""
+    import numpy as np
+
+    from tools.make_test_clip import make_clip
+    from tpuhevc.codec.decoder import decode_stream
+    from tpuhevc.codec.params import EncoderConfig, SeqParams
+    from tpuhevc.parallel.segments import encode_segments_overlapped
+
+    w, h, n = 64, 64, 16
+    raw = make_clip(w, h, n)
+    fsz = w * h * 3 // 2
+    frames = []
+    for i in range(n):
+        b = np.frombuffer(raw[i * fsz : (i + 1) * fsz], np.uint8)
+        frames.append((b[: w * h].reshape(h, w),
+                       b[w * h : w * h * 5 // 4].reshape(h // 2, w // 2),
+                       b[w * h * 5 // 4 :].reshape(h // 2, w // 2)))
+    cfg = EncoderConfig(sps=SeqParams(width=w, height=h,
+                                      max_tu_depth_intra=0),
+                        qp=32, intra_period=-1, fme_mode="none",
+                        inter_backend="jax", num_ref_frames=1)
+    bs, results = encode_segments_overlapped(frames, cfg, n_segments=2)
+    dec = decode_stream(bs)
+    assert len(dec) == n
+    assert all(f.md5_ok for f in dec)

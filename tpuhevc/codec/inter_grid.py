@@ -170,9 +170,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                     ).reshape(1, S, S)
             offs_ = (np.repeat(np.arange(7), 7)[:, None, None] * win
                      + np.tile(np.arange(7), 7)[:, None, None])
-            hit = jnp.asarray((base + offs_).astype(np.int32))
+            hit = (base + offs_).astype(np.int32)
             _IDX49_CACHE[k] = hit
-        return hit
+        return jnp.asarray(hit)  # convert per trace: a cached jnp value
+        # would be a constant tracer leaked across jit re-traces
     rdxs = np.tile(ref_off, 7)      # (49,) offset x per refine point
     rdys = np.repeat(ref_off, 7)    # (49,) offset y
 
@@ -327,9 +328,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                             (base_y + r // 4) * wp + base_x + r % 4)
             inv = np.empty(hp * wp, np.int32)
             inv[idx.reshape(-1)] = np.arange(hp * wp, dtype=np.int32)
-            hit = (jnp.asarray(idx), jnp.asarray(inv))
+            hit = (idx, inv)
             _SBH_IDX_CACHE[(hp, wp)] = hit
-        return hit
+        return jnp.asarray(hit[0]), jnp.asarray(hit[1])
 
     def sbh_plane(lvl, ideal):
         """Device sign-bit-hiding post-pass (signBitHidingHDQ,
