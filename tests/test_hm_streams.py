@@ -46,3 +46,13 @@ def test_decode_hm_ldp_gop4_tmvp(tmp_path):
     fr = decode_stream(bs)
     assert len(fr) == 4
     assert all(f.md5_ok for f in fr)
+
+
+def test_decode_hm_ldp_12frames_partitions(tmp_path):
+    """12-frame LD-P stream exercising AMP/2NxN partitions, TMVP, RQT,
+    per-PU motion and intra CUs in P slices (QP22 arm — higher QPs still
+    have a residual divergence tracked for the next round)."""
+    bs = _hm_encode(tmp_path, REF_CFG_LDP, frames=12, qp=22)
+    fr = decode_stream(bs)
+    assert len(fr) == 12
+    assert all(f.md5_ok for f in fr)

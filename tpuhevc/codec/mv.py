@@ -122,15 +122,17 @@ def temporal_candidate(col: ColMotion, x0: int, y0: int, size: int,
 
 def _neighbor(field: MvField, order: BlockOrder, cur_cell, px: int, py: int):
     """(mv, ref) of the PU covering sample (px, py), if decoded.
-    Cell granularity follows the field (8 for the encoder walk, 4 for
-    the general decoder); `order` must match."""
+
+    Availability = the field's progressive `valid` flag, which is set
+    exactly when a PU's motion has been decoded. A z-scan `precedes`
+    test is WRONG here: for an Nx2N CU the first PU's bottom-left cells
+    have a LATER z-address than the second PU's origin, yet PU0 is
+    decoded and must serve as PU1's AMVP candA (HM getPULeft has no
+    z-check; the merge-specific exclusions are handled by `excl`)."""
     if px < 0 or py < 0:
         return None
     c = field.cell
-    xc, yc = px // c, py // c
-    if not order.precedes(xc, yc, cur_cell[0], cur_cell[1]):
-        return None
-    return field.at(xc, yc)
+    return field.at(px // c, py // c)
 
 
 def merge_candidates(field: MvField, order: BlockOrder, x0: int, y0: int,

@@ -115,6 +115,65 @@ def boundary_strength(fs, is_intra_slice: bool, axis: int) -> np.ndarray:
     return bs
 
 
+def _grp_any(m: np.ndarray, f: int) -> np.ndarray:
+    if f == 1:
+        return m
+    hh, ww = m.shape
+    hq, wq = -(-hh // f) * f, -(-ww // f) * f
+    mp = np.zeros((hq, wq), bool)
+    mp[:hh, :ww] = m
+    g = mp.reshape(hq // f, f, wq // f, f).any((1, 3))
+    return np.repeat(np.repeat(g, f, 0), f, 1)[:hh, :ww]
+
+
+def boundary_strength_full(fs, axis: int) -> np.ndarray:
+    """(h8, w8, 2) per-4-sample-segment BS for P slices with the full
+    parsed feature set (rectangular PUs via fs.mv4/ref4, RQT leaves via
+    fs.tu_log2, intra CUs -> bs 2): §8.7.2.4 at the spec's segment
+    granularity. axis 0 = vertical edges (left of cell), 1 = horizontal."""
+    h4, w4 = fs.tu_log2.shape
+    h8, w8 = h4 // 2, w4 // 2
+    cu4 = np.repeat(np.repeat(fs.cu_log2, 2, 0), 2, 1).astype(np.int64)
+    tu4 = np.where(fs.tu_log2 < 0, np.minimum(cu4, 5),
+                   fs.tu_log2).astype(np.int64)
+    intra4 = np.repeat(np.repeat(fs.inter_dir == 0, 2, 0), 2, 1)
+    # per-4-cell luma TB cbf (any nonzero coeff in the containing TB)
+    nz4 = fs.coeff_y.reshape(h4, 4, w4, 4).astype(bool).any((1, 3))
+    cbf4 = np.zeros((h4, w4), bool)
+    for l in (2, 3, 4, 5):
+        cbf4 = np.where(tu4 == l, _grp_any(nz4, 1 << (l - 2)), cbf4)
+    mv = fs.mv4
+    ref = fs.ref4
+
+    if axis == 0:  # vertical edges at x = 8*x8; segments along y (h4)
+        xq = np.arange(0, w4, 2)
+        xp = np.maximum(xq - 1, 0)
+        x0 = (xq // 2 * 8)[None, :]
+        tu_edge = (x0 % (np.int64(1) << tu4[:, xq])) == 0
+        cu_edge = (x0 % (np.int64(1) << cu4[:, xq])) == 0
+        mv_far = ((np.abs(mv[:, xq] - mv[:, xp]) >= 4).any(-1)
+                  | (ref[:, xq] != ref[:, xp]))
+        isx = intra4[:, xq] | intra4[:, xp]
+        cbfx = cbf4[:, xq] | cbf4[:, xp]
+        bs = np.where(isx & (cu_edge | tu_edge), 2,
+                      ((tu_edge & cbfx) | mv_far).astype(np.int64))
+        bs[:, 0] = 0  # picture boundary
+        return bs.reshape(h8, 2, w8).transpose(0, 2, 1).astype(np.int32)
+    yq = np.arange(0, h4, 2)
+    yp = np.maximum(yq - 1, 0)
+    y0 = (yq // 2 * 8)[:, None]
+    tu_edge = (y0 % (np.int64(1) << tu4[yq])) == 0
+    cu_edge = (y0 % (np.int64(1) << cu4[yq])) == 0
+    mv_far = ((np.abs(mv[yq] - mv[yp]) >= 4).any(-1)
+              | (ref[yq] != ref[yp]))
+    isx = intra4[yq] | intra4[yp]
+    cbfx = cbf4[yq] | cbf4[yp]
+    bs = np.where(isx & (cu_edge | tu_edge), 2,
+                  ((tu_edge & cbfx) | mv_far).astype(np.int64))
+    bs[0, :] = 0
+    return bs.reshape(h8, w4).reshape(h8, w8, 2).astype(np.int32)
+
+
 def _filter_luma_lines(p, q, tc, beta, mask):
     """Filter across one edge for a batch of 4-line segments.
     p, q: (N, 4, 4) samples, p[:, :, 0] nearest the edge reversed so
@@ -187,12 +246,15 @@ def _filter_luma_lines(p, q, tc, beta, mask):
 
 
 def _deblock_luma_dir(plane, bs8, qp, vertical: bool):
-    """One direction over the whole plane. bs8: (h8, w8) per-cell edge BS."""
+    """One direction over the whole plane. bs8: (h8, w8) per-cell edge
+    BS, or (h8, w8, 2) with per-4-sample-segment BS (partitioned
+    streams)."""
     h, w = plane.shape
-    h8, w8 = bs8.shape
+    if bs8.ndim == 2:
+        bs8 = np.repeat(bs8[:, :, None], 2, axis=2)
+    h8, w8 = bs8.shape[:2]
     # collect 4-line segments: each cell edge has two segments
-    segs = []  # (y8, x8, line_offset)
-    cells = np.nonzero(bs8 > 0)
+    cells = np.nonzero(bs8.max(axis=2) > 0)
     if len(cells[0]) == 0:
         return plane
     n = len(cells[0]) * 2
@@ -213,14 +275,14 @@ def _deblock_luma_dir(plane, bs8, qp, vertical: bool):
                 x = x8 * 8 + half * 4
                 q[k] = plane[y : y + 4, x : x + 4].T
                 p[k] = plane[y - 4 : y, x : x + 4][::-1].T
-            bs[k] = bs8[y8, x8]
+            bs[k] = bs8[y8, x8, half]
             coords.append((y, x))
             k += 1
     qidx_b = np.clip(qp, 0, 51)
     beta = np.full(n, int(BETA_TABLE[qidx_b]), dtype=np.int32)
     qidx_t = np.clip(qp + 2 * (bs - 1), 0, 53)
     tc = TC_TABLE[qidx_t].astype(np.int32)
-    mask = tc >= 0  # all collected segments are real edges
+    mask = bs > 0  # per-segment BS can be 0 in partitioned streams
     fp, fq = _filter_luma_lines(p, q, tc, beta, mask)
     out = plane.copy()
     for k2, (y, x) in enumerate(coords):
@@ -235,7 +297,11 @@ def _deblock_luma_dir(plane, bs8, qp, vertical: bool):
 
 def _deblock_chroma_dir(plane, bs8, qp_c, vertical: bool):
     """Chroma: BS==2 edges only, on the 8-chroma-sample grid (every other
-    luma cell edge for 4:2:0), 2-tap delta filter (§8.7.2.5.5)."""
+    luma cell edge for 4:2:0), 2-tap delta filter (§8.7.2.5.5). With a
+    per-segment (h8, w8, 2) BS the even luma segment's value applies
+    (HM xEdgeFilterChroma doubles the segment index)."""
+    if bs8.ndim == 3:
+        bs8 = bs8[:, :, 0]
     h8, w8 = bs8.shape
     out = plane.copy().astype(np.int32)
     qidx = np.clip(qp_c + 2, 0, 53)
@@ -280,11 +346,15 @@ def deblock_frame(planes, fs, qp: int, is_intra_slice: bool):
     unfiltered samples, matching the normative decoding order)."""
     y, u, v = (np.asarray(p).astype(np.int32) for p in planes)
     qpc = chroma_qp(qp)
-    bs_v = boundary_strength(fs, is_intra_slice, 0)
+    full = (not is_intra_slice and getattr(fs, "full_features", False)
+            and fs.mv4 is not None)
+    bs_v = (boundary_strength_full(fs, 0) if full
+            else boundary_strength(fs, is_intra_slice, 0))
     y = _deblock_luma_dir(y, bs_v, qp, True)
     u = _deblock_chroma_dir(u, bs_v, qpc, True)
     v = _deblock_chroma_dir(v, bs_v, qpc, True)
-    bs_h = boundary_strength(fs, is_intra_slice, 1)
+    bs_h = (boundary_strength_full(fs, 1) if full
+            else boundary_strength(fs, is_intra_slice, 1))
     y = _deblock_luma_dir(y, bs_h, qp, False)
     u = _deblock_chroma_dir(u, bs_h, qpc, False)
     v = _deblock_chroma_dir(v, bs_h, qpc, False)
