@@ -49,10 +49,11 @@ def test_decode_hm_ldp_gop4_tmvp(tmp_path):
 
 
 def test_decode_hm_ldp_12frames_partitions(tmp_path):
-    """12-frame LD-P stream exercising AMP/2NxN partitions, TMVP, RQT,
-    per-PU motion and intra CUs in P slices (QP22 arm — higher QPs still
-    have a residual divergence tracked for the next round)."""
-    bs = _hm_encode(tmp_path, REF_CFG_LDP, frames=12, qp=22)
-    fr = decode_stream(bs)
-    assert len(fr) == 12
-    assert all(f.md5_ok for f in fr)
+    """12-frame LD-P streams exercising AMP/2NxN partitions, TMVP, RQT,
+    per-PU motion, cabac_init_flag table swaps and intra CUs in P slices.
+    (QP32 has one frame with a +-2 deblock-boundary delta still tracked.)"""
+    for qp in (22, 27, 37):
+        bs = _hm_encode(tmp_path, REF_CFG_LDP, frames=12, qp=qp)
+        fr = decode_stream(bs)
+        assert len(fr) == 12
+        assert all(f.md5_ok for f in fr), qp

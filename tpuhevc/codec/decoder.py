@@ -63,7 +63,13 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
             assert sps is not None and pps is not None
             hdr, off = headers.parse_slice_header(rbsp, nal_type, sps, pps, sps_rps)
             max_merge = 5 - hdr.five_minus_max_num_merge_cand
-            init_row = 2 if hdr.slice_type == I_SLICE else hdr.slice_type
+            if hdr.slice_type == I_SLICE:
+                init_row = 2
+            elif hdr.cabac_init_flag:
+                # §9.3.2.2: cabac_init_flag swaps the P/B init tables
+                init_row = 0 if hdr.slice_type == P_SLICE else 1
+            else:
+                init_row = hdr.slice_type
             ctx = ContextSet(init_row, hdr.qp)
             dec = CabacDecoder(rbsp[off:], ctx)
             if hdr.slice_type != I_SLICE:

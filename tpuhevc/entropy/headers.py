@@ -403,6 +403,7 @@ class SliceHeader:
     num_ref_idx_l0: int = 1
     num_ref_idx_l1: int = 0
     five_minus_max_num_merge_cand: int = 0
+    cabac_init_flag: bool = False
     collocated_from_l0: bool = True
     collocated_ref_idx: int = 0
     temporal_id: int = 0
@@ -519,7 +520,7 @@ def parse_slice_header(
         if hdr.slice_type == B_SLICE:
             r.read_flag()
         if pps.cabac_init_present:
-            r.read_flag()
+            hdr.cabac_init_flag = bool(r.read_flag())
         if hdr.temporal_mvp:
             if hdr.slice_type == B_SLICE:
                 hdr.collocated_from_l0 = bool(r.read_flag())

@@ -913,6 +913,9 @@ def _dec_cu_p(dec, sc, x0, y0, log2):
         return
     pred_mode = dec.decode_bin(CTX_OFFSET["pred_mode_flag"])
     if pred_mode == 1:  # intra CU in a P slice
+        if log2 > 3:
+            # the legacy intra-in-P recon pass only handles 8x8 CUs
+            sc.fs.full_features = True
         _dec_cu(dec, sc, x0, y0, log2)
         s8 = 1 << (log2 - 3)
         y8, x8 = y0 // 8, x0 // 8
