@@ -50,9 +50,8 @@ def test_decode_hm_ldp_gop4_tmvp(tmp_path):
 
 def test_decode_hm_ldp_12frames_partitions(tmp_path):
     """12-frame LD-P streams exercising AMP/2NxN partitions, TMVP, RQT,
-    per-PU motion, cabac_init_flag table swaps and intra CUs in P slices.
-    (QP32 has one frame with a +-2 deblock-boundary delta still tracked.)"""
-    for qp in (22, 27, 37):
+    per-PU motion, cabac_init_flag table swaps and intra CUs in P slices."""
+    for qp in (22, 27, 32, 37):
         bs = _hm_encode(tmp_path, REF_CFG_LDP, frames=12, qp=qp)
         fr = decode_stream(bs)
         assert len(fr) == 12

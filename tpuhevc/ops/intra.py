@@ -62,8 +62,11 @@ def smooth_refs_np(top: np.ndarray, left: np.ndarray, bit_depth: int = 8,
         i = np.arange(1, s2)
         ft = top.copy()
         fl = left.copy()
-        ft[..., 1:s2] = ((63 - i) * tl[..., None] + (i + 1) * tr[..., None] + 32) >> 6
-        fl[..., 1:s2] = ((63 - i) * tl[..., None] + (i + 1) * bl[..., None] + 32) >> 6
+        # pF at array index i = ((2N-i)*TL + i*TR + N) >> (log2(2N)); the
+        # reference writes ((uiTuWidth2-i)*topLeft + i*topRight +
+        # uiTuWidth) >> shift (TComPattern.cpp:279)
+        ft[..., 1:s2] = ((s2 - i) * tl[..., None] + i * tr[..., None] + 32) >> 6
+        fl[..., 1:s2] = ((s2 - i) * tl[..., None] + i * bl[..., None] + 32) >> 6
         return ft, fl
     ft = top.copy()
     fl = left.copy()
@@ -249,8 +252,8 @@ def _strong_refs_jnp(t, l):
     tl = t[:, 0:1]
     tr = t[:, s2 : s2 + 1]
     bl = l[:, s2 : s2 + 1]
-    ft_mid = ((63 - i) * tl + (i + 1) * tr + 32) >> 6
-    fl_mid = ((63 - i) * tl + (i + 1) * bl + 32) >> 6
+    ft_mid = ((s2 - i) * tl + i * tr + 32) >> 6
+    fl_mid = ((s2 - i) * tl + i * bl + 32) >> 6
     ft = jnp.concatenate([tl, ft_mid, tr], axis=-1)
     fl = jnp.concatenate([tl, fl_mid, bl], axis=-1)
     return ft, fl
@@ -423,9 +426,9 @@ def predict_all_modes_np(top, left, size: int, is_luma: bool = True,
             i = np.arange(1, s2)
             tl_, tr_, bl_ = t[:, 0:1], t[:, s2 : s2 + 1], l[:, s2 : s2 + 1]
             st = np.concatenate(
-                [tl_, ((63 - i) * tl_ + (i + 1) * tr_ + 32) >> 6, tr_], -1)
+                [tl_, ((s2 - i) * tl_ + i * tr_ + 32) >> 6, tr_], -1)
             sl = np.concatenate(
-                [tl_, ((63 - i) * tl_ + (i + 1) * bl_ + 32) >> 6, bl_], -1)
+                [tl_, ((s2 - i) * tl_ + i * bl_ + 32) >> 6, bl_], -1)
             ft = np.where(ok, st, ft)
             fl = np.where(ok, sl, fl)
     else:
