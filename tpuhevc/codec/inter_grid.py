@@ -35,6 +35,7 @@ from ..utils.tables import chroma_qp, qp_to_lambda
 from .params import EncoderConfig, p_frame_lambda
 
 _BUILD_CACHE: dict = {}
+_PROBES: dict = {}  # stage closures of the last build (profiling hooks)
 
 # experiment knobs (ablation / debugging; part of the build cache key)
 _TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True, zme=True)
@@ -1549,6 +1550,23 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         # (post-sweep map, full-pel)
         seed16 = (mv_map[::2, ::2].reshape(n16, 2) // 4).astype(jnp.int32)
         return (new_ry, new_ruv, seed16), jnp.concatenate(parts)
+
+    # stage probes: tools/profile_grid.py times these closures standalone
+    # (registering costs nothing — jit is lazy, nothing traces here)
+    _PROBES.clear()
+    _PROBES.update(dict(
+        coarse_stack=coarse_stack, pick_coarse=pick_coarse, refine=refine,
+        luma_planes_all=luma_planes_all, chroma_planes_all=chroma_planes_all,
+        cand_sweep=cand_sweep, class_code=class_code, cu_cost=cu_cost,
+        rdoq_plane=rdoq_plane, sbh_plane=sbh_plane, ideal_plane=ideal_plane,
+        deblock_device=deblock_device, sao_device=sao_device,
+        satd8_plane=satd8_plane, pred_satd_z=pred_satd_z,
+        subpel_refine=subpel_refine, nn_refine=nn_refine,
+        fwd_tx=fwd_tx, inv_tx=inv_tx, frame_step=frame_step,
+        meta=dict(W=W, H=H, sr=sr, qps=qps, R=R, nc=nc, R2=R2,
+                  tabs_by_qp=tabs_by_qp, HmL=HmL, WmL=WmL, HmC=HmC,
+                  WmC=WmC, Hc=Hc, Wc=Wc, G=G),
+    ))
 
     def gop_step(carry, xs):
         frames_g, navail_g = xs

@@ -34,7 +34,7 @@ def write_ptl(w: BitWriter, sps: SeqParams) -> None:
     w.write(sps.level_idc, 8)        # general_level_idc
 
 
-def parse_ptl(r: BitReader) -> dict:
+def parse_ptl(r: BitReader, max_sub_layers_minus1: int = 0) -> dict:
     out = {}
     r.read(2)
     out["tier"] = r.read(1)
@@ -45,6 +45,22 @@ def parse_ptl(r: BitReader) -> dict:
     r.read(21)
     r.read(1)
     out["level_idc"] = r.read(8)
+    # sub-layer PTL entries (§7.3.3): present for temporal-scalable
+    # streams (the reference's RA GOP8 has 4 temporal layers)
+    if max_sub_layers_minus1 > 0:
+        prof, lvl = [], []
+        for _ in range(max_sub_layers_minus1):
+            prof.append(r.read_flag())
+            lvl.append(r.read_flag())
+        for _ in range(max_sub_layers_minus1, 8):
+            r.read(2)  # reserved_zero_2bits
+        for i in range(max_sub_layers_minus1):
+            if prof[i]:
+                r.read(32)
+                r.read(32)
+                r.read(24)  # 88-bit sub_layer profile block
+            if lvl[i]:
+                r.read(8)
     return out
 
 
@@ -247,9 +263,9 @@ def parse_sps(data: bytes) -> tuple[SeqParams, list[ShortTermRPS]]:
     r = BitReader(data)
     sps = SeqParams()
     r.read(4)
-    r.read(3)
+    max_sub_m1 = r.read(3)
     r.read(1)
-    ptl = parse_ptl(r)
+    ptl = parse_ptl(r, max_sub_m1)
     sps.profile_idc = ptl["profile_idc"]
     sps.level_idc = ptl["level_idc"]
     r.read_ue()  # sps id
@@ -266,9 +282,10 @@ def parse_sps(data: bytes) -> tuple[SeqParams, list[ShortTermRPS]]:
     r.read_ue()  # chroma bit depth
     sps.log2_max_poc_lsb = 4 + r.read_ue()
     sub_layer_info = r.read_flag()
-    sps.max_dec_pic_buffering = r.read_ue() + 1
-    sps.num_reorder_pics = r.read_ue()
-    r.read_ue()
+    for _ in range(max_sub_m1 + 1 if sub_layer_info else 1):
+        sps.max_dec_pic_buffering = r.read_ue() + 1  # keep highest layer's
+        sps.num_reorder_pics = r.read_ue()
+        r.read_ue()
     sps.log2_min_cu = 3 + r.read_ue()
     sps.log2_ctu = sps.log2_min_cu + r.read_ue()
     sps.log2_min_tu = 2 + r.read_ue()
