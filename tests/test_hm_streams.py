@@ -14,6 +14,7 @@ from tpuhevc.codec.decoder import decode_stream
 HM_ENC = "/tmp/hmref/TAppEncoder"
 REF_CFG_AI = "/root/reference/cfg/encoder_intra_main.cfg"
 REF_CFG_LDP = "/root/reference/cfg/encoder_lowdelay_P_main.cfg"
+REF_CFG_RA = "/root/reference/cfg/encoder_randomaccess_main.cfg"
 
 
 def _hm_encode(tmp_path, cfg, frames, qp=32, w=192, h=128):
@@ -56,3 +57,17 @@ def test_decode_hm_ldp_12frames_partitions(tmp_path):
         fr = decode_stream(bs)
         assert len(fr) == 12
         assert all(f.md5_ok for f in fr), qp
+
+
+def test_decode_hm_randomaccess(tmp_path):
+    """17-frame RA streams (GOP8 hierarchical B, 4 temporal sub-layers,
+    reordering, two-list TMVP with collocated_from_l0 switching,
+    bi-prediction, mvd_l1_zero on backward-only key B pictures, B-slice
+    partitions + RQT, two-list deblock BS)."""
+    for qp in (27, 37):
+        bs = _hm_encode(tmp_path, REF_CFG_RA, frames=17, qp=qp)
+        fr = decode_stream(bs)
+        assert len(fr) == 17
+        assert all(f.md5_ok for f in fr), qp
+        # decode order differs from output order (reordering)
+        assert [f.poc for f in fr] != sorted(f.poc for f in fr)

@@ -37,9 +37,12 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
     sps_rps: list = []
     frames: list[DecodedFrame] = []
     cols: dict = {}  # poc -> ColMotion (TMVP collocated-picture motion)
+    cols_b: dict = {}  # poc -> ColMotionB (two-list TMVP for B slices)
     pending = None  # last decoded picture awaiting its suffix SEI
+    prev_tid0 = (0, 0)  # (poc_msb, poc_lsb) of the last temporal-id-0 pic
     for nal in nals:
         nal_type = (nal[0] >> 1) & 0x3F
+        temporal_id = (nal[1] & 7) - 1
         rbsp = bitio.ebsp_to_rbsp(nal[2:])
         if nal_type == bitio.NAL_VPS:
             continue
@@ -62,6 +65,23 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
         if nal_type <= 31:  # VCL
             assert sps is not None and pps is not None
             hdr, off = headers.parse_slice_header(rbsp, nal_type, sps, pps, sps_rps)
+            # PicOrderCntVal (§8.3.1): MSB continuation from the previous
+            # temporal-id-0 picture; IDR resets to 0
+            if bitio.is_idr(hdr.nal_type):
+                prev_tid0 = (0, 0)
+            else:
+                max_lsb = 1 << sps.log2_max_poc_lsb
+                pm, pl = prev_tid0
+                lsb = hdr.poc
+                if lsb < pl and (pl - lsb) >= max_lsb // 2:
+                    msb = pm + max_lsb
+                elif lsb > pl and (lsb - pl) > max_lsb // 2:
+                    msb = pm - max_lsb
+                else:
+                    msb = pm
+                hdr.poc = msb + lsb
+                if temporal_id == 0:
+                    prev_tid0 = (msb, lsb)
             max_merge = 5 - hdr.five_minus_max_num_merge_cand
             if hdr.slice_type == I_SLICE:
                 init_row = 2
@@ -90,10 +110,19 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                     if num_ref_l1 else []
             else:
                 deltas, num_ref, l1_deltas, num_ref_l1 = [], 1, [], 0
-            col = None
+            col = col_b = None
+            check_ldc = (hdr.slice_type != I_SLICE
+                         and all(d > 0 for d in deltas)
+                         and all(d > 0 for d in l1_deltas))
             if hdr.slice_type != I_SLICE and hdr.temporal_mvp and deltas:
-                ci = min(hdr.collocated_ref_idx, len(deltas) - 1)
-                col = cols.get(hdr.poc - deltas[ci])
+                # col picture: list per collocated_from_l0 (B), L0 for P
+                # (TComDataCU.cpp:2995)
+                src = (deltas if (hdr.slice_type == P_SLICE
+                                  or hdr.collocated_from_l0)
+                       else (l1_deltas or deltas))
+                ci = min(hdr.collocated_ref_idx, len(src) - 1)
+                col = cols.get(hdr.poc - src[ci])
+                col_b = cols_b.get(hdr.poc - src[ci])
             if pps.entropy_coding_sync:
                 from ..entropy.syntax import decode_slice_data_wpp
 
@@ -103,7 +132,9 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                     hdr.slice_type, max_merge, sao_luma=hdr.sao_luma,
                     sao_chroma=hdr.sao_chroma, num_ref=num_ref,
                     ref_deltas=deltas, num_ref_l1=num_ref_l1,
-                    l1_deltas=l1_deltas, col=col)
+                    l1_deltas=l1_deltas, col=col, col_b=col_b,
+                    col_from_l0=hdr.collocated_from_l0,
+                    check_ldc=check_ldc, mvd_l1_zero=hdr.mvd_l1_zero)
             else:
                 fs = decode_slice_data(dec, sps, pps, sps.coded_width,
                                        sps.coded_height, hdr.slice_type,
@@ -111,12 +142,21 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                                        sao_chroma=hdr.sao_chroma,
                                        num_ref=num_ref, ref_deltas=deltas,
                                        num_ref_l1=num_ref_l1,
-                                       l1_deltas=l1_deltas, col=col)
+                                       l1_deltas=l1_deltas, col=col,
+                                       col_b=col_b,
+                                       col_from_l0=hdr.collocated_from_l0,
+                                       check_ldc=check_ldc,
+                                       mvd_l1_zero=hdr.mvd_l1_zero)
             if hdr.slice_type != I_SLICE:
                 from .mv import ColMotion
+                from .mv_b import ColMotionB
 
-                cols[hdr.poc] = ColMotion(
-                    fs, [hdr.poc - d for d in deltas], hdr.poc)
+                l0_abs = [hdr.poc - d for d in deltas]
+                l1_abs = [hdr.poc - d for d in l1_deltas]
+                cols[hdr.poc] = ColMotion(fs, l0_abs, hdr.poc)
+                cols_b[hdr.poc] = ColMotionB(fs, l0_abs, l1_abs, hdr.poc)
+                fs.l0_pocs = l0_abs  # for two-list deblock BS
+                fs.l1_pocs = l1_abs
             if hdr.slice_type == I_SLICE:
                 if fs.full_features:
                     from .recon_full import reconstruct_frame_full
@@ -137,11 +177,18 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                     return out
 
                 if hdr.slice_type == B_SLICE:
-                    from .inter_b import reconstruct_frame_b
+                    if fs.full_features or (fs.cu_log2 > 5).any():
+                        from .recon_full import reconstruct_frame_p_full
 
-                    y, u, v = reconstruct_frame_b(
-                        fs, sps, hdr.qp, ref_list(deltas),
-                        ref_list(l1_deltas))
+                        y, u, v = reconstruct_frame_p_full(
+                            fs, sps, hdr.qp, ref_list(deltas),
+                            l1_recon=ref_list(l1_deltas))
+                    else:
+                        from .inter_b import reconstruct_frame_b
+
+                        y, u, v = reconstruct_frame_b(
+                            fs, sps, hdr.qp, ref_list(deltas),
+                            ref_list(l1_deltas))
                 elif fs.full_features:
                     from .recon_full import reconstruct_frame_p_full
 

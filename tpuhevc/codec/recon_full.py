@@ -107,21 +107,29 @@ def _chroma_resolver(fs):
     return resolve
 
 
-def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon):
-    """P-frame reconstruction honoring rectangular partitions (mv4/ref4
-    at 4-sample granularity), the parsed TU tree, transform skip, and
-    intra CUs (full feature set) — TDecCu::xReconInter counterpart for
-    foreign streams. MC is per 4x4 cell: block partitioning does not
-    change per-sample interpolation, so this equals per-PU MC."""
-    from ..ops.interp import mc_np
+def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon, l1_recon=None):
+    """P/B-frame reconstruction honoring rectangular partitions (mv4/ref4
+    at 4-sample granularity, two lists via dir4/mv4_l1), the parsed TU
+    tree, transform skip, and intra CUs (full feature set) —
+    TDecCu::xReconInter counterpart for foreign streams. MC is per 4x4
+    cell: block partitioning does not change per-sample interpolation, so
+    this equals per-PU MC; bi-prediction averages the two 14-bit
+    intermediates (§8.5.3.3.3)."""
+    from ..ops.interp import bi_average_np, mc_np, mc_np14
 
     bd = sps.bit_depth
     w, h = fs.width, fs.height
-    if isinstance(ref_recon, tuple) or (isinstance(ref_recon, list)
-                                        and len(ref_recon) == 3
-                                        and hasattr(ref_recon[0], "shape")):
-        ref_recon = [ref_recon]
-    refs = [tuple(p.astype(np.int32) for p in r) for r in ref_recon]
+
+    def as_list(r):
+        if r is None:
+            return []
+        if isinstance(r, tuple) or (isinstance(r, list) and len(r) == 3
+                                    and hasattr(r[0], "shape")):
+            r = [r]
+        return [tuple(p.astype(np.int32) for p in x) for x in r]
+
+    refs = as_list(ref_recon)
+    refs1 = as_list(l1_recon)
     qpc = chroma_qp(qp)
     h4, w4 = h // 4, w // 4
     ys4, xs4 = np.mgrid[0:h4, 0:w4]
@@ -130,23 +138,56 @@ def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon):
     mv4 = fs.mv4.reshape(-1, 2)
     ref4 = np.minimum(fs.ref4.reshape(-1), len(refs) - 1)
     intra4 = np.repeat(np.repeat(fs.inter_dir == 0, 2, 0), 2, 1).reshape(-1)
+    if refs1:
+        dir4 = fs.dir4.reshape(-1)
+        mv4b = fs.mv4_l1.reshape(-1, 2)
+        ref4b = np.minimum(fs.ref4_l1.reshape(-1), len(refs1) - 1)
+    else:
+        dir4 = np.ones(h4 * w4, np.int32)
+        mv4b = ref4b = None
 
     rec_y = np.zeros((h, w), np.int32)
     rec_u = np.zeros((h // 2, w // 2), np.int32)
     rec_v = np.zeros((h // 2, w // 2), np.int32)
-    for r in range(len(refs)):
-        m = (ref4 == r) & ~intra4
-        if not m.any():
-            continue
-        ry, ru, rv = refs[r]
-        p = mc_np(ry, xs4[m], ys4[m], mv4[m], 4, True, bd)
-        for i, (bx, by) in enumerate(zip(xs4[m], ys4[m])):
-            rec_y[by : by + 4, bx : bx + 4] = p[i]
-        pu = mc_np(ru, xs4[m] // 2, ys4[m] // 2, mv4[m], 2, False, bd)
-        pv = mc_np(rv, xs4[m] // 2, ys4[m] // 2, mv4[m], 2, False, bd)
-        for i, (bx, by) in enumerate(zip(xs4[m] // 2, ys4[m] // 2)):
-            rec_u[by : by + 2, bx : bx + 2] = pu[i]
-            rec_v[by : by + 2, bx : bx + 2] = pv[i]
+
+    def paste_uni(m, rlist, ridx, mvs):
+        for r in range(len(rlist)):
+            mm = m & (ridx == r)
+            if not mm.any():
+                continue
+            ry, ru, rv = rlist[r]
+            p = mc_np(ry, xs4[mm], ys4[mm], mvs[mm], 4, True, bd)
+            for i, (bx, by) in enumerate(zip(xs4[mm], ys4[mm])):
+                rec_y[by : by + 4, bx : bx + 4] = p[i]
+            pu = mc_np(ru, xs4[mm] // 2, ys4[mm] // 2, mvs[mm], 2, False,
+                       bd)
+            pv = mc_np(rv, xs4[mm] // 2, ys4[mm] // 2, mvs[mm], 2, False,
+                       bd)
+            for i, (bx, by) in enumerate(zip(xs4[mm] // 2, ys4[mm] // 2)):
+                rec_u[by : by + 2, bx : bx + 2] = pu[i]
+                rec_v[by : by + 2, bx : bx + 2] = pv[i]
+
+    paste_uni((dir4 == 1) & ~intra4, refs, ref4, mv4)
+    if refs1:
+        paste_uni((dir4 == 2) & ~intra4, refs1, ref4b, mv4b)
+        bi = (dir4 == 3) & ~intra4
+        for r0 in range(len(refs)):
+            for r1 in range(len(refs1)):
+                mm = bi & (ref4 == r0) & (ref4b == r1)
+                if not mm.any():
+                    continue
+                for ci, (sz, lum, out) in enumerate(
+                        ((4, True, rec_y), (2, False, rec_u),
+                         (2, False, rec_v))):
+                    f = 1 if lum else 2
+                    a = mc_np14(refs[r0][ci], xs4[mm] // f, ys4[mm] // f,
+                                mv4[mm], sz, lum, bd)
+                    b = mc_np14(refs1[r1][ci], xs4[mm] // f, ys4[mm] // f,
+                                mv4b[mm], sz, lum, bd)
+                    p = bi_average_np(a, b, bd)
+                    for i, (bx, by) in enumerate(zip(xs4[mm] // f,
+                                                     ys4[mm] // f)):
+                        out[by : by + sz, bx : bx + sz] = p[i]
 
     # residual per TU leaf (inter CUs; DCT, diag scan, optional TS)
     def add_resi(plane, coeff_pl, x0, y0, size, cqp, tsf):

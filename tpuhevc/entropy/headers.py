@@ -421,6 +421,7 @@ class SliceHeader:
     num_ref_idx_l1: int = 0
     five_minus_max_num_merge_cand: int = 0
     cabac_init_flag: bool = False
+    mvd_l1_zero: bool = False
     collocated_from_l0: bool = True
     collocated_ref_idx: int = 0
     temporal_id: int = 0
@@ -466,7 +467,7 @@ def write_slice_header(
             if hdr.slice_type == B_SLICE:
                 w.write_ue(hdr.num_ref_idx_l1 - 1)
         if hdr.slice_type == B_SLICE:
-            w.write_flag(0)  # mvd_l1_zero_flag
+            w.write_flag(hdr.mvd_l1_zero)
         if pps.cabac_init_present:
             w.write_flag(0)
         if hdr.temporal_mvp:
@@ -535,7 +536,7 @@ def parse_slice_header(
             if hdr.slice_type == B_SLICE:
                 hdr.num_ref_idx_l1 = r.read_ue() + 1
         if hdr.slice_type == B_SLICE:
-            r.read_flag()
+            hdr.mvd_l1_zero = bool(r.read_flag())
         if pps.cabac_init_present:
             hdr.cabac_init_flag = bool(r.read_flag())
         if hdr.temporal_mvp:

@@ -62,6 +62,9 @@ class FrameSyntax:
     ts_cr: np.ndarray = None
     mv4: np.ndarray = None         # (h4, w4, 2) PU-granularity motion
     ref4: np.ndarray = None
+    mv4_l1: np.ndarray = None      # B slices: L1 PU-granularity motion
+    ref4_l1: np.ndarray = None
+    dir4: np.ndarray = None        # inter_pred_idc per 4-cell (1/2/3)
     full_features: bool = False
 
     def __post_init__(self):
@@ -81,6 +84,12 @@ class FrameSyntax:
             self.mv4 = np.zeros((h4, w4, 2), dtype=np.int32)
         if self.ref4 is None:
             self.ref4 = np.zeros((h4, w4), dtype=np.int32)
+        if self.mv4_l1 is None:
+            self.mv4_l1 = np.zeros((h4, w4, 2), dtype=np.int32)
+        if self.ref4_l1 is None:
+            self.ref4_l1 = np.zeros((h4, w4), dtype=np.int32)
+        if self.dir4 is None:
+            self.dir4 = np.ones((h4, w4), dtype=np.int32)
         if self.cu_log2 is None:
             self.cu_log2 = np.full((h8, w8), 3, dtype=np.int32)
         if self.luma_mode is None:
@@ -140,6 +149,10 @@ class _SliceCoder:
         self.l1_pocs = []
         # TMVP (decode side): collocated-picture motion + current POC
         self.col = None
+        self.col_b = None          # two-list ColMotionB for B slices
+        self.col_from_l0 = True
+        self.check_ldc = False     # all refs (both lists) precede cur
+        self.mvd_l1_zero = False
         self.cur_poc = 0
         self.ctu = sps.ctu_size
         self.log2_ctu = sps.log2_ctu
@@ -160,7 +173,7 @@ class _SliceCoder:
             self.order4 = BlockOrder(self.w, self.h, self.log2_ctu,
                                      cell_log2=2)
             self.mvfield = MvField(self.w // 8, self.h // 8, cell=4)
-            self.mvfield_b = MvFieldB(self.w // 8, self.h // 8)
+            self.mvfield_b = MvFieldB(self.w // 8, self.h // 8, cell=4)
 
     # --- context helpers ---------------------------------------------------
     def split_ctx(self, x0: int, y0: int, depth: int) -> int:
@@ -491,11 +504,19 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
                       max_merge: int = 5, sao_luma: bool = False,
                       sao_chroma: bool = False, num_ref: int = 1,
                       ref_deltas=None, num_ref_l1: int = 0,
-                      l1_deltas=None, col=None) -> FrameSyntax:
+                      l1_deltas=None, col=None, col_b=None,
+                      col_from_l0: bool = True, check_ldc: bool = False,
+                      mvd_l1_zero: bool = False,
+                      cur_poc: int = 0) -> FrameSyntax:
     fs = FrameSyntax(width, height)
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
                      ref_deltas)
     sc.col = col
+    sc.col_b = col_b
+    sc.col_from_l0 = col_from_l0
+    sc.check_ldc = check_ldc
+    sc.mvd_l1_zero = mvd_l1_zero
+    sc.cur_poc = cur_poc
     if num_ref_l1:
         sc.num_ref_l1 = num_ref_l1
         sc.l1_pocs = [-d for d in l1_deltas]
@@ -1194,7 +1215,43 @@ def _mark_inter_cu_b(sc, x0, y0, log2, inter_dir, mv0, ref0, mv1, ref1,
     fs.ref_idx_l1[y8 : y8 + s8, x8 : x8 + s8] = max(ref1, 0)
     fs.mvp_flag_l1[y8 : y8 + s8, x8 : x8 + s8] = mvp1
     fs.mvd_l1[y8 : y8 + s8, x8 : x8 + s8] = mvd1
+    s4 = 1 << (log2 - 2)
+    y4, x4 = y0 // 4, x0 // 4
+    fs.dir4[y4 : y4 + s4, x4 : x4 + s4] = inter_dir
+    fs.mv4[y4 : y4 + s4, x4 : x4 + s4] = mv0
+    fs.ref4[y4 : y4 + s4, x4 : x4 + s4] = max(ref0, 0)
+    fs.mv4_l1[y4 : y4 + s4, x4 : x4 + s4] = mv1
+    fs.ref4_l1[y4 : y4 + s4, x4 : x4 + s4] = max(ref1, 0)
     sc.mvfield_b.set_cu(x0, y0, 1 << log2, inter_dir, mv0, ref0, mv1, ref1)
+
+
+def _mark_inter_pu_b(sc, cu_x0, cu_y0, log2, px, py, pw, ph, inter_dir,
+                     mv0, ref0, mv1, ref1, first_pu):
+    """One rectangular B PU: 4-granularity two-list motion + the legacy
+    8-cell maps (each cell's top-left 4-cell motion)."""
+    fs = sc.fs
+    y4s, x4s = py // 4, px // 4
+    sl = (slice(y4s, (py + ph) // 4), slice(x4s, (px + pw) // 4))
+    fs.dir4[sl] = inter_dir
+    fs.mv4[sl] = mv0
+    fs.ref4[sl] = max(ref0, 0)
+    fs.mv4_l1[sl] = mv1
+    fs.ref4_l1[sl] = max(ref1, 0)
+    sc.mvfield_b.set_pu(px, py, pw, ph, inter_dir, mv0, ref0, mv1, ref1)
+    if first_pu:
+        s8 = 1 << (log2 - 3)
+        y8, x8 = cu_y0 // 8, cu_x0 // 8
+        fs.cu_log2[y8 : y8 + s8, x8 : x8 + s8] = log2
+        sc.depth8[y8 : y8 + s8, x8 : x8 + s8] = sc.log2_ctu - log2
+    for cy in range(py // 8, -(-(py + ph) // 8)):
+        for cx in range(px // 8, -(-(px + pw) // 8)):
+            fs.inter_dir[cy, cx] = fs.dir4[cy * 2, cx * 2]
+            fs.mv[cy, cx] = fs.mv4[cy * 2, cx * 2]
+            fs.ref_idx[cy, cx] = fs.ref4[cy * 2, cx * 2]
+            fs.mv_l1[cy, cx] = fs.mv4_l1[cy * 2, cx * 2]
+            fs.ref_idx_l1[cy, cx] = fs.ref4_l1[cy * 2, cx * 2]
+            fs.skip[cy, cx] = 0
+            fs.merge_flag[cy, cx] = 0
 
 
 def _enc_inter_dir(enc, inter_dir, depth):
@@ -1206,8 +1263,10 @@ def _enc_inter_dir(enc, inter_dir, depth):
         enc.encode_bin(inter_dir - 1, CTX_OFFSET["inter_pred_idc"] + 4)
 
 
-def _dec_inter_dir(dec, depth):
-    if dec.decode_bin(CTX_OFFSET["inter_pred_idc"] + depth):
+def _dec_inter_dir(dec, depth, small_pu: bool = False):
+    # §9.3.3.7: 8x4/4x8 PUs (nPbW + nPbH == 12) cannot be bi-predicted —
+    # only the L0/L1 bin (ctx 4) is coded
+    if not small_pu and dec.decode_bin(CTX_OFFSET["inter_pred_idc"] + depth):
         return 3
     return 1 + dec.decode_bin(CTX_OFFSET["inter_pred_idc"] + 4)
 
@@ -1276,12 +1335,15 @@ def _dec_cu_b(dec, sc, x0, y0, log2):
 
     size = 1 << log2
     list_pocs = [sc.ref_pocs, sc.l1_pocs]
+    tmvp = dict(col=sc.col_b, cur_poc=sc.cur_poc, pic_w=sc.w, pic_h=sc.h,
+                log2_ctu=sc.log2_ctu, col_from_l0=sc.col_from_l0,
+                check_ldc=sc.check_ldc)
     skip = dec.decode_bin(_skip_ctx(sc, x0, y0))
     if skip:
         merge_i = _dec_merge_idx(dec, sc.max_merge)
         cands = merge_candidates_b(sc.mvfield_b, sc.order, x0, y0, size,
                                    sc.max_merge, sc.num_ref, sc.num_ref_l1,
-                                   sc.ref_pocs, sc.l1_pocs)
+                                   sc.ref_pocs, sc.l1_pocs, **tmvp)
         c = cands[merge_i]
         _mark_inter_cu_b(sc, x0, y0, log2, c[0], (c[1], c[2]), c[3],
                          (c[4], c[5]), c[6], 1, 1, merge_i, 0, (0, 0),
@@ -1289,52 +1351,87 @@ def _dec_cu_b(dec, sc, x0, y0, log2):
         return
     pred_mode = dec.decode_bin(CTX_OFFSET["pred_mode_flag"])
     if pred_mode == 1:  # intra CU in a B slice
+        if log2 > 3:
+            sc.fs.full_features = True
         _dec_cu(dec, sc, x0, y0, log2)
         s8 = 1 << (log2 - 3)
         y8, x8 = y0 // 8, x0 // 8
         sc.fs.inter_dir[y8 : y8 + s8, x8 : x8 + s8] = 0
+        s4 = 1 << (log2 - 2)
+        sc.fs.dir4[y0 // 4 : y0 // 4 + s4, x0 // 4 : x0 // 4 + s4] = 0
         return
-    part = dec.decode_bin(CTX_OFFSET["part_mode"])
-    assert part == 1
-    merge_f = dec.decode_bin(CTX_OFFSET["merge_flag"])
-    merge_i = mvp0 = mvp1 = 0
-    mvd0 = np.zeros(2, np.int32)
-    mvd1 = np.zeros(2, np.int32)
-    if merge_f:
-        merge_i = _dec_merge_idx(dec, sc.max_merge)
-        cands = merge_candidates_b(sc.mvfield_b, sc.order, x0, y0, size,
-                                   sc.max_merge, sc.num_ref, sc.num_ref_l1,
-                                   sc.ref_pocs, sc.l1_pocs)
-        c = cands[merge_i]
-        inter_dir, mv0, ref0 = c[0], np.array(c[1:3], np.int32), c[3]
-        mv1, ref1 = np.array(c[4:6], np.int32), c[6]
-    else:
-        depth = sc.log2_ctu - log2
-        inter_dir = _dec_inter_dir(dec, depth)
-        mv0 = np.zeros(2, np.int32)
-        mv1 = np.zeros(2, np.int32)
-        ref0 = ref1 = -1
-        if inter_dir & 1:
-            ref0 = _dec_ref_idx(dec, sc.num_ref)
-            mvd0 = np.array(_dec_mvd(dec), np.int32)
-            mvp0 = dec.decode_bin(CTX_OFFSET["mvp_flag"])
-            cands = amvp_candidates_b(sc.mvfield_b, sc.order, x0, y0, size,
-                                      0, ref0, list_pocs, 0)
-            mv0 = mvd0 + np.array(cands[mvp0], np.int32)
-        if inter_dir & 2:
-            ref1 = _dec_ref_idx(dec, sc.num_ref_l1)
-            mvd1 = np.array(_dec_mvd(dec), np.int32)
-            mvp1 = dec.decode_bin(CTX_OFFSET["mvp_flag"])
-            cands = amvp_candidates_b(sc.mvfield_b, sc.order, x0, y0, size,
-                                      1, ref1, list_pocs, 0)
-            mv1 = mvd1 + np.array(cands[mvp1], np.int32)
-    _mark_inter_cu_b(sc, x0, y0, log2, inter_dir, mv0, ref0, mv1, ref1,
-                     0, merge_f, merge_i, mvp0, mvd0, mvp1, mvd1)
+    part = _dec_part_mode_inter(dec, sc, log2)
+    pus = _pu_geometry(part, size)
+    if part != "2Nx2N":
+        sc.fs.full_features = True
+    any_merge = False
+    for pi, (dx, dy, pw, ph) in enumerate(pus):
+        px, py = x0 + dx, y0 + dy
+        excl = None
+        if pi == 1 and part in ("Nx2N", "nLx2N", "nRx2N"):
+            excl = "A1"
+        elif pi == 1 and part in ("2NxN", "2NxnU", "2NxnD"):
+            excl = "B1"
+        merge_f = dec.decode_bin(CTX_OFFSET["merge_flag"])
+        merge_i = mvp0 = mvp1 = 0
+        mvd0 = np.zeros(2, np.int32)
+        mvd1 = np.zeros(2, np.int32)
+        if merge_f:
+            any_merge = True
+            merge_i = _dec_merge_idx(dec, sc.max_merge)
+            cands = merge_candidates_b(
+                sc.mvfield_b, sc.order, px, py, size, sc.max_merge,
+                sc.num_ref, sc.num_ref_l1, sc.ref_pocs, sc.l1_pocs,
+                pu_w=pw, pu_h=ph, excl=excl, **tmvp)
+            c = cands[merge_i]
+            inter_dir = c[0]
+            mv0, ref0 = np.array(c[1:3], np.int32), c[3]
+            mv1, ref1 = np.array(c[4:6], np.int32), c[6]
+            # 8x4/4x8 PUs: a BI merge candidate degrades to L0 (§8.5.3.2.3)
+            if pw + ph == 12 and inter_dir == 3:
+                inter_dir, ref1 = 1, -1
+                mv1 = np.zeros(2, np.int32)
+        else:
+            depth = sc.log2_ctu - log2
+            inter_dir = _dec_inter_dir(dec, depth, small_pu=(pw + ph == 12))
+            mv0 = np.zeros(2, np.int32)
+            mv1 = np.zeros(2, np.int32)
+            ref0 = ref1 = -1
+            if inter_dir & 1:
+                ref0 = _dec_ref_idx(dec, sc.num_ref)
+                mvd0 = np.array(_dec_mvd(dec), np.int32)
+                mvp0 = dec.decode_bin(CTX_OFFSET["mvp_flag"])
+                cands = amvp_candidates_b(sc.mvfield_b, sc.order, px, py,
+                                          size, 0, ref0, list_pocs,
+                                          pu_w=pw, pu_h=ph, **tmvp)
+                mv0 = mvd0 + np.array(cands[mvp0], np.int32)
+            if inter_dir & 2:
+                ref1 = _dec_ref_idx(dec, sc.num_ref_l1)
+                if not (sc.mvd_l1_zero and inter_dir == 3):
+                    mvd1 = np.array(_dec_mvd(dec), np.int32)
+                mvp1 = dec.decode_bin(CTX_OFFSET["mvp_flag"])
+                cands = amvp_candidates_b(sc.mvfield_b, sc.order, px, py,
+                                          size, 1, ref1, list_pocs,
+                                          pu_w=pw, pu_h=ph, **tmvp)
+                mv1 = mvd1 + np.array(cands[mvp1], np.int32)
+        if part == "2Nx2N":
+            _mark_inter_cu_b(sc, x0, y0, log2, inter_dir, mv0, ref0, mv1,
+                             ref1, 0, merge_f, merge_i, mvp0, mvd0, mvp1,
+                             mvd1)
+        else:
+            _mark_inter_pu_b(sc, x0, y0, log2, px, py, pw, ph, inter_dir,
+                             mv0, ref0, mv1, ref1, pi == 0)
     root_cbf = 1
-    if not merge_f:
+    if not (part == "2Nx2N" and any_merge):
         root_cbf = dec.decode_bin(CTX_OFFSET["rqt_root_cbf"])
     if root_cbf:
-        _dec_transform_tree_p(dec, sc, x0, y0, log2, 0, True, True)
+        intersplit = sc.sps.max_tu_depth_inter == 0 and part != "2Nx2N"
+        _dec_transform_tree_p(dec, sc, x0, y0, log2, 0, True, True,
+                              inter_split=intersplit)
+    else:
+        s4 = 1 << (log2 - 2)
+        sc.fs.tu_log2[y0 // 4 : y0 // 4 + s4,
+                      x0 // 4 : x0 // 4 + s4] = min(log2, 5)
 
 
 # --- WPP (entropy_coding_sync): per-CTU-row substreams ----------------------
@@ -1393,13 +1490,19 @@ def decode_slice_data_wpp(payload: bytes, entry_points: list[int],
                           sao_luma: bool = False, sao_chroma: bool = False,
                           num_ref: int = 1, ref_deltas=None,
                           num_ref_l1: int = 0, l1_deltas=None,
-                          col=None) -> FrameSyntax:
+                          col=None, col_b=None, col_from_l0: bool = True,
+                          check_ldc: bool = False,
+                          mvd_l1_zero: bool = False) -> FrameSyntax:
     from .cabac import CabacDecoder, ContextSet
 
     fs = FrameSyntax(width, height)
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
                      ref_deltas)
     sc.col = col
+    sc.col_b = col_b
+    sc.col_from_l0 = col_from_l0
+    sc.check_ldc = check_ldc
+    sc.mvd_l1_zero = mvd_l1_zero
     if num_ref_l1:
         sc.num_ref_l1 = num_ref_l1
         sc.l1_pocs = [-d for d in l1_deltas]

@@ -144,6 +144,59 @@ def boundary_strength_full(fs, axis: int) -> np.ndarray:
         cbf4 = np.where(tu4 == l, _grp_any(nz4, 1 << (l - 2)), cbf4)
     mv = fs.mv4
     ref = fs.ref4
+    two_list = (getattr(fs, "l1_pocs", None)
+                and fs.dir4 is not None and (fs.dir4 == 3).any()
+                or (getattr(fs, "l1_pocs", None)
+                    and fs.dir4 is not None and (fs.dir4 == 2).any()))
+    if two_list:
+        l0p = list(fs.l0_pocs)
+        l1p = list(fs.l1_pocs)
+        big = 1 << 30
+        poc0 = np.asarray(l0p, np.int64)[np.minimum(ref, len(l0p) - 1)]
+        poc1 = np.asarray(l1p, np.int64)[
+            np.minimum(fs.ref4_l1, len(l1p) - 1)]
+        use0 = (fs.dir4 & 1).astype(bool) & ~(fs.dir4 == 0)
+        use1 = (fs.dir4 & 2).astype(bool)
+        poc0 = np.where(use0, poc0, big)
+        poc1 = np.where(use1, poc1, big)
+        mvl1 = fs.mv4_l1
+    else:
+        poc0 = poc1 = use0 = use1 = mvl1 = None
+
+    def motion_far(qi, pi, sub):
+        """(…) True where the motion difference forces BS 1, per
+        §8.7.2.4 two-list rules. qi/pi: index tuples selecting the q/p
+        cell rows/cols; sub: lambda m: m[qi] style selector pair."""
+        if not two_list:
+            return ((np.abs(mv[qi] - mv[pi]) >= 4).any(-1)
+                    | (ref[qi] != ref[pi]))
+
+        def far(a, b):
+            return (np.abs(a - b) >= 4).any(-1)
+
+        u0q, u1q = use0[qi], use1[qi]
+        u0p, u1p = use0[pi], use1[pi]
+        nq = u0q.astype(np.int32) + u1q.astype(np.int32)
+        npn = u0p.astype(np.int32) + u1p.astype(np.int32)
+        # single-MV selections
+        pocSq = np.where(u0q, poc0[qi], poc1[qi])
+        pocSp = np.where(u0p, poc0[pi], poc1[pi])
+        mvSq = np.where(u0q[..., None], mv[qi], mvl1[qi])
+        mvSp = np.where(u0p[..., None], mv[pi], mvl1[pi])
+        one = (pocSq != pocSp) | far(mvSq, mvSp)
+        # two-MV case
+        seteq = (((poc0[qi] == poc0[pi]) & (poc1[qi] == poc1[pi]))
+                 | ((poc0[qi] == poc1[pi]) & (poc1[qi] == poc0[pi])))
+        samepic = poc0[qi] == poc1[qi]
+        straight0 = poc0[qi] == poc0[pi]
+        fs00 = far(mv[qi], mv[pi])
+        fs11 = far(mvl1[qi], mvl1[pi])
+        fx01 = far(mv[qi], mvl1[pi])
+        fx10 = far(mvl1[qi], mv[pi])
+        diffpic = np.where(straight0, fs00 | fs11, fx01 | fx10)
+        same = ~((~fs00 & ~fs11) | (~fx01 & ~fx10))
+        both2 = ~seteq | np.where(samepic, same, diffpic)
+        return np.where(nq != npn, True, np.where(nq == 1, one, both2))
 
     if axis == 0:  # vertical edges at x = 8*x8; segments along y (h4)
         xq = np.arange(0, w4, 2)
@@ -151,8 +204,7 @@ def boundary_strength_full(fs, axis: int) -> np.ndarray:
         x0 = (xq // 2 * 8)[None, :]
         tu_edge = (x0 % (np.int64(1) << tu4[:, xq])) == 0
         cu_edge = (x0 % (np.int64(1) << cu4[:, xq])) == 0
-        mv_far = ((np.abs(mv[:, xq] - mv[:, xp]) >= 4).any(-1)
-                  | (ref[:, xq] != ref[:, xp]))
+        mv_far = motion_far((slice(None), xq), (slice(None), xp), None)
         isx = intra4[:, xq] | intra4[:, xp]
         cbfx = cbf4[:, xq] | cbf4[:, xp]
         bs = np.where(isx & (cu_edge | tu_edge), 2,
@@ -164,8 +216,7 @@ def boundary_strength_full(fs, axis: int) -> np.ndarray:
     y0 = (yq // 2 * 8)[:, None]
     tu_edge = (y0 % (np.int64(1) << tu4[yq])) == 0
     cu_edge = (y0 % (np.int64(1) << cu4[yq])) == 0
-    mv_far = ((np.abs(mv[yq] - mv[yp]) >= 4).any(-1)
-              | (ref[yq] != ref[yp]))
+    mv_far = motion_far(yq, yp, None)
     isx = intra4[yq] | intra4[yp]
     cbfx = cbf4[yq] | cbf4[yp]
     bs = np.where(isx & (cu_edge | tu_edge), 2,
