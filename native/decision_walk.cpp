@@ -97,6 +97,20 @@ static void walk_cus(Walk& wk, std::vector<Cu>& cus,
     int c0 = cy8 * w8 + cx8;
     int cmx = cmv[2 * c0], cmy = cmv[2 * c0 + 1], crf = cref[c0];
     int n = cu.size, s8 = n / 8;
+    if (crf == 255) {
+      // intra CU in a P slice (ref sentinel): no motion syntax, stays
+      // unavailable (fvalid 0) as a merge/AMVP neighbor per the spec
+      int lgi = 0; while ((1 << lgi) < n) lgi++;
+      for (int dy = 0; dy < s8; dy++)
+        for (int dx = 0; dx < s8; dx++) {
+          int c = (cy8 + dy) * w8 + (cx8 + dx);
+          cu_log2[c] = lgi;
+          mv_out[2 * c] = 0;
+          mv_out[2 * c + 1] = 0;
+          ref_out[c] = 0;
+        }
+      continue;
+    }
     bool has_cbf = false;
     for (int dy = 0; dy < s8; dy++)
       for (int dx = 0; dx < s8; dx++)

@@ -56,6 +56,41 @@ def test_grid_scan_checksum_no_recon_fetch():
     assert all(f.md5_ok for f in frames)  # checksum-type hash verified
 
 
+def test_intra_in_p_conformance():
+    """Content with uncovered regions forces intra-16 CUs inside P
+    slices; the stream must still decode hash-exactly (device recon ==
+    normative recon incl. bs-2 deblock with chroma filtering)."""
+    rng = np.random.default_rng(3)
+    w, h = 128, 64
+    base = rng.integers(60, 200, (h, w)).astype(np.uint8)
+    clip = []
+    for i in range(6):
+        y = np.roll(base, i * 2, axis=1).copy()
+        if i >= 1:  # region the references never contained
+            y[16:48, 48:96] = rng.integers(0, 255, (32, 48))
+        u = np.full((h // 2, w // 2), 90 + 8 * i, np.uint8)
+        v = np.full((h // 2, w // 2), 140, np.uint8)
+        clip.append((y, u, v))
+    import tpuhevc.codec.decoder as D
+    fss = []
+    orig = D.decode_slice_data
+
+    def cap(dec, sps, pps, ww, hh, st, mm, **kw):
+        fs = orig(dec, sps, pps, ww, hh, st, mm, **kw)
+        fss.append(fs)
+        return fs
+
+    enc, _ = encode_sequence(_Reader(clip), _cfg(w, h), max_frames=6)
+    D.decode_slice_data = cap
+    try:
+        frames = decode_stream(enc.bitstream())
+    finally:
+        D.decode_slice_data = orig
+    assert all(f.md5_ok for f in frames)
+    n_intra = sum(int((fs.inter_dir == 0).sum()) for fs in fss[1:])
+    assert n_intra > 0, "expected intra CUs in the P slices"
+
+
 def test_native_walk_matches_python():
     from tpuhevc.codec import inter_grid
     from tpuhevc.codec.inter_enc import assemble_frame_p

@@ -212,7 +212,8 @@ def main():
           [(oy, ouv)], 0, 1)
     coef = rnd((H, W), np.int32, -600, 600)
     probe("rdoq_plane",
-          lambda c: P["rdoq_plane"](c, qp, 4, lam), [(coef,)], 0, 4.5)
+          lambda c: P["rdoq_plane"](c, qp, 4, lam, tabs["est_y"][4]),
+          [(coef,)], 0, 4.5)
     probe("sbh_plane",
           lambda c: P["sbh_plane"](c, P["ideal_plane"](coef, qp, 4)),
           [(jnp.clip(coef // 64, -127, 127),)], 0, 4.5)

@@ -589,6 +589,36 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict, num_ref: int = 1,
         cu = per_cu[(x0, y0)]
         size = cu["size"]
         log2 = size.bit_length() - 1
+        if "intra_mode" in cu:
+            # device-decided intra CU in a P slice: modes + coeffs only;
+            # cells stay out of the MV field (unavailable as merge/AMVP
+            # neighbors), matching the native walk's ref-255 handling
+            s8 = size // 8
+            y8_, x8_ = y0 // 8, x0 // 8
+            m = int(cu["intra_mode"])
+            fs.cu_log2[y8_ : y8_ + s8, x8_ : x8_ + s8] = log2
+            fs.inter_dir[y8_ : y8_ + s8, x8_ : x8_ + s8] = 0
+            fs.skip[y8_ : y8_ + s8, x8_ : x8_ + s8] = 0
+            fs.merge_flag[y8_ : y8_ + s8, x8_ : x8_ + s8] = 0
+            fs.luma_mode[y8_ : y8_ + s8, x8_ : x8_ + s8] = m
+            fs.chroma_mode[y8_ : y8_ + s8, x8_ : x8_ + s8] = 4  # DM
+            s4 = size // 4
+            y4_, x4_ = y0 // 4, x0 // 4
+            fs.luma_mode4[y4_ : y4_ + s4, x4_ : x4_ + s4] = m
+            fs.tu_log2[y4_ : y4_ + s4, x4_ : x4_ + s4] = log2
+            fs.full_features = True
+            cs = size // 2
+            fs.coeff_y[y0 : y0 + size, x0 : x0 + size] = cu["lvl"]
+            fs.coeff_cb[y0 // 2 : y0 // 2 + cs,
+                        x0 // 2 : x0 // 2 + cs] = cu["lvl_u"]
+            fs.coeff_cr[y0 // 2 : y0 // 2 + cs,
+                        x0 // 2 : x0 // 2 + cs] = cu["lvl_v"]
+            rec_y[y0 : y0 + size, x0 : x0 + size] = cu["rec"]
+            rec_u[y0 // 2 : y0 // 2 + cs,
+                  x0 // 2 : x0 // 2 + cs] = cu["rec_u"]
+            rec_v[y0 // 2 : y0 // 2 + cs,
+                  x0 // 2 : x0 // 2 + cs] = cu["rec_v"]
+            continue
         mv = tuple(int(v) for v in cu["mv"])
         ref = int(cu.get("ref", 0))
         cbf = bool(cu["lvl"].any() or cu["lvl_u"].any() or cu["lvl_v"].any())

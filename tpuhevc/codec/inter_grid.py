@@ -80,6 +80,9 @@ def _mode_tables(qp: int, num_ref: int, max_merge: int):
         mvd_lut=fb.mvd_lut,                      # (4096,) f32 per |comp|
         skip0=b("cu_skip_flag", 1, 0), skip1=b("cu_skip_flag", 1, 1),
         pred_inter=b("pred_mode_flag", 0, 0),
+        pred_intra=b("pred_mode_flag", 0, 1),
+        prev_mode=[b("prev_intra_luma_pred_flag", 0, v) for v in (0, 1)],
+        chroma_dm=b("intra_chroma_pred_mode", 0, 0),
         part2n=b("part_mode", 0, 1),
         mf1=b("merge_flag", 0, 1), mf0=b("merge_flag", 0, 0),
         midx=[fb.merge_idx_bits(i, max_merge) for i in range(max_merge)],
@@ -114,9 +117,12 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     W, H = sps.coded_width, sps.coded_height
     bd = sps.bit_depth
     maxv = (1 << bd) - 1
-    # coarse stage graph grows with (sr/2+1)^2; cap at 16 until the coarse
-    # search is itself hierarchical
-    sr = max(4, min(cfg.search_range, 16)) // 4 * 4
+    # hierarchical coarse search: the dense 2x-pooled stage covers +-16;
+    # ranges up to the anchor's SearchRange 64
+    # (encoder_lowdelay_P_main.cfg:31) are reached by a 4x-pooled
+    # prestage whose per-block winner seeds an extra refine grid
+    sr = 16 if cfg.search_range >= 16 else max(4, cfg.search_range // 4 * 4)
+    sr_full = max(sr, min(cfg.search_range, 64) // 4 * 4)
     offs = tuple(cfg.gop_qp_offsets) or (0,)
     G = len(offs)
     qps = tuple(min(max(cfg.qp + o, 0), 51) for o in offs)
@@ -128,7 +134,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     use_sbh = cfg.pps.sign_data_hiding
     use_deblock = cfg.deblocking
     use_sao = sps.sao_enabled
-    key = ("v3", W, H, bd, sr, cfg.fme_mode, qps, n_gops, fetch_recon,
+    key = ("v3", W, H, bd, sr, sr_full, cfg.fme_mode, qps, n_gops,
+           fetch_recon,
            R, MM, cfg.nn_weights_dir, not nn_by_qp.get(qps[0]),
            use_rdoq, use_sbh, use_deblock, use_sao,
            tuple(cfg.gop_qp_factors), cfg.qp,
@@ -161,27 +168,13 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                                    + _mvd_bits_np(8 * (dy - R2)))
     ref_off = np.arange(-3, 4)
 
-    _IDX49_CACHE: dict = {}
-
-    def _idx49(S, win):
-        k = (S, win)
-        hit = _IDX49_CACHE.get(k)
-        if hit is None:
-            base = (np.arange(S)[:, None] * win + np.arange(S)[None]
-                    ).reshape(1, S, S)
-            offs_ = (np.repeat(np.arange(7), 7)[:, None, None] * win
-                     + np.tile(np.arange(7), 7)[:, None, None])
-            hit = (base + offs_).astype(np.int32)
-            _IDX49_CACHE[k] = hit
-        return jnp.asarray(hit)  # convert per trace: a cached jnp value
-        # would be a constant tracer leaked across jit re-traces
     rdxs = np.tile(ref_off, 7)      # (49,) offset x per refine point
     rdys = np.repeat(ref_off, 7)    # (49,) offset y
 
-    # interp margins (mv integer reach = sr + 4 after refine + NN frac)
-    LOOK = sr + 4
+    # interp margins (mv integer reach = sr_full + 4 after refine + frac)
+    LOOK = sr_full + 4
     PADL = LOOK + 4
-    LOOKC = sr // 2 + 2
+    LOOKC = sr_full // 2 + 2
     PADC = LOOKC + 2
     HmL, WmL = H + 2 * LOOK, W + 2 * LOOK
     HmC, WmC = Hc + 2 * LOOKC, Wc + 2 * LOOKC
@@ -258,43 +251,102 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return (p.reshape(hp // T, T, wp // T, T)
                 .transpose(0, 2, 1, 3).reshape(-1, T, T))
 
-    def rdoq_plane(coef, qp, log2t, lam_f):
-        """Device twin of tx.rdoq_np (TComTrQuant::xRateDistOptQuant
-        approximation): per-coefficient {ceil, ceil-1, 0} choice by
-        distortion + lambda*bits, then the per-CG all-zero trial."""
+    _RDOQ_TILE_CACHE: dict = {}
+
+    def _rdoq_tiles(est, hp, wp):
+        """Plane-tiled constant cost maps for one ResidualBitEst."""
+        key = (id(est), hp, wp)
+        hit = _RDOQ_TILE_CACHE.get(key)
+        if hit is None:
+            S = est.S
+            ty, tw = hp // S, wp // S
+            sig = est.sig_bits[0]  # prev_csbf = 0 pattern
+            s0 = np.tile(sig[:, :, 0], (ty, tw)).astype(np.float32)
+            s1 = np.tile(sig[:, :, 1], (ty, tw)).astype(np.float32)
+            # CG0 (DC) flag per 4x4 CG of each TU
+            cg0 = np.zeros((hp // 4, wp // 4), np.float32)
+            cg0[:: S // 4, :: S // 4] = 1.0
+            hit = (s0, s1, cg0)
+            _RDOQ_TILE_CACHE[key] = hit
+        return hit
+
+    def rdoq_plane(coef, qp, log2t, lam_f, est):
+        """Device rate-distortion-optimized quantization
+        (TComTrQuant::xRateDistOptQuant, SURVEY §A.1): per-coefficient
+        {ceil, ceil-1, 0} choice by orthonormal-domain distortion +
+        lambda * estimated CABAC bits — real estBitsSbac-style table
+        costs (position-dependent significance contexts, gt1/gt2, the
+        Golomb-Rice remainder with per-CG Rice adaptation, sign) — then
+        the per-CG all-zero trial against the coded-sub-block flag.
+        The running c1/c2 context walk is approximated by the c1=1
+        states; the last-position walk-back is the remaining delta."""
         qpe = qp + 6 * (bd - 8)
         per, rem = qpe // 6, qpe % 6
         tshift = tx.MAX_TR_DYNAMIC_RANGE - bd - log2t
         qbits = 14 + per + tshift
         scale = float(tx.QUANT_SCALES[rem])
-        lamr = 1.5 * lam_f  # proxy calibration (matches rdoq_np)
         ac = jnp.abs(coef).astype(jnp.float32) * scale
         lmax = jnp.ceil(ac / (1 << qbits)).astype(jnp.float32)
         err_den = scale * (1 << tshift)
+        hp, wp = coef.shape
+        s0m, s1m, cg0m = _rdoq_tiles(est, hp, wp)
+        s0 = jnp.asarray(s0m)
+        s1 = jnp.asarray(s1m)
+        is_cg0 = up(jnp.asarray(cg0m), 4)
+        g1 = est.gt1_bits
+        g10 = est.gt1_bits0
+        g2 = est.gt2_bits
+        g20 = est.gt2_bits0
+        gt1_0 = jnp.where(is_cg0 > 0, float(g10[0]), float(g1[0]))
+        gt1_1 = jnp.where(is_cg0 > 0, float(g10[1]), float(g1[1]))
+        gt2_0 = jnp.where(is_cg0 > 0, float(g20[0]), float(g2[0]))
+        gt2_1 = jnp.where(is_cg0 > 0, float(g20[1]), float(g2[1]))
+        # per-CG Rice parameter from the ceiling levels (the decision-
+        # time stand-in for the running adaptation)
+        cg_max = up(jnp.max(lmax.reshape(hp // 4, 4, wp // 4, 4),
+                            axis=(1, 3)), 4)
+        rice = jnp.clip(jnp.where(
+            cg_max > 6.0,
+            jnp.log2(jnp.maximum(cg_max, 1.0) / 3.0), 0.0),
+            0, 4).astype(jnp.int32)
+
+        def lvl_bits(level):
+            rem_ = jnp.maximum(level - 3.0, 0.0)
+            three = (3 << rice).astype(jnp.float32)
+            rl = jnp.where(
+                rem_ * 1.0 < three,
+                jnp.floor(rem_ / jnp.exp2(rice.astype(jnp.float32)))
+                + 1.0 + rice,
+                4.0 + rice + 2.0 * jnp.floor(jnp.log2(
+                    jnp.maximum(rem_ - three, 0.0)
+                    / jnp.exp2(rice.astype(jnp.float32)) + 1.0)))
+            return (s1 + 1.0 + gt1_0
+                    + jnp.where(level > 1.0,
+                                gt1_1 - gt1_0 + gt2_0
+                                + jnp.where(level > 2.0,
+                                            gt2_1 - gt2_0 + rl, 0.0),
+                                0.0))
 
         def cost(level):
             d = (ac - level * float(1 << qbits)) / err_den
-            bits = jnp.where(
-                level > 0,
-                2.0 * jnp.floor(jnp.log2(jnp.maximum(level, 1.0))) + 4.0,
-                0.0)
-            return d * d + lamr * bits
+            bits = jnp.where(level > 0, lvl_bits(level), s0)
+            return d * d + lam_f * bits
 
         l1 = jnp.maximum(lmax, 0.0)
         l2 = jnp.maximum(lmax - 1.0, 0.0)
         best = jnp.where(cost(l1) <= cost(l2), l1, l2)
         best = jnp.where(cost(best) <= cost(jnp.zeros_like(best)), best,
                          0.0)
-        # per-CG zero trial
+        # per-CG all-zero trial: coded cost (incl. sig-0 bits of the
+        # kept zeros) + csbf(1) vs zero distortion + csbf(0)
+        csbf = est.csbf_bits  # (nb ctx, bin) — neighbor ctx 0 approx
         dz = (ac - best * float(1 << qbits)) / err_den
-        dz2 = tile_sum(dz * dz, 4)
+        keep_bits = jnp.where(best > 0, lvl_bits(best), s0)
+        ck = tile_sum(dz * dz + lam_f * keep_bits, 4)
         acn = ac / err_den
-        z2 = tile_sum(acn * acn, 4)
-        bits_cg = tile_sum(
-            jnp.where(best > 0,
-                      2.0 * jnp.floor(jnp.log2(jnp.maximum(best, 1.0)))
-                      + 5.0, 0.0), 4) + 4.0
-        keep = dz2 + lamr * bits_cg <= z2 + lamr * 1.0
+        cz = tile_sum(acn * acn, 4)
+        keep = ck + lam_f * float(csbf[0, 1]) \
+            <= cz + lam_f * float(csbf[0, 0])
         best = jnp.where(up(keep, 4), best, 0.0)
         lim = 127 if lvl8 else 32767
         return jnp.clip(jnp.sign(coef) * best.astype(jnp.int32), -lim, lim)
@@ -309,70 +361,67 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return (coef.astype(jnp.float32) * float(tx.QUANT_SCALES[rem])
                 / (1 << qbits))
 
-    _SBH_IDX_CACHE: dict = {}
+    from ..utils.tables import SCAN_DIAG, scan_order
 
-    def _sbh_idx(hp, wp):
-        """Static plane <-> (CG, scanpos) permutation for 4x4 diag scan."""
-        hit = _SBH_IDX_CACHE.get((hp, wp))
-        if hit is None:
-            from ..utils.tables import SCAN_DIAG, scan_order
+    _s4 = scan_order(2, SCAN_DIAG)  # scanpos -> raster in 4x4
+    _sbh_P = np.zeros((16, 16), np.int32)
+    for _p in range(16):
+        _sbh_P[_p, int(_s4[_p])] = 1
 
-            s4 = scan_order(2, SCAN_DIAG)  # scanpos -> raster in 4x4
-            ncgw = wp // 4
-            idx = np.empty((hp // 4 * ncgw, 16), np.int32)
-            for cy in range(hp // 4):
-                for cx in range(ncgw):
-                    base_y, base_x = cy * 4, cx * 4
-                    for p in range(16):
-                        r = int(s4[p])
-                        idx[cy * ncgw + cx, p] = (
-                            (base_y + r // 4) * wp + base_x + r % 4)
-            inv = np.empty(hp * wp, np.int32)
-            inv[idx.reshape(-1)] = np.arange(hp * wp, dtype=np.int32)
-            hit = (idx, inv)
-            _SBH_IDX_CACHE[(hp, wp)] = hit
-        return jnp.asarray(hit[0]), jnp.asarray(hit[1])
+    def _to_cg_scan(plane, hp, wp):
+        """(hp, wp) plane -> (16, nCG) rows in 4x4 diag-scan order, via
+        reshape + a 16x16 permutation einsum (no gathers; nCG rides the
+        lane dimension per the measured device preference)."""
+        x = plane.reshape(hp // 4, 4, wp // 4, 4).transpose(1, 3, 0, 2)
+        x = x.reshape(16, -1)
+        P = jnp.asarray(_sbh_P).astype(x.dtype)
+        return jnp.einsum("pr,rc->pc", P, x)
+
+    def _from_cg_scan(rows, hp, wp):
+        P = jnp.asarray(_sbh_P).astype(rows.dtype)
+        x = jnp.einsum("pr,pc->rc", P, rows)
+        return (x.reshape(4, 4, hp // 4, wp // 4)
+                .transpose(2, 0, 3, 1).reshape(hp, wp))
 
     def sbh_plane(lvl, ideal):
         """Device sign-bit-hiding post-pass (signBitHidingHDQ,
         TComTrQuant.cpp:991 / entropy/residual.apply_sign_bit_hiding):
         per 4x4 CG with scan span >= 4, adjust one level by +-1 so the
         abs-sum parity encodes the first coefficient's sign, choosing the
-        adjustment with the smallest requantization error (deltaU)."""
+        adjustment with the smallest requantization error (deltaU).
+        All work in (16, nCG) layout — CGs on lanes, scan on sublanes."""
         hp, wp = lvl.shape
-        idx, inv = _sbh_idx(hp, wp)
-        lv = lvl.reshape(-1)[idx]          # (nCG, 16) scan order
-        iv = ideal.reshape(-1)[idx]
+        lv = _to_cg_scan(lvl, hp, wp)              # (16, nCG)
+        iv = _to_cg_scan(ideal, hp, wp)
         a = jnp.abs(lv)
         nz = a > 0
-        pos = jnp.arange(16)[None]
-        first = jnp.min(jnp.where(nz, pos, 16), axis=1)
-        last = jnp.max(jnp.where(nz, pos, -1), axis=1)
+        pos = jnp.arange(16)[:, None]
+        first = jnp.min(jnp.where(nz, pos, 16), axis=0)   # (nCG,)
+        last = jnp.max(jnp.where(nz, pos, -1), axis=0)
         hide = (last - first) >= 4
-        want = (jnp.take_along_axis(
-            lv, jnp.minimum(first, 15)[:, None], 1)[:, 0] < 0)
-        need = hide & ((jnp.sum(a, axis=1) & 1) != want.astype(jnp.int32))
+        first_sel = pos == jnp.minimum(first, 15)[None]
+        want = jnp.sum(jnp.where(first_sel, lv, 0), axis=0) < 0
+        need = hide & ((jnp.sum(a, axis=0) & 1) != want.astype(jnp.int32))
         ia = jnp.abs(iv)
-        in_rng = (pos >= first[:, None]) & (pos <= last[:, None])
+        in_rng = (pos >= first[None]) & (pos <= last[None])
         lim = 127 if lvl8 else 32767
-        err_up = jnp.abs(a + 1 - ia)
-        err_dn = jnp.abs(a - 1 - ia)
         inf = jnp.float32(1e30)
-        err_up = jnp.where(in_rng & (a + 1 <= lim), err_up, inf)
-        bad_dn = (a == 0) | ((pos == first[:, None]) & (a == 1))
-        err_dn = jnp.where(in_rng & ~bad_dn, err_dn, inf)
-        errs = jnp.concatenate([err_up, err_dn], axis=1)  # (nCG, 32)
-        bi = jnp.argmin(errs, axis=1)
+        err_up = jnp.where(in_rng & (a + 1 <= lim),
+                           jnp.abs(a + 1 - ia), inf)
+        bad_dn = (a == 0) | ((pos == first[None]) & (a == 1))
+        err_dn = jnp.where(in_rng & ~bad_dn, jnp.abs(a - 1 - ia), inf)
+        errs = jnp.concatenate([err_up, err_dn], axis=0)  # (32, nCG)
+        bi = jnp.argmin(errs, axis=0)
         p_sel = bi % 16
         d_abs = jnp.where(bi < 16, 1, -1)
-        sgn = jnp.take_along_axis(lv, p_sel[:, None], 1)[:, 0]
-        isgn = jnp.take_along_axis(iv, p_sel[:, None], 1)[:, 0]
+        sel = pos == p_sel[None]
+        sgn = jnp.sum(jnp.where(sel, lv, 0), axis=0)
+        isgn = jnp.sum(jnp.where(sel, iv, 0), axis=0)
         sgn = jnp.where(sgn != 0, jnp.sign(sgn),
                         jnp.where(isgn >= 0, 1, -1)).astype(lv.dtype)
-        delta = jnp.where(
-            need[:, None] & (pos == p_sel[:, None]),
-            sgn[:, None] * d_abs[:, None], 0).astype(lv.dtype)
-        return (lv + delta).reshape(-1)[inv].reshape(hp, wp)
+        delta = jnp.where(need[None] & sel,
+                          (sgn * d_abs)[None], 0).astype(lv.dtype)
+        return _from_cg_scan(lv + delta, hp, wp)
 
     # --- ME --------------------------------------------------------------
     # DC-aware matching: a candidate whose residual is (smooth offset +
@@ -422,9 +471,14 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         cx = ci % nc - R2
         return cx.astype(jnp.int32), cy.astype(jnp.int32)
 
-    def _refine_grid(ry, cur, bx, by, ccx, ccy, S, qp, lam_me):
-        """7x7 SAD grid at full-pel centers (ccx, ccy) per block.
-        Returns (sad (nb,49), zcost masked to the inner 5x5, mvx, mvy).
+    def _refine_grid(ry, cur, bx, by, ccx, ccy, S, qp, lam_me,
+                     quads=False):
+        """7x7 SAD grid at full-pel centers (ccx, ccy) per block, as 49
+        STATIC slices of one gathered window (nb, S+6, S+6) — no inner
+        gather, XLA lowers the shifts to strided reads. Returns
+        (sad (nb,49[,4]), zcost masked to the inner 5x5, mvx, mvy);
+        quads additionally keeps the four 8x8 quadrant partial sums so
+        the 8-block class can be derived from the 16 windows for free.
         sad stays RAW (the NN-FME surface input, reference semantics);
         only the selection cost is DC-aware."""
         win = S + 6
@@ -434,60 +488,58 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                       + jnp.arange(win)[None], 0, W - 1)
         wnd = jnp.take(ry.reshape(-1),
                        yy[:, :, None] * W + xx[:, None, :]).astype(jnp.int16)
-        i49 = _idx49(S, win)
-        sl = jnp.take(wnd.reshape(wnd.shape[0], -1), i49, axis=1)
-        d = (sl - cur[:, None]).astype(jnp.int32)
-        sad = jnp.abs(d).sum((-1, -2))
+        nb = wnd.shape[0]
+        nq = (S // 8) ** 2 if quads else 1
+        sads, sums = [], []
+        for k in range(49):
+            dy, dx = k // 7, k % 7
+            d = (jax.lax.dynamic_slice(
+                wnd, (0, dy, dx), (nb, S, S)) - cur).astype(jnp.int32)
+            if quads:
+                f = S // 8
+                q = jnp.abs(d).reshape(nb, f, 8, f, 8).sum((2, 4))
+                sads.append(q.reshape(nb, nq))
+                if zme:
+                    sums.append(d.reshape(nb, f, 8, f, 8).sum(
+                        (2, 4)).reshape(nb, nq))
+            else:
+                sads.append(jnp.abs(d).sum((-1, -2))[:, None])
+                if zme:
+                    sums.append(d.sum((-1, -2))[:, None])
+        sadq = jnp.stack(sads, axis=1)           # (nb, 49, nq)
+        sumq = jnp.stack(sums, axis=1) if zme else None
+        sad = sadq.sum(-1)
         sel = sad
         if zme:
-            sel = _zc(sad, d.sum((-1, -2)), _dcc(qp, S * S, lam_me))
+            sel = _zc(sad, sumq.sum(-1), _dcc(qp, S * S, lam_me))
         mvx = ccx[:, None] + jnp.asarray(rdxs)[None]
         mvy = ccy[:, None] + jnp.asarray(rdys)[None]
         babs = (2 * jnp.ceil(jnp.log2(2.0 * jnp.abs(mvx * 4) + 1))
                 .astype(jnp.int32)
                 + 2 * jnp.ceil(jnp.log2(2.0 * jnp.abs(mvy * 4) + 1))
                 .astype(jnp.int32) + 2)
+        inner = jnp.asarray((np.abs(rdxs) <= 2) & (np.abs(rdys) <= 2))
         cost = sel + ((babs * lam_me) >> 8)
-        inner = (np.abs(rdxs) <= 2) & (np.abs(rdys) <= 2)
-        cost = jnp.where(jnp.asarray(inner)[None], cost, jnp.int32(1 << 30))
-        return sad, cost, mvx, mvy
+        cost = jnp.where(inner[None], cost, jnp.int32(1 << 30))
+        if not quads:
+            return sad, cost, mvx, mvy, None
+        selq = sadq
+        if zme:
+            selq = _zc(sadq, sumq, _dcc(qp, 64, lam_me))
+        costq = selq + ((babs * lam_me) >> 8)[:, :, None]
+        costq = jnp.where(inner[None, :, None], costq,
+                          jnp.int32(1 << 30))
+        return sad, cost, mvx, mvy, (sadq, costq)
 
-    def refine(ry, oy, cx4, cy4, S, nbh, nbw, qp, lam_me, with_zero=True,
-               global_c=None, extra_c=None):
-        """Full-pel refinement: 7x7 grids around the coarse winner AND
-        (optionally) the zero MV and the frame-global coarse winner (the
-        TZ predictor set's start candidates: median/zero + the dominant
-        motion); argmin restricted to each grid's inner 5x5 so the 3x3
-        SAD surface exists. Returns (mv_int, sad9, best_cost)."""
-        nb = nbh * nbw
-        bx = jnp.asarray((np.arange(nbw) * S)[None, :].repeat(nbh, 0)
-                         .reshape(-1))
-        by = jnp.asarray((np.arange(nbh) * S)[:, None].repeat(nbw, 1)
-                         .reshape(-1))
-        ccx = cx4.reshape(-1) * 2   # coarse units = 2 full-pel
-        ccy = cy4.reshape(-1) * 2
-        cur = oy[: nbh * S, : nbw * S].reshape(
-            nbh, S, nbw, S).transpose(0, 2, 1, 3).reshape(nb, S, S)
-        cur = cur.astype(jnp.int16)
-        grids = [_refine_grid(ry, cur, bx, by, ccx, ccy, S, qp, lam_me)]
-        if with_zero:
-            zero = jnp.zeros_like(ccx)
-            grids.append(_refine_grid(ry, cur, bx, by, zero, zero, S, qp,
-                                      lam_me))
-        if global_c is not None:
-            ggx = jnp.broadcast_to(global_c[0] * 2, ccx.shape)
-            ggy = jnp.broadcast_to(global_c[1] * 2, ccy.shape)
-            grids.append(_refine_grid(ry, cur, bx, by, ggx, ggy, S, qp,
-                                      lam_me))
-        if extra_c is not None:
-            # temporal seed: the co-located previous-frame MV (a TMVP-
-            # style start candidate; TZ's predictor set analog)
-            grids.append(_refine_grid(ry, cur, bx, by,
-                                      extra_c[0].reshape(-1),
-                                      extra_c[1].reshape(-1), S, qp,
-                                      lam_me))
-        sad = jnp.concatenate([g[0] for g in grids], axis=1)
-        cost = jnp.concatenate([g[1] for g in grids], axis=1)
+    def _pick_grids(grids, with_q=False, qi=None):
+        """argmin across concatenated candidate grids + 3x3 surface."""
+        gi = 4 if with_q else 0
+        if with_q:
+            sad = jnp.concatenate([g[4][0][:, :, qi] for g in grids], 1)
+            cost = jnp.concatenate([g[4][1][:, :, qi] for g in grids], 1)
+        else:
+            sad = jnp.concatenate([g[0] for g in grids], axis=1)
+            cost = jnp.concatenate([g[1] for g in grids], axis=1)
         mvx = jnp.concatenate([g[2] for g in grids], axis=1)
         mvy = jnp.concatenate([g[3] for g in grids], axis=1)
         bi = jnp.argmin(cost, axis=1)
@@ -503,8 +555,74 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 + (bdx[:, None] + jnp.asarray([-1, 0, 1] * 3)[None]))
         sad9 = jnp.take_along_axis(sad, idx9, 1)
         best_cost = jnp.take_along_axis(cost, bi[:, None], 1)[:, 0]
-        mv = jnp.clip(mv, -(sr + 3), sr + 3)
+        mv = jnp.clip(mv, -(sr_full + 3), sr_full + 3)
         return mv, sad9, best_cost
+
+    def refine(ry, oy, cx4, cy4, S, nbh, nbw, qp, lam_me, with_zero=True,
+               global_c=None, extra_c=None, extra_c2=None,
+               want_quads=False):
+        """Full-pel refinement: 7x7 grids around the coarse winner AND
+        (optionally) the zero MV and the frame-global coarse winner (the
+        TZ predictor set's start candidates: median/zero + the dominant
+        motion); argmin restricted to each grid's inner 5x5 so the 3x3
+        SAD surface exists. Returns (mv_int, sad9, best_cost) and, with
+        want_quads (S=16 only), the same triple for the four 8x8
+        quadrants (identical candidate sets to an independent 8-class
+        refine at the parent's centers, at a quarter of the gathers)."""
+        nb = nbh * nbw
+        bx = jnp.asarray((np.arange(nbw) * S)[None, :].repeat(nbh, 0)
+                         .reshape(-1))
+        by = jnp.asarray((np.arange(nbh) * S)[:, None].repeat(nbw, 1)
+                         .reshape(-1))
+        ccx = cx4.reshape(-1) * 2   # coarse units = 2 full-pel
+        ccy = cy4.reshape(-1) * 2
+        cur = oy[: nbh * S, : nbw * S].reshape(
+            nbh, S, nbw, S).transpose(0, 2, 1, 3).reshape(nb, S, S)
+        cur = cur.astype(jnp.int16)
+        q = want_quads
+        grids = [_refine_grid(ry, cur, bx, by, ccx, ccy, S, qp, lam_me,
+                              quads=q)]
+        if with_zero:
+            zero = jnp.zeros_like(ccx)
+            grids.append(_refine_grid(ry, cur, bx, by, zero, zero, S, qp,
+                                      lam_me, quads=q))
+        if global_c is not None:
+            ggx = jnp.broadcast_to(global_c[0] * 2, ccx.shape)
+            ggy = jnp.broadcast_to(global_c[1] * 2, ccy.shape)
+            grids.append(_refine_grid(ry, cur, bx, by, ggx, ggy, S, qp,
+                                      lam_me, quads=q))
+        if extra_c is not None:
+            # temporal seed: the co-located previous-frame MV (a TMVP-
+            # style start candidate; TZ's predictor set analog)
+            grids.append(_refine_grid(ry, cur, bx, by,
+                                      extra_c[0].reshape(-1),
+                                      extra_c[1].reshape(-1), S, qp,
+                                      lam_me, quads=q))
+        if extra_c2 is not None:
+            # long-range prestage winner (SearchRange up to 64)
+            grids.append(_refine_grid(ry, cur, bx, by,
+                                      extra_c2[0].reshape(-1),
+                                      extra_c2[1].reshape(-1), S, qp,
+                                      lam_me, quads=q))
+        main = _pick_grids(grids)
+        if not want_quads:
+            return main
+        # quadrant picks -> 8-grid order (2*by8 + qy, 2*bx8 + qx)
+        qmv, qs9, qc = [], [], []
+        for qi in range(4):
+            m, s9, c = _pick_grids(grids, with_q=True, qi=qi)
+            qmv.append(m)
+            qs9.append(s9)
+            qc.append(c)
+
+        def to8(xs, tail):
+            x = jnp.stack(xs, 1).reshape((nbh, nbw, 2, 2) + tail)
+            return x.transpose((0, 2, 1, 3)
+                               + tuple(4 + i for i in range(len(tail)))
+                               ).reshape((nbh * 2 * nbw * 2,) + tail)
+
+        quad = (to8(qmv, (2,)), to8(qs9, (9,)), to8(qc, ()))
+        return main + (quad,)
 
     # --- MC phase planes --------------------------------------------------
     tl_j = jnp.asarray(taps_l)  # (4, 8)
@@ -686,10 +804,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return jnp.where(tu_log2 == 3, any8,
                          jnp.where(tu_log2 == 4, any16, any32))
 
-    def _bs_dir(log2_map, mv_map, ref_map, tb_cbf, axis):
+    def _bs_dir(log2_map, mv_map, ref_map, tb_cbf, axis, intra=None):
         """(h8, w8) boundary strength for the edge at each cell's
         left (axis 1) / top (axis 0); P-slice rules (§8.7.2.4 with the
-        deblock.boundary_strength semantics)."""
+        deblock.boundary_strength semantics); intra cells force bs 2."""
         tu_log2 = jnp.minimum(log2_map.astype(jnp.int32), 5)
         cs = (jnp.arange(w8)[None] if axis == 1
               else jnp.arange(h8)[:, None])
@@ -707,8 +825,11 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 (np.arange(h8) == 0)[:, None].repeat(w8, 1))
         mv_far = (jnp.abs(mv_map - p_mv) >= 4).any(-1) | (
             ref_map != p_ref)
-        bs = (tb_cbf | p_cbf | mv_far) & edge & ~border
-        return bs.astype(jnp.int32)
+        bs = ((tb_cbf | p_cbf | mv_far) & edge & ~border).astype(jnp.int32)
+        if intra is not None:
+            p_in = jnp.roll(intra, 1, 1 if axis == 1 else 0)
+            bs = jnp.where((intra | p_in) & edge & ~border, 2, bs)
+        return bs
 
     def _deblock_luma_vert(plane, bs8, qp):
         """Vertical-edge pass over the whole plane; bs8 per 8-cell.
@@ -726,7 +847,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         qs = q.reshape(h4, 4, wt, 4).astype(jnp.int32)
         bs_seg = jnp.repeat(bs8, 2, axis=0)  # (h4, wt)
         beta = jnp.int32(int(BETA_TABLE[min(max(qp, 0), 51)]))
-        tc = jnp.int32(int(TC_TABLE[min(max(qp + 2 * (1 - 1), 0), 53)]))
+        tc1 = int(TC_TABLE[min(max(qp, 0), 53)])
+        tc2 = int(TC_TABLE[min(max(qp + 2, 0), 53)])
+        tc = jnp.where(bs_seg == 2, jnp.int32(tc2), jnp.int32(tc1))
         dp0 = jnp.abs(ps[:, 0, :, 2] - 2 * ps[:, 0, :, 1] + ps[:, 0, :, 0])
         dp3 = jnp.abs(ps[:, 3, :, 2] - 2 * ps[:, 3, :, 1] + ps[:, 3, :, 0])
         dq0 = jnp.abs(qs[:, 0, :, 2] - 2 * qs[:, 0, :, 1] + qs[:, 0, :, 0])
@@ -746,6 +869,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
 
         strong = dsam(0, dpq0) & dsam(3, dpq3) & do_f
         weak = do_f & ~strong
+        tcb = tc[:, None, :]  # broadcast over the 4 lines
         pp, qq = ps, qs  # (h4, 4, w8, 4)
         sp0 = (pp[..., 2] + 2 * pp[..., 1] + 2 * pp[..., 0]
                + 2 * qq[..., 0] + qq[..., 1] + 4) >> 3
@@ -759,7 +883,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                + pp[..., 0] + 4) >> 3
 
         def clip2(v, ref):
-            return jnp.clip(v, ref - 2 * tc, ref + 2 * tc)
+            return jnp.clip(v, ref - 2 * tcb, ref + 2 * tcb)
 
         sp0 = clip2(sp0, pp[..., 0])
         sp1 = clip2(sp1, pp[..., 1])
@@ -770,18 +894,18 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
 
         delta = (9 * (qq[..., 0] - pp[..., 0])
                  - 3 * (qq[..., 1] - pp[..., 1]) + 8) >> 4
-        w_on = weak[:, None] & (jnp.abs(delta) < 10 * tc)
-        dlt = jnp.clip(delta, -tc, tc)
+        w_on = weak[:, None] & (jnp.abs(delta) < 10 * tcb)
+        dlt = jnp.clip(delta, -tcb, tcb)
         wp0 = jnp.clip(pp[..., 0] + dlt, 0, maxv)
         wq0 = jnp.clip(qq[..., 0] - dlt, 0, maxv)
         side = (beta + (beta >> 1)) >> 3
         dep = ((dp0 + dp3) < side)[:, None]
         deq2 = ((dq0 + dq3) < side)[:, None]
-        tc2 = tc >> 1
+        tch = tcb >> 1
         dp_ = jnp.clip((((pp[..., 2] + pp[..., 0] + 1) >> 1)
-                        - pp[..., 1] + dlt) >> 1, -tc2, tc2)
+                        - pp[..., 1] + dlt) >> 1, -tch, tch)
         dq_ = jnp.clip((((qq[..., 2] + qq[..., 0] + 1) >> 1)
-                        - qq[..., 1] - dlt) >> 1, -tc2, tc2)
+                        - qq[..., 1] - dlt) >> 1, -tch, tch)
         wp1 = jnp.clip(pp[..., 1] + dp_, 0, maxv)
         wq1 = jnp.clip(qq[..., 1] + dq_, 0, maxv)
 
@@ -802,17 +926,58 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         t3 = jnp.concatenate([t2[:, :, :5], newp], axis=2)
         return t3.reshape(hp, wp)
 
-    def deblock_device(rec_y, log2_map, mv_map, ref_map, cbf_cells, qp):
-        """Whole-frame luma deblock (vertical then horizontal edges),
-        device twin of ops/deblock.deblock_frame for P slices (bs <= 1,
-        so chroma is untouched). Same int math; parity is tested against
-        the host filter in tests/test_inter_grid.py."""
+    def _deblock_chroma_vert(plane, bs2_half, qpc_):
+        """Vertical chroma edges (bs == 2 only, §8.7.2.5.5): 2-tap
+        filter at every 8-chroma-sample column edge. plane: one chroma
+        half (Hc, Wc); bs2_half: (Hc//4, Wc//8) bool (per 4-row chroma
+        segment x per 8-col edge; edge k at x = 8k, k >= 1)."""
+        hc, wc = plane.shape
+        wt = wc // 8
+        tcc = jnp.int32(int(TC_TABLE[min(max(qpc_ + 2, 0), 53)]))
+        t = plane.reshape(hc, wt, 8)
+        p1 = jnp.roll(t, 1, 1)[:, :, 6]
+        p0 = jnp.roll(t, 1, 1)[:, :, 7]
+        q0 = t[:, :, 0]
+        q1 = t[:, :, 1]
+        on = jnp.repeat(bs2_half, 4, axis=0)  # (hc, wt)
+        on = on & jnp.asarray((np.arange(wt) > 0)[None])
+        delta = jnp.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tcc, tcc)
+        np0 = jnp.clip(p0 + delta, 0, maxv)
+        nq0 = jnp.clip(q0 - delta, 0, maxv)
+        np0 = jnp.where(on, np0, p0)
+        nq0 = jnp.where(on, nq0, q0)
+        t = t.at[:, :, 0].set(nq0)
+        pback = jnp.roll(np0[:, :, None], -1, axis=1)
+        t = t.at[:, :, 7:].set(jnp.where(
+            jnp.roll(on, -1, 1)[:, :, None], pback, t[:, :, 7:]))
+        return t.reshape(hc, wc)
+
+    def deblock_device(rec_y, rec_uv, log2_map, mv_map, ref_map,
+                       cbf_cells, qp, intra_cells=None):
+        """Whole-frame deblock (vertical then horizontal edges), device
+        twin of ops/deblock.deblock_frame for P slices. Luma filters
+        bs >= 1 edges; chroma only bs == 2 (intra) edges. Same int math;
+        parity is tested against the host filter."""
         tb_cbf = _tb_cbf_cells(log2_map, cbf_cells)
-        bs_v = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 1)
+        bs_v = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 1, intra_cells)
         y = _deblock_luma_vert(rec_y, bs_v, qp)
-        bs_h = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 0)
+        bs_h = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 0, intra_cells)
         y = _deblock_luma_vert(y.T, bs_h.T, qp).T
-        return y
+        if intra_cells is None:
+            return y, rec_uv
+        qpc_ = chroma_qp(qp)
+        # chroma edges live on the 16-luma grid: cell edge (y8, x8) with
+        # x8 even; per-4-chroma-row segment = per 8-luma-row = per cell
+        bs2v = (bs_v == 2)[:, ::2]                    # (h8, w8/2)
+        bs2h = (bs_h == 2)[::2, :]                    # (h8/2, w8)
+        u = rec_uv[:, :Wc]
+        v = rec_uv[:, Wc:]
+        halves = []
+        for pl in (u, v):
+            c = _deblock_chroma_vert(pl, bs2v, qpc_)
+            c = _deblock_chroma_vert(c.T, bs2h.T, qpc_).T
+            halves.append(c)
+        return y, jnp.concatenate(halves, axis=1)
 
     # --- device SAO (stats -> per-CTU RDO -> apply) ----------------------
     CTU = 1 << sps.log2_ctu
@@ -1119,7 +1284,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         pred_y = pred_luma(planes_y, mvq_pix, refp, Hp, Wp)
         coef = fwd_tx(oy_c - pred_y, T)
         if use_rdoq:
-            lvl = rdoq_plane(coef, qp, log2t, lam)
+            lvl = rdoq_plane(coef, qp, log2t, lam, tabs["est_y"][log2t])
         else:
             lvl = quant_plane(coef, qp, log2t)
         if use_sbh:
@@ -1176,7 +1341,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         lam_c = lam / wch
         coef_c = fwd_tx(ouv_c - pred_uv, Tc)
         if use_rdoq:
-            lvl_c = rdoq_plane(coef_c, qpc, log2c, lam_c)
+            lvl_c = rdoq_plane(coef_c, qpc, log2c, lam_c,
+                               tabs["est_c"][log2c])
         else:
             lvl_c = quant_plane(coef_c, qpc, log2c)
         if use_sbh:
@@ -1214,6 +1380,321 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         cbf_cu = cbf_cu + cu_sum_c(nzk)
         return dict(lvl=lvl, rec=rec, lvl_c=lvl_c, rec_c=rec_c,
                     d=d_cu, bits=b_cu, cbf=cbf_cu > 0)
+
+    # --- intra-in-P: dense 16x16 intra candidate class -------------------
+    # The anchor's RD win in occlusion regions comes from intra CUs
+    # inside P slices (TEncCu.cpp:644, 9% of CUs at QP22 on the
+    # scoreboard clip). Decision is open-loop (original-pixel
+    # references); reconstruction is exact: kept cells are constrained
+    # so every reference sample comes from already-final inter recon,
+    # with the spec's z-scan availability + substitution (§8.4.4.2.2).
+    IMODES = (0, 1, 10, 26, 2, 18, 34)  # planar, DC, H, V, diagonals
+
+    from ..ops.intra import filter_flag as _filter_mode
+
+    def _intra_static():
+        """z-scan availability of the TR / BL 16-sample segments per
+        16-cell (min-CU z-addresses are static; §6.4.1)."""
+        ctu_cells = max(1, (1 << sps.log2_ctu) // 16)
+        wctu_ = -(-nw16 // ctu_cells)
+        zz = np.zeros((nh16, nw16), np.int64)
+        for by in range(nh16):
+            for bx in range(nw16):
+                cy, cx = by // ctu_cells, bx // ctu_cells
+                oy_, ox_ = by % ctu_cells, bx % ctu_cells
+                m = 0
+                for b_ in range(6):
+                    m |= (((ox_ >> b_) & 1) << (2 * b_)) \
+                        | (((oy_ >> b_) & 1) << (2 * b_ + 1))
+                zz[by, bx] = ((cy * wctu_ + cx) << 16) + m
+        tr = np.zeros((nh16, nw16), bool)
+        bl = np.zeros((nh16, nw16), bool)
+        for by in range(nh16):
+            for bx in range(nw16):
+                if by > 0 and bx + 1 < nw16:
+                    tr[by, bx] = zz[by - 1, bx + 1] < zz[by, bx]
+                if by + 1 < nh16 and bx > 0:
+                    bl[by, bx] = zz[by + 1, bx - 1] < zz[by, bx]
+        return tr, bl
+
+    _AVTR16, _AVBL16 = (None, None)
+    if nh16 and nw16:
+        _AVTR16, _AVBL16 = _intra_static()
+
+    def cell_refs(plane, S, ox, hp, wp):
+        """(nh16*nw16, 2S+1) top/left reference arrays (corner at 0)
+        from `plane`, with z-availability + substitution. ox: x offset
+        of the cell grid inside the plane (packed-V half)."""
+        n = n16
+        bx = np.tile(np.arange(nw16), nh16) * S + ox
+        by = np.repeat(np.arange(nh16), nw16) * S
+        bxj = jnp.asarray(bx)[:, None]
+        byj = jnp.asarray(by)[:, None]
+        # boundary vector v[k], k=0..4S: left bottom-up (incl BL), TL,
+        # top left-to-right (incl TR)
+        kk = np.arange(4 * S + 1)
+        is_left = kk < 2 * S
+        ky = np.where(is_left, (2 * S - 1) - kk, -1)
+        kx = np.where(is_left, -1, np.where(kk == 2 * S, -1,
+                                            kk - (2 * S + 1)))
+        yy = jnp.clip(byj + jnp.asarray(ky)[None], 0, hp - 1)
+        xx = jnp.clip(bxj + jnp.asarray(kx)[None], 0,
+                      (ox + nw16 * S) - 1 if ox else wp - 1)
+        v = jnp.take(plane.reshape(-1), yy * wp + xx)  # (n, 4S+1)
+        # availability per k
+        avtr = jnp.asarray(_AVTR16.reshape(-1))
+        avbl = jnp.asarray(_AVBL16.reshape(-1))
+        left_ok = jnp.asarray((bx - ox) > 0)
+        top_ok = jnp.asarray(by > 0)
+        seg_bl = jnp.asarray(kk < S)[None]
+        seg_l = jnp.asarray((kk >= S) & (kk < 2 * S))[None]
+        seg_tl = jnp.asarray(kk == 2 * S)[None]
+        seg_t = jnp.asarray((kk > 2 * S) & (kk <= 3 * S))[None]
+        seg_tr = jnp.asarray(kk > 3 * S)[None]
+        inb_y = (byj + jnp.asarray(ky)[None]) < hp
+        inb_x = (bxj + jnp.asarray(kx)[None]) < (
+            ox + nw16 * S if ox else wp)
+        av = (seg_bl & (avbl & left_ok)[:, None] & inb_y) \
+            | (seg_l & left_ok[:, None]) \
+            | (seg_tl & (left_ok & top_ok)[:, None]) \
+            | (seg_t & top_ok[:, None]) \
+            | (seg_tr & (avtr & top_ok)[:, None] & inb_x)
+        # substitution: forward fill from the first available
+        ffi = jax.lax.cummax(
+            jnp.where(av, jnp.arange(4 * S + 1)[None], -1), axis=1)
+        first = jnp.argmax(av, axis=1)
+        any_av = av.any(axis=1)
+        vf = jnp.take_along_axis(v, jnp.maximum(ffi, 0), 1)
+        v0 = jnp.take_along_axis(v, first[:, None], 1)
+        filled = jnp.where(ffi >= 0, vf, v0)
+        filled = jnp.where(any_av[:, None], filled,
+                           jnp.full_like(filled, 1 << (bd - 1)))
+        corner = filled[:, 2 * S : 2 * S + 1]
+        t = jnp.concatenate([corner, filled[:, 2 * S + 1 :]], axis=1)
+        lft = jnp.concatenate([corner, filled[:, 2 * S - 1 :: -1]],
+                              axis=1)
+        return t.astype(jnp.int32), lft.astype(jnp.int32)
+
+    def _smooth121(t, lft, S):
+        s2 = 2 * S
+        c = (lft[:, 1] + 2 * t[:, 0] + t[:, 1] + 2) >> 2
+        tm = (t[:, : s2 - 1] + 2 * t[:, 1:s2] + t[:, 2:] + 2) >> 2
+        lm = (lft[:, : s2 - 1] + 2 * lft[:, 1:s2] + lft[:, 2:] + 2) >> 2
+        ft = jnp.concatenate([c[:, None], tm, t[:, s2:]], axis=1)
+        fl = jnp.concatenate([c[:, None], lm, lft[:, s2:]], axis=1)
+        return ft, fl
+
+    def intra_preds(t, lft, S, is_luma):
+        """(n, len(IMODES), S, S) predictions; [1 2 1] smoothing per
+        filter_flag (luma only), DC/V/H post filters (luma, S<32)."""
+        n = t.shape[0]
+        log2 = S.bit_length() - 1
+        if is_luma and log2 in (3, 4):
+            ft, fl = _smooth121(t, lft, S)
+        else:
+            ft, fl = t, lft
+        xs = jnp.arange(S)
+        preds = []
+        for m in IMODES:
+            tt, ll = (ft, fl) if (is_luma and _filter_mode(m, log2)) \
+                else (t, lft)
+            if m == 0:  # planar
+                p = ((S - 1 - xs[None, None, :]) * ll[:, 1 : S + 1, None]
+                     + (xs[None, None, :] + 1) * tt[:, S + 1, None, None]
+                     + (S - 1 - xs[None, :, None]) * tt[:, None, 1 : S + 1]
+                     + (xs[None, :, None] + 1) * ll[:, S + 1, None, None]
+                     + S) >> (log2 + 1)
+            elif m == 1:  # DC + boundary filter
+                dc = ((tt[:, 1 : S + 1].sum(1) + ll[:, 1 : S + 1].sum(1)
+                       + S) >> (log2 + 1))
+                p = jnp.broadcast_to(dc[:, None, None], (n, S, S))
+                if is_luma:
+                    row0 = (tt[:, 2 : S + 1] + 3 * dc[:, None] + 2) >> 2
+                    col0 = (ll[:, 2 : S + 1] + 3 * dc[:, None] + 2) >> 2
+                    c00 = (ll[:, 1] + 2 * dc + tt[:, 1] + 2) >> 2
+                    p = p.at[:, 0, 1:].set(row0)
+                    p = p.at[:, 1:, 0].set(col0)
+                    p = p.at[:, 0, 0].set(c00)
+            elif m == 26:  # vertical
+                p = jnp.broadcast_to(tt[:, None, 1 : S + 1], (n, S, S))
+                if is_luma:
+                    col0 = jnp.clip(
+                        tt[:, 1, None] + ((ll[:, 1 : S + 1] - ll[:, 0,
+                                                                 None])
+                                          >> 1), 0, maxv)
+                    p = p.at[:, :, 0].set(col0)
+            elif m == 10:  # horizontal
+                p = jnp.broadcast_to(ll[:, 1 : S + 1, None], (n, S, S))
+                if is_luma:
+                    row0 = jnp.clip(
+                        ll[:, 1, None] + ((tt[:, 1 : S + 1] - tt[:, 0,
+                                                                  None])
+                                          >> 1), 0, maxv)
+                    p = p.at[:, 0, :].set(row0)
+            elif m == 2:
+                p = ll[:, 2:][:, xs[:, None] + xs[None, :]]
+            elif m == 34:
+                p = tt[:, 2:][:, xs[:, None] + xs[None, :]].transpose(
+                    0, 2, 1)
+            else:  # m == 18: top-left diagonal
+                comb = jnp.concatenate([ll[:, :0:-1], tt], axis=1)
+                idx = 2 * S + xs[None, :] - xs[:, None]
+                p = comb[:, idx]
+            preds.append(p.astype(jnp.int32))
+        return jnp.stack(preds, axis=1)
+
+    def satd_cells(res, S):
+        """(n, S, S) residual -> (n,) 8x8-Hadamard SATD."""
+        Hm = jnp.asarray(_HAD8)
+        f = S // 8
+        r = (res.reshape(-1, f, 8, f, 8).transpose(0, 1, 3, 2, 4)
+             .reshape(-1, 8, 8))
+        v = jnp.einsum("kj,bjx->bkx", Hm, r)
+        hh = jnp.einsum("kj,bxj->bxk", Hm, v)
+        s = (jnp.abs(hh).sum((1, 2)) + 2) >> 2
+        return s.reshape(-1, f * f).sum(1)
+
+    def cells_to_plane(c, S, nbh, nbw):
+        return (c.reshape(nbh, nbw, S, S).transpose(0, 2, 1, 3)
+                .reshape(nbh * S, nbw * S))
+
+    def intra16_class(qp, tabs, lam, lam_me_f, oy, ouv):
+        """Open-loop intra-16 candidate: best of IMODES per cell by
+        SATD, then full TXQ RD (luma TU16 + chroma TU8). Returns
+        (cost (nh16,nw16), mode (n16,), intra_pred builder inputs)."""
+        qpc = chroma_qp(qp)
+        t, lft = cell_refs(oy, 16, 0, H, W)
+        preds = intra_preds(t, lft, 16, True)               # (n,7,16,16)
+        cur = (oy[: nh16 * 16, : nw16 * 16]
+               .reshape(nh16, 16, nw16, 16).transpose(0, 2, 1, 3)
+               .reshape(n16, 16, 16))
+        sat = jnp.stack([satd_cells(cur - preds[:, i], 16)
+                         for i in range(len(IMODES))], 1)
+        bm = jnp.argmin(sat, axis=1)                        # (n16,)
+        pred = jnp.take_along_axis(
+            preds, bm[:, None, None, None].repeat(16, 2).repeat(16, 3),
+            1)[:, 0]
+        pred_y = cells_to_plane(pred, 16, nh16, nw16)
+        # chroma DM prediction from the packed [U|V] recon/original
+        tu, lu = cell_refs(ouv, 8, 0, Hc, W)
+        tv, lv_ = cell_refs(ouv, 8, Wc, Hc, W)
+        pu = intra_preds(tu, lu, 8, False)
+        pv = intra_preds(tv, lv_, 8, False)
+        sel = bm[:, None, None, None].repeat(8, 2).repeat(8, 3)
+        pu1 = jnp.take_along_axis(pu, sel, 1)[:, 0]
+        pv1 = jnp.take_along_axis(pv, sel, 1)[:, 0]
+        pred_uv = jnp.concatenate(
+            [cells_to_plane(pu1, 8, nh16, nw16),
+             cells_to_plane(pv1, 8, nh16, nw16)], axis=1)
+        return bm, pred_y, pred_uv
+
+    def intra16_code(qp, tabs, lam, oy, ouv, pred_y, pred_uv):
+        """TXQ-code the intra pred planes (luma TU16, chroma TU8);
+        returns dict(lvl, rec, lvl_c, rec_c, d, bits, cbf) per 16-cell
+        grid — same contract as class_code."""
+        qpc = chroma_qp(qp)
+        Hp, Wp = nh16 * 16, nw16 * 16
+        oy_c = oy[:Hp, :Wp]
+        coef = fwd_tx(oy_c - pred_y, 16)
+        if use_rdoq:
+            lvl = rdoq_plane(coef, qp, 4, lam, tabs["est_y"][4])
+        else:
+            lvl = quant_plane(coef, qp, 4)
+        if use_sbh:
+            lvl = sbh_plane(lvl, ideal_plane(coef, qp, 4))
+        rsd = inv_tx(deq_plane(lvl, qp, 4), 16)
+        rec = jnp.clip(pred_y + rsd, 0, maxv)
+        nzb = tile_sum((lvl != 0).astype(jnp.int32), 16)
+        rec = jnp.where(up(nzb > 0, 16), rec, pred_y)
+        d_skip = tile_sum((oy_c - pred_y) ** 2, 16).astype(jnp.float32)
+        d_coded = tile_sum((oy_c - rec) ** 2, 16).astype(jnp.float32)
+        est = tabs["est_y"][4]
+        bits_tu = est.tu_bits(jnp, plane_tiles(lvl, 16, Hp, Wp),
+                              sbh=use_sbh).reshape(nzb.shape)
+        cbf_b = tabs["cbf_y"]
+        drop = (d_skip + lam * cbf_b[0]
+                <= d_coded + lam * (bits_tu + cbf_b[1]))
+        dropp = up(drop, 16)
+        lvl = jnp.where(dropp, 0, lvl)
+        rec = jnp.where(dropp, pred_y, rec)
+        d_cu = jnp.where(drop, d_skip, d_coded)
+        b_cu = jnp.where(drop, cbf_b[0], bits_tu + cbf_b[1])
+        cbf_cu = jnp.where(drop, 0, nzb)
+        # chroma (packed [U|V], 8x8 TUs)
+        Hpc, Wpc = Hp // 2, Wp // 2
+        ouv_c = jnp.concatenate([ouv[:Hpc, :Wpc],
+                                 ouv[:Hpc, Wc : Wc + Wpc]], axis=1)
+        wch = jnp.float32(2.0 ** ((qp - qpc) / 3.0))
+        lam_c = lam / wch
+        coef_c = fwd_tx(ouv_c - pred_uv, 8)
+        if use_rdoq:
+            lvl_c = rdoq_plane(coef_c, qpc, 3, lam_c, tabs["est_c"][3])
+        else:
+            lvl_c = quant_plane(coef_c, qpc, 3)
+        if use_sbh:
+            lvl_c = sbh_plane(lvl_c, ideal_plane(coef_c, qpc, 3))
+        rsd_c = inv_tx(deq_plane(lvl_c, qpc, 3), 8)
+        rec_c = jnp.clip(pred_uv + rsd_c, 0, maxv)
+        nzc = tile_sum((lvl_c != 0).astype(jnp.int32), 8)
+        rec_c = jnp.where(up(nzc > 0, 8), rec_c, pred_uv)
+        dc_s = tile_sum((ouv_c - pred_uv) ** 2, 8).astype(jnp.float32)
+        dc_c = tile_sum((ouv_c - rec_c) ** 2, 8).astype(jnp.float32)
+        estc = tabs["est_c"][3]
+        bits_ctu = estc.tu_bits(jnp, plane_tiles(lvl_c, 8, Hpc, 2 * Wpc),
+                                sbh=use_sbh).reshape(nzc.shape)
+        cbfc_b = tabs["cbf_c"]
+        drop_c = (dc_s + lam_c * cbfc_b[0]
+                  <= dc_c + lam_c * (bits_ctu + cbfc_b[1]))
+        dropp_c = up(drop_c, 8)
+        lvl_c = jnp.where(dropp_c, 0, lvl_c)
+        rec_c = jnp.where(dropp_c, pred_uv, rec_c)
+        duv = jnp.where(drop_c, dc_s, dc_c)
+        buv = jnp.where(drop_c, cbfc_b[0], bits_ctu + cbfc_b[1])
+        nzk = jnp.where(drop_c, 0, nzc)
+
+        def cu_sum_c(x):
+            ntw = x.shape[1] // 2
+            return x[:, :ntw] + x[:, ntw:]
+
+        d_cu = d_cu + wch * cu_sum_c(duv)
+        b_cu = b_cu + cu_sum_c(buv)
+        cbf_cu = cbf_cu + cu_sum_c(nzk)
+        return dict(lvl=lvl, rec=rec, lvl_c=lvl_c, rec_c=rec_c,
+                    d=d_cu, bits=b_cu, cbf=cbf_cu > 0)
+
+    def intra16_cost(tabs, lam, ci):
+        """Total RD cost of the intra-16 candidate per cell (header =
+        skip0 + pred_mode intra + approx mode bits; no part_mode at
+        non-min intra, §7.3.8.5)."""
+        hdr = (tabs["skip0"] + tabs["pred_intra"]
+               + tabs["prev_mode"][0] + 5.0 + tabs["chroma_dm"] + 1.0)
+        bits = hdr + ci["bits"] + tabs["split"][0]
+        return ci["d"] + lam * bits
+
+    def intra_suppress(cand):
+        """Deterministic 4-phase keep mask: a kept cell never uses
+        another (potentially) intra cell's reconstruction as reference
+        — providers: left, top-left, top, z-available TR and BL."""
+        def prov(m):
+            pl = jnp.pad(m, ((0, 0), (1, 0)))[:, :-1]
+            pt = jnp.pad(m, ((1, 0), (0, 0)))[:-1]
+            ptl = jnp.pad(m, ((1, 0), (1, 0)))[:-1, :-1]
+            ptr = jnp.pad(m, ((1, 0), (0, 1)))[:-1, 1:] \
+                & jnp.asarray(_AVTR16)
+            pbl = jnp.pad(m, ((0, 1), (1, 0)))[1:, :-1] \
+                & jnp.asarray(_AVBL16)
+            return pl | pt | ptl | ptr | pbl
+
+        bxg = np.arange(nw16)[None].repeat(nh16, 0)
+        byg = np.arange(nh16)[:, None].repeat(nw16, 1)
+        kept = jnp.zeros((nh16, nw16), bool)
+        decided = jnp.zeros((nh16, nw16), bool)
+        for px_, py_ in ((0, 0), (1, 0), (0, 1), (1, 1)):
+            ph = jnp.asarray((bxg % 2 == px_) & (byg % 2 == py_))
+            blocked = prov(kept) | prov(cand & ~decided)
+            kept = kept | (cand & ph & ~blocked)
+            decided = decided | ph
+        return kept
 
     def cu_cost(tabs, lam, c, mode_b, merged, midx_b, S):
         """Total RD cost per CU incl. skip/merge/amvp syntax and the
@@ -1264,27 +1745,71 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             gtot = _zc(s16c, sum16c, _dcc(qp, 16 * 16, lam_me))
         gi = jnp.argmin(gtot.sum((1, 2)))
         gcand = (gi % nc - R2, gi // nc - R2)
-        tx_ = jnp.clip(mv16p[:, 0], -sr, sr).reshape(nh16, nw16)
-        ty_ = jnp.clip(mv16p[:, 1], -sr, sr).reshape(nh16, nw16)
+        tx_ = jnp.clip(mv16p[:, 0], -sr_full, sr_full).reshape(nh16, nw16)
+        ty_ = jnp.clip(mv16p[:, 1], -sr_full, sr_full).reshape(nh16, nw16)
         tseed = (tx_, ty_)
 
-        def ref0_class(S, nbh_, nbw_, cxr, cyr, ts):
-            return refine(ry0, oy, cxr, cyr, S, nbh_, nbw_, qp, lam_me,
-                          with_zero=True, global_c=gcand, extra_c=ts)
+        # long-range prestage (SearchRange > 16): dense +-16-unit SAD on
+        # the 4x-pooled pyramid level, per-16-block winner seeds one
+        # extra refine grid (the TZ raster-stage counterpart,
+        # TEncSearch.cpp:4953)
+        pre16 = pre32 = None
+        if sr_full > sr:
+            P4 = sr_full // 4
+            n4 = 2 * P4 + 1
+            oy4 = tile_sum(oy, 4).astype(jnp.int16)
+            ry4p = jnp.pad(tile_sum(ry0, 4).astype(jnp.int16),
+                           P4, mode="edge")
 
-        m16_0 = ref0_class(16, nh16, nw16, cx16, cy16, tseed)
-        if _TUNE["enable8"]:
-            cx8 = jnp.repeat(jnp.repeat(cx16.reshape(nh16, nw16), 2, 0),
-                             2, 1)
-            cy8 = jnp.repeat(jnp.repeat(cy16.reshape(nh16, nw16), 2, 0),
-                             2, 1)
-            ts8 = (jnp.repeat(jnp.repeat(tseed[0], 2, 0), 2, 1),
-                   jnp.repeat(jnp.repeat(tseed[1], 2, 0), 2, 1))
-            m8_0 = ref0_class(8, nh8, nw8, cx8, cy8, ts8)
+            def ps_row(carry, dy):
+                best, barg = carry
+                for dxi in range(n4):
+                    sl = jax.lax.dynamic_slice(
+                        ry4p, (dy, dxi), (H // 4, W // 4))
+                    d = (sl - oy4).astype(jnp.int32)
+                    c = tile_sum(jnp.abs(d), 4) << 2
+                    mvyq = 16.0 * jnp.abs(dy - P4).astype(jnp.float32)
+                    bb = (2 * jnp.ceil(jnp.log2(2.0 * mvyq + 1.0))
+                          + 2 * np.ceil(np.log2(
+                              2.0 * abs(16 * (dxi - P4)) + 1.0))
+                          + 2).astype(jnp.int32)
+                    cost = c + ((bb * lam_me) >> 8)
+                    idx = dy * n4 + dxi
+                    take = cost < best
+                    best = jnp.where(take, cost, best)
+                    barg = jnp.where(take, idx, barg)
+                return (best, barg), None
+
+            init = (jnp.full((nh16, nw16), 1 << 30, jnp.int32),
+                    jnp.zeros((nh16, nw16), jnp.int32))
+            (_, barg), _ = jax.lax.scan(ps_row, init, jnp.arange(n4))
+            lim_ps = sr_full - 4
+            px_ = jnp.clip((barg % n4 - P4) * 4, -lim_ps, lim_ps)
+            py_ = jnp.clip((barg // n4 - P4) * 4, -lim_ps, lim_ps)
+            pre16 = (px_, py_)
+            if has32:
+                pre32 = (px_[: nh32 * 2 : 2, : nw32 * 2 : 2],
+                         py_[: nh32 * 2 : 2, : nw32 * 2 : 2])
+
+        def ref0_class(S, nbh_, nbw_, cxr, cyr, ts, quads=False,
+                       pre=None):
+            return refine(ry0, oy, cxr, cyr, S, nbh_, nbw_, qp, lam_me,
+                          with_zero=True, global_c=gcand, extra_c=ts,
+                          extra_c2=pre, want_quads=quads)
+
+        # the 8-class rides the 16 windows (identical candidate sets to
+        # an independent refine at the repeated-parent centers)
+        *m16_0, q8_0 = ref0_class(16, nh16, nw16, cx16, cy16, tseed,
+                                  quads=_TUNE["enable8"], pre=pre16) \
+            if _TUNE["enable8"] else (*ref0_class(16, nh16, nw16, cx16,
+                                                  cy16, tseed,
+                                                  pre=pre16), None)
+        m8_0 = q8_0
         if has32:
             ts32 = (tseed[0][: nh32 * 2 : 2, : nw32 * 2 : 2],
                     tseed[1][: nh32 * 2 : 2, : nw32 * 2 : 2])
-            m32_0 = ref0_class(32, nh32, nw32, cx32, cy32, ts32)
+            m32_0 = ref0_class(32, nh32, nw32, cx32, cy32, ts32,
+                               pre=pre32)
 
         def acc_init(m, r0_bits):
             mv, sad9, cost = m
@@ -1317,17 +1842,17 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 ryr, sc_, rb, ridx = xs
                 cxr = jnp.clip(cx16 * sc_, -R2, R2)
                 cyr = jnp.clip(cy16 * sc_, -R2, R2)
-                a16 = merge_acc(a16, refine(ryr, oy, cxr, cyr, 16, nh16,
-                                            nw16, qp, lam_me,
-                                            with_zero=False), rb, ridx)
                 if _TUNE["enable8"]:
-                    cx8_ = jnp.repeat(jnp.repeat(
-                        cxr.reshape(nh16, nw16), 2, 0), 2, 1)
-                    cy8_ = jnp.repeat(jnp.repeat(
-                        cyr.reshape(nh16, nw16), 2, 0), 2, 1)
-                    a8 = merge_acc(a8, refine(ryr, oy, cx8_, cy8_, 8,
-                                              nh8, nw8, qp, lam_me,
-                                              with_zero=False), rb, ridx)
+                    *m16r, q8r = refine(ryr, oy, cxr, cyr, 16, nh16,
+                                        nw16, qp, lam_me,
+                                        with_zero=False, want_quads=True)
+                    a16 = merge_acc(a16, m16r, rb, ridx)
+                    a8 = merge_acc(a8, q8r, rb, ridx)
+                else:
+                    a16 = merge_acc(a16, refine(ryr, oy, cxr, cyr, 16,
+                                                nh16, nw16, qp, lam_me,
+                                                with_zero=False), rb,
+                                    ridx)
                 if has32:
                     cxr32 = jnp.clip(cx32 * sc_, -R2, R2)
                     cyr32 = jnp.clip(cy32 * sc_, -R2, R2)
@@ -1349,24 +1874,49 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         planes_y = luma_planes_all(ry_stack)
         pl_u, pl_v = chroma_planes_all(ruv_stack)
 
-        def with_fme(mv, sad9, refv, S, nbh_, nbw_):
-            mvq = mv * 4
-            if cfg.fme_mode == "nn":
-                off = nn_refine(qp, sad9, S, nbh_ * nbw_)
-                if off is not None:
-                    mvq = mvq + off
-            elif cfg.fme_mode == "dctif":
-                mvq = subpel_refine(planes_y, oy, mv, refv, S, nbh_, nbw_)
-            return mvq
-
         mv16, sad9_16, ref16 = pick_ref(acc16)
-        mvq16 = with_fme(mv16, sad9_16, ref16, 16, nh16, nw16)
         if _TUNE["enable8"]:
             mv8, sad9_8, ref8 = pick_ref(acc8)
-            mvq8 = with_fme(mv8, sad9_8, ref8, 8, nh8, nw8)
         if has32:
             mv32, sad9_32, ref32 = pick_ref(acc32)
-            mvq32 = with_fme(mv32, sad9_32, ref32, 32, nh32, nw32)
+
+        if cfg.fme_mode == "nn" and nn_dev.get(qp) is not None:
+            # one batched MLP forward over every class's blocks
+            parts = [(sad9_16, 16, n16)]
+            if _TUNE["enable8"]:
+                parts.append((sad9_8, 8, nh8 * nw8))
+            if has32:
+                parts.append((sad9_32, 32, n32))
+            rows = jnp.concatenate([p[0] for p in parts]).astype(
+                jnp.float32)
+            hc = jnp.concatenate([
+                jnp.full(p[2], int(nnfme.height_category(p[1])))
+                for p in parts])
+            wc = jnp.concatenate([
+                jnp.full(p[2], int(nnfme.width_category(p[1])))
+                for p in parts])
+            logits = nnfme.forward(nn_dev[qp], rows, hc, wc)
+            offs = cls2q[jnp.argmax(logits, axis=-1)].astype(jnp.int32)
+            o16 = offs[:n16]
+            pos = n16
+            mvq16 = mv16 * 4 + o16
+            if _TUNE["enable8"]:
+                mvq8 = mv8 * 4 + offs[pos : pos + nh8 * nw8]
+                pos += nh8 * nw8
+            if has32:
+                mvq32 = mv32 * 4 + offs[pos : pos + n32]
+        else:
+            def with_fme(mv, refv, S, nbh_, nbw_):
+                if cfg.fme_mode == "dctif":
+                    return subpel_refine(planes_y, oy, mv, refv, S, nbh_,
+                                         nbw_)
+                return mv * 4
+
+            mvq16 = with_fme(mv16, ref16, 16, nh16, nw16)
+            if _TUNE["enable8"]:
+                mvq8 = with_fme(mv8, ref8, 8, nh8, nw8)
+            if has32:
+                mvq32 = with_fme(mv32, ref32, 32, nh32, nw32)
 
         # --- per-class candidate sweep + residual coding ---------------
         def run_class(mvq, refv, S, nbh, nbw):
@@ -1394,6 +1944,16 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         else:
             use8 = jnp.zeros((nh16, nw16), bool)
             best16 = c16["cost"]
+
+        # intra-16 candidate competes at the 16 level (TEncCu.cpp:644)
+        icand = None
+        if _TUNE.get("intra", True):
+            bm16, _ipy, _ipuv = intra16_class(qp, tabs, lam, lam_me_f,
+                                              oy, ouv)
+            ci16 = intra16_code(qp, tabs, lam, oy, ouv, _ipy, _ipuv)
+            icost16 = intra16_cost(tabs, lam, ci16)
+            icand = icost16 < best16
+            best16 = jnp.minimum(best16, icost16)
         use32 = use64 = None
         if has32:
             b16 = best16[: nh32 * 2, : nw32 * 2].reshape(
@@ -1501,6 +2061,59 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                     jnp.where(m64cell, cells(c64["ref"], 64),
                               ref_map[: nh64 * 8, : nw64 * 8]))
 
+        # --- intra-16 exact reconstruction + composition -----------------
+        intra_cells = jnp.zeros((h8, w8), bool)
+        imode_map = jnp.zeros((nh16, nw16), jnp.int32)
+        if icand is not None:
+            kept = intra_suppress(icand)
+            if has32 and use32 is not None:
+                cov = jnp.zeros((nh16, nw16), bool)
+                cov = cov.at[: nh32 * 2, : nw32 * 2].set(
+                    jnp.repeat(jnp.repeat(use32, 2, 0), 2, 1))
+                if has64 and use64 is not None:
+                    cov = cov.at[: nh64 * 4, : nw64 * 4].set(
+                        cov[: nh64 * 4, : nw64 * 4]
+                        | jnp.repeat(jnp.repeat(use64, 4, 0), 4, 1))
+                kept = kept & ~cov
+            # exact prediction from the composed (pre-deblock) recon —
+            # every reference sample of a kept cell is final inter recon
+            t_x, l_x = cell_refs(rec_y, 16, 0, H, W)
+            preds_x = intra_preds(t_x, l_x, 16, True)
+            selm = bm16[:, None, None, None].repeat(16, 2).repeat(16, 3)
+            pred_x = jnp.take_along_axis(preds_x, selm, 1)[:, 0]
+            ipred_y = cells_to_plane(pred_x, 16, nh16, nw16)
+            tu_x, lu_x = cell_refs(rec_uv, 8, 0, Hc, W)
+            tv_x, lv_x = cell_refs(rec_uv, 8, Wc, Hc, W)
+            selc = bm16[:, None, None, None].repeat(8, 2).repeat(8, 3)
+            pu_x = jnp.take_along_axis(
+                intra_preds(tu_x, lu_x, 8, False), selc, 1)[:, 0]
+            pv_x = jnp.take_along_axis(
+                intra_preds(tv_x, lv_x, 8, False), selc, 1)[:, 0]
+            ipred_uv = jnp.concatenate(
+                [cells_to_plane(pu_x, 8, nh16, nw16),
+                 cells_to_plane(pv_x, 8, nh16, nw16)], axis=1)
+            cix = intra16_code(qp, tabs, lam, oy, ouv, ipred_y, ipred_uv)
+            kp_pix = up(kept, 16)
+            Hp16, Wp16 = nh16 * 16, nw16 * 16
+            lvl_y = paste(lvl_y, cix["lvl"], kp_pix, Hp16, Wp16)
+            rec_y = paste(rec_y, cix["rec"], kp_pix, Hp16, Wp16)
+            kp_c = up(kept, 8)
+            lvl_uv = paste_uv(lvl_uv, cix["lvl_c"], kp_c, Hp16 // 2,
+                              Wp16 // 2)
+            rec_uv = paste_uv(rec_uv, cix["rec_c"], kp_c, Hp16 // 2,
+                              Wp16 // 2)
+            kp_cell = up(kept, 2)
+            log2_map = log2_map.at[: nh16 * 2, : nw16 * 2].set(
+                jnp.where(kp_cell, jnp.int8(4),
+                          log2_map[: nh16 * 2, : nw16 * 2]))
+            mv_map = mv_map.at[: nh16 * 2, : nw16 * 2].set(
+                jnp.where(kp_cell[..., None], 0,
+                          mv_map[: nh16 * 2, : nw16 * 2]))
+            intra_cells = intra_cells.at[: nh16 * 2, : nw16 * 2].set(
+                kp_cell)
+            imode_map = jnp.where(
+                kept, jnp.asarray(IMODES)[bm16.reshape(nh16, nw16)], 0)
+
         # per-8-cell cbf map from the composed level planes
         cbf_cells = (tile_sum((lvl_y != 0).astype(jnp.int32), 8)
                      + tile_sum((lvl_uv[:, :Wc] != 0).astype(jnp.int32), 4)
@@ -1510,8 +2123,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         if use_deblock:
             # luma-TB cbf only for the BS condition (§8.7.2.4)
             luma_cbf = tile_sum((lvl_y != 0).astype(jnp.int32), 8) > 0
-            rec_y = deblock_device(rec_y, log2_map, mv_map, ref_map,
-                                   luma_cbf, qp)
+            rec_y, rec_uv = deblock_device(
+                rec_y, rec_uv, log2_map, mv_map, ref_map, luma_cbf, qp,
+                intra_cells if icand is not None else None)
         sao_params = None
         if use_sao:
             rec_y, rec_uv, sao_params = sao_device(oy, ouv, rec_y, rec_uv,
@@ -1539,7 +2153,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         parts += [log2_map.astype(jnp.uint8).reshape(-1),
                   u8(mv_map.astype(jnp.int16)),
                   ref_map.astype(jnp.uint8).reshape(-1),
-                  cbf_cells.astype(jnp.uint8).reshape(-1)]
+                  cbf_cells.astype(jnp.uint8).reshape(-1),
+                  intra_cells.astype(jnp.uint8).reshape(-1),
+                  imode_map.astype(jnp.uint8).reshape(-1)]
         if sao_params is not None:
             parts.append(u8(sao_params))
         parts += [u8(sad9_16.astype(jnp.int32)),
@@ -1623,6 +2239,8 @@ def _parse_frame_buf(cfg, buf: np.ndarray) -> dict:
         mv_map=take(h8 * w8 * 4, np.int16, (h8, w8, 2)).astype(np.int32),
         ref_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
         cbf_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
+        intra_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
+        imode_map=take(n16, np.uint8, (nh16, nw16)).astype(np.int32),
     )
     if sps.sao_enabled:
         ctu = 1 << sps.log2_ctu
@@ -1657,8 +2275,14 @@ def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
     W, H = sps.coded_width, sps.coded_height
     Hc, Wc = H // 2, W // 2
     d = _parse_frame_buf(cfg, buf)
+    # intra cells ride the walk as ref sentinel 255 (unavailable as
+    # motion neighbors, no merge/AMVP derivation of their own)
+    ref_in = d["ref_map"]
+    has_intra = bool(d["intra_map"].any())
+    if has_intra:
+        ref_in = np.where(d["intra_map"] > 0, 255, ref_in)
     maps = decision_walk_map_native(
-        d["log2_map"], d["mv_map"], d["ref_map"], d["cbf_map"],
+        d["log2_map"], d["mv_map"], ref_in, d["cbf_map"],
         W, H, sps.log2_ctu, cfg.max_num_merge_cand, num_ref)
     if maps is None:
         return None
@@ -1671,6 +2295,24 @@ def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
         coeff_cb=np.ascontiguousarray(d["lvl_uv"][:, :Wc]),
         coeff_cr=np.ascontiguousarray(d["lvl_uv"][:, Wc:]),
     )
+    if has_intra:
+        im = d["intra_map"] > 0
+        fs.inter_dir = np.where(im, 0, fs.inter_dir)
+        fs.skip = np.where(im, 0, fs.skip)
+        fs.merge_flag = np.where(im, 0, fs.merge_flag)
+        fs.ref_idx = np.where(im, 0, fs.ref_idx)
+        modes16 = d["imode_map"]
+        m8 = np.repeat(np.repeat(modes16, 2, 0), 2, 1)[: im.shape[0],
+                                                       : im.shape[1]]
+        fs.luma_mode = np.where(im, m8, fs.luma_mode)
+        fs.chroma_mode = np.where(im, 4, fs.chroma_mode)  # DM
+        m4 = np.repeat(np.repeat(m8, 2, 0), 2, 1)
+        im4 = np.repeat(np.repeat(im, 2, 0), 2, 1)
+        fs.luma_mode4 = np.where(im4, m4, fs.luma_mode4).astype(
+            fs.luma_mode4.dtype)
+        fs.tu_log2 = np.where(im4, 4, fs.tu_log2).astype(
+            fs.tu_log2.dtype)
+        fs.full_features = True  # 16x16 intra-in-P routes to recon_full
     if "sao_ty" in d:
         from .sao_enc import SaoPicParams
 
@@ -1725,4 +2367,7 @@ def collect_grid_frame(cfg, buf: np.ndarray):
                 lvl_v=lvl_v[cy : cy + cs, cx : cx + cs],
                 rec_v=rec_v[cy : cy + cs, cx : cx + cs].astype(np.int32),
             )
+            if d["intra_map"][y8, x8]:
+                per_cu[(x0, y0)]["intra_mode"] = int(
+                    d["imode_map"][y8 // 2, x8 // 2])
     return per_cu

@@ -151,6 +151,9 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
         return None
     if fs.sao is not None and not hasattr(lib, "tpuhevc_encode_slice_data_sao"):
         return None
+    if slice_type != 2 and fs.inter_dir is not None \
+            and (fs.inter_dir == 0).any():
+        return None  # intra-in-P frames take the python slice coder
 
     def ptr(a):
         a = np.ascontiguousarray(a, dtype=np.int32)
