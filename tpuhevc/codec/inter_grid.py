@@ -472,7 +472,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return cx.astype(jnp.int32), cy.astype(jnp.int32)
 
     def _refine_grid(ry, cur, bx, by, ccx, ccy, S, qp, lam_me,
-                     quads=False):
+                     quads=False, ry_y0=0):
         """7x7 SAD grid at full-pel centers (ccx, ccy) per block, as 49
         STATIC slices of one gathered window (nb, S+6, S+6) — no inner
         gather, XLA lowers the shifts to strided reads. Returns
@@ -482,12 +482,13 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         sad stays RAW (the NN-FME surface input, reference semantics);
         only the selection cost is DC-aware."""
         win = S + 6
-        yy = jnp.clip(by[:, None] + ccy[:, None] - 3
-                      + jnp.arange(win)[None], 0, H - 1)
+        hr, wr = ry.shape  # stripe-aware: ry may carry halo rows
+        yy = jnp.clip(by[:, None] + ccy[:, None] - 3 + ry_y0
+                      + jnp.arange(win)[None], 0, hr - 1)
         xx = jnp.clip(bx[:, None] + ccx[:, None] - 3
-                      + jnp.arange(win)[None], 0, W - 1)
+                      + jnp.arange(win)[None], 0, wr - 1)
         wnd = jnp.take(ry.reshape(-1),
-                       yy[:, :, None] * W + xx[:, None, :]).astype(jnp.int16)
+                       yy[:, :, None] * wr + xx[:, None, :]).astype(jnp.int16)
         nb = wnd.shape[0]
         nq = (S // 8) ** 2 if quads else 1
         sads, sums = [], []
@@ -560,7 +561,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
 
     def refine(ry, oy, cx4, cy4, S, nbh, nbw, qp, lam_me, with_zero=True,
                global_c=None, extra_c=None, extra_c2=None,
-               want_quads=False):
+               want_quads=False, ry_y0=0):
         """Full-pel refinement: 7x7 grids around the coarse winner AND
         (optionally) the zero MV and the frame-global coarse winner (the
         TZ predictor set's start candidates: median/zero + the dominant
@@ -581,29 +582,29 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         cur = cur.astype(jnp.int16)
         q = want_quads
         grids = [_refine_grid(ry, cur, bx, by, ccx, ccy, S, qp, lam_me,
-                              quads=q)]
+                              quads=q, ry_y0=ry_y0)]
         if with_zero:
             zero = jnp.zeros_like(ccx)
             grids.append(_refine_grid(ry, cur, bx, by, zero, zero, S, qp,
-                                      lam_me, quads=q))
+                                      lam_me, quads=q, ry_y0=ry_y0))
         if global_c is not None:
             ggx = jnp.broadcast_to(global_c[0] * 2, ccx.shape)
             ggy = jnp.broadcast_to(global_c[1] * 2, ccy.shape)
             grids.append(_refine_grid(ry, cur, bx, by, ggx, ggy, S, qp,
-                                      lam_me, quads=q))
+                                      lam_me, quads=q, ry_y0=ry_y0))
         if extra_c is not None:
             # temporal seed: the co-located previous-frame MV (a TMVP-
             # style start candidate; TZ's predictor set analog)
             grids.append(_refine_grid(ry, cur, bx, by,
                                       extra_c[0].reshape(-1),
                                       extra_c[1].reshape(-1), S, qp,
-                                      lam_me, quads=q))
+                                      lam_me, quads=q, ry_y0=ry_y0))
         if extra_c2 is not None:
             # long-range prestage winner (SearchRange up to 64)
             grids.append(_refine_grid(ry, cur, bx, by,
                                       extra_c2[0].reshape(-1),
                                       extra_c2[1].reshape(-1), S, qp,
-                                      lam_me, quads=q))
+                                      lam_me, quads=q, ry_y0=ry_y0))
         main = _pick_grids(grids)
         if not want_quads:
             return main
