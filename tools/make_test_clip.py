@@ -42,6 +42,37 @@ def make_clip(width: int, height: int, frames: int, seed: int = 7) -> bytes:
     return bytes(out)
 
 
+def make_fade_clip(width: int, height: int, frames: int,
+                   seed: int = 7) -> bytes:
+    """Moving content under a global fade-to-bright (gain + offset ramp):
+    the class of content weighted prediction exists for
+    (WeightPredAnalysis.cpp — DC/AC tracking a per-frame illumination
+    change)."""
+    rng = np.random.default_rng(seed)
+    tex = rng.integers(-10, 11, size=(height * 2, width * 2), dtype=np.int16)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    out = bytearray()
+    for t in range(frames):
+        base = (
+            90
+            + 45 * np.sin(2 * np.pi * (xx / 160.0 + 0.012 * t))
+            + 30 * np.cos(2 * np.pi * (yy / 120.0 - 0.008 * t))
+        )
+        ty, tx = (2 * t) % height, (3 * t) % width
+        base = base + tex[ty : ty + height, tx : tx + width]
+        gain = 1.0 + 0.06 * t       # multiplicative fade (AC scales)
+        off = 6.0 * t               # additive fade (DC shifts)
+        y = np.clip(base * gain + off, 0, 255).astype(np.uint8)
+        u = np.clip(
+            (128 + 24 * np.sin(2 * np.pi * (xx / 90.0 + 0.01 * t)) - 128)
+            * gain + 128 + 0.8 * t, 0, 255).astype(np.uint8)[::2, ::2]
+        v = np.clip(
+            (128 + 24 * np.cos(2 * np.pi * (yy / 85.0 + 0.006 * t)) - 128)
+            * gain + 128 - 0.5 * t, 0, 255).astype(np.uint8)[::2, ::2]
+        out += y.tobytes() + u.tobytes() + v.tobytes()
+    return bytes(out)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out")

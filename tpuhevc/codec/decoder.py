@@ -176,24 +176,32 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                         out.append((f.y, f.u, f.v))
                     return out
 
+                # explicit WP routes through the general recon path
+                # (per-ref weighting of the 14-bit MC intermediates)
+                wp_on = hdr.wp_l0 is not None and (
+                    hdr.wp_l0.any_present()
+                    or (hdr.wp_l1 is not None
+                        and hdr.wp_l1.any_present()))
                 if hdr.slice_type == B_SLICE:
-                    if fs.full_features or (fs.cu_log2 > 5).any():
+                    if wp_on or fs.full_features or (fs.cu_log2 > 5).any():
                         from .recon_full import reconstruct_frame_p_full
 
                         y, u, v = reconstruct_frame_p_full(
                             fs, sps, hdr.qp, ref_list(deltas),
-                            l1_recon=ref_list(l1_deltas))
+                            l1_recon=ref_list(l1_deltas),
+                            wp_l0=hdr.wp_l0, wp_l1=hdr.wp_l1)
                     else:
                         from .inter_b import reconstruct_frame_b
 
                         y, u, v = reconstruct_frame_b(
                             fs, sps, hdr.qp, ref_list(deltas),
                             ref_list(l1_deltas))
-                elif fs.full_features:
+                elif wp_on or fs.full_features:
                     from .recon_full import reconstruct_frame_p_full
 
                     y, u, v = reconstruct_frame_p_full(fs, sps, hdr.qp,
-                                                       ref_list(deltas))
+                                                       ref_list(deltas),
+                                                       wp_l0=hdr.wp_l0)
                 else:
                     from .inter_enc import reconstruct_frame_p
 

@@ -107,7 +107,8 @@ def _chroma_resolver(fs):
     return resolve
 
 
-def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon, l1_recon=None):
+def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon, l1_recon=None,
+                             wp_l0=None, wp_l1=None):
     """P/B-frame reconstruction honoring rectangular partitions (mv4/ref4
     at 4-sample granularity, two lists via dir4/mv4_l1), the parsed TU
     tree, transform skip, and intra CUs (full feature set) —
@@ -150,32 +151,60 @@ def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon, l1_recon=None):
     rec_u = np.zeros((h // 2, w // 2), np.int32)
     rec_v = np.zeros((h // 2, w // 2), np.int32)
 
-    def paste_uni(m, rlist, ridx, mvs):
+    def paste_uni(m, rlist, ridx, mvs, wp):
+        from .wp import weight_uni_np
+
         for r in range(len(rlist)):
             mm = m & (ridx == r)
             if not mm.any():
                 continue
             ry, ru, rv = rlist[r]
-            p = mc_np(ry, xs4[mm], ys4[mm], mvs[mm], 4, True, bd)
+            weighted = wp is not None and r < len(wp.flags) and (
+                wp.flags[r][0] or wp.flags[r][1])
+            if weighted:
+                # explicit WP on the 14-bit intermediates
+                # (TComWeightPrediction.cpp:52 weightUnidir); identity
+                # components reduce to default rounding bit-exactly
+                p = weight_uni_np(
+                    mc_np14(ry, xs4[mm], ys4[mm], mvs[mm], 4, True, bd),
+                    wp.weights[r][0], wp.offsets[r][0], wp.denom_y, bd)
+                pu = weight_uni_np(
+                    mc_np14(ru, xs4[mm] // 2, ys4[mm] // 2, mvs[mm], 2,
+                            False, bd),
+                    wp.weights[r][1], wp.offsets[r][1], wp.denom_c, bd)
+                pv = weight_uni_np(
+                    mc_np14(rv, xs4[mm] // 2, ys4[mm] // 2, mvs[mm], 2,
+                            False, bd),
+                    wp.weights[r][2], wp.offsets[r][2], wp.denom_c, bd)
+            else:
+                p = mc_np(ry, xs4[mm], ys4[mm], mvs[mm], 4, True, bd)
+                pu = mc_np(ru, xs4[mm] // 2, ys4[mm] // 2, mvs[mm], 2,
+                           False, bd)
+                pv = mc_np(rv, xs4[mm] // 2, ys4[mm] // 2, mvs[mm], 2,
+                           False, bd)
             for i, (bx, by) in enumerate(zip(xs4[mm], ys4[mm])):
                 rec_y[by : by + 4, bx : bx + 4] = p[i]
-            pu = mc_np(ru, xs4[mm] // 2, ys4[mm] // 2, mvs[mm], 2, False,
-                       bd)
-            pv = mc_np(rv, xs4[mm] // 2, ys4[mm] // 2, mvs[mm], 2, False,
-                       bd)
             for i, (bx, by) in enumerate(zip(xs4[mm] // 2, ys4[mm] // 2)):
                 rec_u[by : by + 2, bx : bx + 2] = pu[i]
                 rec_v[by : by + 2, bx : bx + 2] = pv[i]
 
-    paste_uni((dir4 == 1) & ~intra4, refs, ref4, mv4)
+    paste_uni((dir4 == 1) & ~intra4, refs, ref4, mv4, wp_l0)
     if refs1:
-        paste_uni((dir4 == 2) & ~intra4, refs1, ref4b, mv4b)
+        from .wp import weight_bi_np
+
+        paste_uni((dir4 == 2) & ~intra4, refs1, ref4b, mv4b, wp_l1)
         bi = (dir4 == 3) & ~intra4
+        wp_bi = (wp_l0 is not None and wp_l1 is not None)
         for r0 in range(len(refs)):
             for r1 in range(len(refs1)):
                 mm = bi & (ref4 == r0) & (ref4b == r1)
                 if not mm.any():
                     continue
+                w_rr = wp_bi and (
+                    (r0 < len(wp_l0.flags)
+                     and (wp_l0.flags[r0][0] or wp_l0.flags[r0][1]))
+                    or (r1 < len(wp_l1.flags)
+                        and (wp_l1.flags[r1][0] or wp_l1.flags[r1][1])))
                 for ci, (sz, lum, out) in enumerate(
                         ((4, True, rec_y), (2, False, rec_u),
                          (2, False, rec_v))):
@@ -184,7 +213,14 @@ def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon, l1_recon=None):
                                 mv4[mm], sz, lum, bd)
                     b = mc_np14(refs1[r1][ci], xs4[mm] // f, ys4[mm] // f,
                                 mv4b[mm], sz, lum, bd)
-                    p = bi_average_np(a, b, bd)
+                    if w_rr:
+                        dn = wp_l0.denom_y if lum else wp_l0.denom_c
+                        p = weight_bi_np(a, b, wp_l0.weights[r0][ci],
+                                         wp_l0.offsets[r0][ci],
+                                         wp_l1.weights[r1][ci],
+                                         wp_l1.offsets[r1][ci], dn, bd)
+                    else:
+                        p = bi_average_np(a, b, bd)
                     for i, (bx, by) in enumerate(zip(xs4[mm] // f,
                                                      ys4[mm] // f)):
                         out[by : by + sz, bx : bx + sz] = p[i]

@@ -184,6 +184,10 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
             sps.amp_enabled = _b(v)
         elif k == "HadamardME":
             cfg.hadamard_me = _b(v)
+        elif k == "WeightedPredP":
+            cfg.pps.weighted_pred = _b(v)
+        elif k == "WeightedPredB":
+            cfg.pps.weighted_bipred = _b(v)
         elif k == "SignHideFlag":
             cfg.pps.sign_data_hiding = _b(v)
         elif k == "MaxNumMergeCand":

@@ -426,6 +426,73 @@ class SliceHeader:
     collocated_ref_idx: int = 0
     temporal_id: int = 0
     entry_points: list | None = None  # WPP substream byte sizes
+    # explicit weighted prediction (pred_weight_table, §7.3.6.3);
+    # present when (pps.weighted_pred and P) or (pps.weighted_bipred
+    # and B). codec.wp.WpParams per list.
+    wp_l0: object | None = None
+    wp_l1: object | None = None
+
+
+def write_pred_weight_table(w: BitWriter, hdr: "SliceHeader") -> None:
+    """pred_weight_table() (§7.3.6.3; TEncCavlc counterpart of
+    TDecCavlc::xParsePredWeightTable, TDecCAVLC.cpp:1807). Chroma
+    offsets are coded as deltas against the DC-compensating predictor
+    128 - ((128*w) >> denom)."""
+    wp0 = hdr.wp_l0
+    denom_y = wp0.denom_y
+    w.write_ue(denom_y)
+    w.write_se(wp0.denom_c - denom_y)
+    lists = [wp0] + ([hdr.wp_l1] if hdr.slice_type == B_SLICE else [])
+    for wp in lists:
+        for f in wp.flags:
+            w.write_flag(f[0])
+        for f in wp.flags:
+            w.write_flag(f[1])
+        for f, ws, os_ in zip(wp.flags, wp.weights, wp.offsets):
+            if f[0]:
+                w.write_se(ws[0] - (1 << denom_y))
+                w.write_se(os_[0])
+            if f[1]:
+                for j in (1, 2):
+                    w.write_se(ws[j] - (1 << wp.denom_c))
+                    pred = 128 - ((128 * ws[j]) >> wp.denom_c)
+                    w.write_se(os_[j] - pred)
+
+
+def parse_pred_weight_table(r: BitReader, hdr: "SliceHeader") -> None:
+    """Inverse of write_pred_weight_table; fills hdr.wp_l0/wp_l1 with
+    identity entries for refs whose flags are absent
+    (TDecCAVLC.cpp:1877-1912 defaults)."""
+    from ..codec.wp import WpParams
+
+    denom_y = r.read_ue()
+    denom_c = denom_y + r.read_se()
+    nlists = 2 if hdr.slice_type == B_SLICE else 1
+    nrefs = [hdr.num_ref_idx_l0, hdr.num_ref_idx_l1]
+    out = []
+    for li in range(nlists):
+        wp = WpParams(denom_y=denom_y, denom_c=denom_c)
+        n = nrefs[li]
+        fy = [r.read_flag() for _ in range(n)]
+        fc = [r.read_flag() for _ in range(n)]
+        for i in range(n):
+            ws = [1 << denom_y, 1 << denom_c, 1 << denom_c]
+            os_ = [0, 0, 0]
+            if fy[i]:
+                ws[0] = r.read_se() + (1 << denom_y)
+                os_[0] = r.read_se()
+            if fc[i]:
+                for j in (1, 2):
+                    ws[j] = r.read_se() + (1 << denom_c)
+                    delta = r.read_se()
+                    pred = 128 - ((128 * ws[j]) >> denom_c)
+                    os_[j] = min(max(delta + pred, -128), 127)
+            wp.flags.append([fy[i], fc[i]])
+            wp.weights.append(ws)
+            wp.offsets.append(os_)
+        out.append(wp)
+    hdr.wp_l0 = out[0]
+    hdr.wp_l1 = out[1] if nlists == 2 else None
 
 
 def write_slice_header(
@@ -476,6 +543,9 @@ def write_slice_header(
             nrefs = hdr.num_ref_idx_l0 if hdr.collocated_from_l0 else hdr.num_ref_idx_l1
             if nrefs > 1:
                 w.write_ue(0)  # collocated_ref_idx
+        if (pps.weighted_pred and hdr.slice_type == P_SLICE) or (
+                pps.weighted_bipred and hdr.slice_type == B_SLICE):
+            write_pred_weight_table(w, hdr)
         w.write_ue(hdr.five_minus_max_num_merge_cand)
     w.write_se(hdr.qp - pps.init_qp)
     if pps.deblocking_control_present and pps.deblocking_override_enabled:
@@ -545,6 +615,9 @@ def parse_slice_header(
             nrefs = hdr.num_ref_idx_l0 if hdr.collocated_from_l0 else hdr.num_ref_idx_l1
             if nrefs > 1:
                 hdr.collocated_ref_idx = r.read_ue()
+        if (pps.weighted_pred and hdr.slice_type == P_SLICE) or (
+                pps.weighted_bipred and hdr.slice_type == B_SLICE):
+            parse_pred_weight_table(r, hdr)
         hdr.five_minus_max_num_merge_cand = r.read_ue()
     hdr.qp = pps.init_qp + r.read_se()
     if pps.deblocking_control_present and pps.deblocking_override_enabled:
