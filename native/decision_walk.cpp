@@ -46,6 +46,18 @@ struct Walk {
     mv[2] = fref[y8 * w8 + x8];
     return true;
   }
+
+  // progressive-valid-only availability (codec/mv.py _neighbor): the
+  // z-order precedes test is wrong for intra-CU PU neighbors
+  bool neighbor_v(int px, int py, int mv[3]) const {
+    if (px < 0 || py < 0) return false;
+    int x8 = px >> 3, y8 = py >> 3;
+    if (x8 >= w8 || y8 >= h8 || !fvalid[y8 * w8 + x8]) return false;
+    mv[0] = fmvx[y8 * w8 + x8];
+    mv[1] = fmvy[y8 * w8 + x8];
+    mv[2] = fref[y8 * w8 + x8];
+    return true;
+  }
 };
 
 static int64_t morton(int cx, int cy, int bits) {
@@ -80,8 +92,107 @@ static void scale_mv(int mvx, int mvy, int tb, int td, int out[2]) {
 namespace {
 
 // shared decode-order walk over explicit CU origins: derives merge /
-// AMVP syntax per §8.5.3.2.3/.2.6/.2.8 exactly as the decoder would
-struct Cu { int x0, y0, size; int64_t ord; };
+// AMVP syntax per §8.5.3.2.3/.2.6/.2.8 exactly as the decoder would.
+// part: 0 = 2Nx2N, 1 = 2NxN, 2 = Nx2N (rectangular inter PUs, the
+// TEncCu xCheckRDCostInter counterparts the device stage decides).
+struct Cu { int x0, y0, size; int64_t ord; int part; };
+
+// One PU's merge/AMVP derivation (mirror of codec/mv.py
+// merge_candidates/amvp_candidates with the progressive-valid
+// availability rule; excl: 1 = drop A1, 2 = drop B1 — §8.5.3.2.3
+// availability step for second PUs).
+struct PuSyn { int merge_i, mvp, mvdx, mvdy; };
+
+static PuSyn derive_pu(Walk& wk, int px, int py, int pw, int ph,
+                       int cmx, int cmy, int crf, int excl) {
+  int cand[5][3];
+  int ncand = 0;
+  int a1[3], b1[3], b0[3], a0[3], b2[3];
+  bool ha1 = wk.neighbor_v(px - 1, py + ph - 1, a1);
+  bool hb1 = wk.neighbor_v(px + pw - 1, py - 1, b1);
+  bool hb0 = wk.neighbor_v(px + pw, py - 1, b0);
+  bool ha0 = wk.neighbor_v(px - 1, py + ph, a0);
+  bool hb2 = wk.neighbor_v(px - 1, py - 1, b2);
+  if (excl == 1) ha1 = false;
+  if (excl == 2) hb1 = false;
+  auto eq = [](const int* a, const int* b) {
+    return a[0] == b[0] && a[1] == b[1] && a[2] == b[2];
+  };
+  auto push = [&](const int* c) {
+    cand[ncand][0] = c[0]; cand[ncand][1] = c[1]; cand[ncand][2] = c[2];
+    ncand++;
+  };
+  if (ha1) push(a1);
+  if (hb1 && !(ha1 && eq(b1, a1))) push(b1);
+  if (hb0 && !(hb1 && eq(b0, b1))) push(b0);
+  if (ha0 && !(ha1 && eq(a0, a1))) push(a0);
+  if (ncand < 4 && hb2 && !(ha1 && eq(b2, a1)) && !(hb1 && eq(b2, b1)))
+    push(b2);
+  int zero_i = 0;
+  for (; ncand < wk.max_merge; ncand++, zero_i++) {
+    cand[ncand][0] = 0; cand[ncand][1] = 0;
+    cand[ncand][2] = zero_i < wk.num_ref ? zero_i : 0;
+  }
+  PuSyn out;
+  out.merge_i = -1;
+  for (int k = 0; k < wk.max_merge; k++)
+    if (cand[k][0] == cmx && cand[k][1] == cmy && cand[k][2] == crf) {
+      out.merge_i = k;
+      break;
+    }
+  if (out.merge_i >= 0) return out;
+  // AMVP per TComDataCU::fillMvpCand (§8.5.3.2.6)
+  int apos[2][2] = {{px - 1, py + ph}, {px - 1, py + ph - 1}};
+  int bpos[3][2] = {{px + pw, py - 1}, {px + pw - 1, py - 1},
+                    {px - 1, py - 1}};
+  bool have_a[2], have_b[3];
+  int mva[2][3], mvb[3][3];
+  for (int i = 0; i < 2; i++)
+    have_a[i] = wk.neighbor_v(apos[i][0], apos[i][1], mva[i]);
+  for (int i = 0; i < 3; i++)
+    have_b[i] = wk.neighbor_v(bpos[i][0], bpos[i][1], mvb[i]);
+  bool is_scaled = have_a[0] || have_a[1];
+  int ac[2][2] = {{0, 0}, {0, 0}};
+  int na = 0;
+  auto unscaled = [&](bool* have, int (*mvs)[3], int npos,
+                      int out2[2]) -> bool {
+    for (int i = 0; i < npos; i++)
+      if (have[i] && mvs[i][2] == crf) {
+        out2[0] = mvs[i][0]; out2[1] = mvs[i][1];
+        return true;
+      }
+    return false;
+  };
+  auto scaled = [&](bool* have, int (*mvs)[3], int npos,
+                    int out2[2]) -> bool {
+    for (int i = 0; i < npos; i++)
+      if (have[i]) {
+        scale_mv(mvs[i][0], mvs[i][1], crf + 1, mvs[i][2] + 1, out2);
+        return true;
+      }
+    return false;
+  };
+  int tmp[2];
+  if (is_scaled &&
+      (unscaled(have_a, mva, 2, tmp) || scaled(have_a, mva, 2, tmp))) {
+    ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
+  }
+  if (unscaled(have_b, mvb, 3, tmp)) {
+    ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
+  }
+  if (!is_scaled && na < 2 && scaled(have_b, mvb, 3, tmp)) {
+    ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
+  }
+  if (na == 2 && ac[0][0] == ac[1][0] && ac[0][1] == ac[1][1]) {
+    na = 1; ac[1][0] = 0; ac[1][1] = 0;
+  }
+  int d0 = abs(cmx - ac[0][0]) + abs(cmy - ac[0][1]);
+  int d1 = abs(cmx - ac[1][0]) + abs(cmy - ac[1][1]);
+  out.mvp = d1 < d0 ? 1 : 0;
+  out.mvdx = cmx - ac[out.mvp][0];
+  out.mvdy = cmy - ac[out.mvp][1];
+  return out;
+}
 
 static void walk_cus(Walk& wk, std::vector<Cu>& cus,
                      const int32_t* cmv, const int32_t* cref,
@@ -97,6 +208,45 @@ static void walk_cus(Walk& wk, std::vector<Cu>& cus,
     int c0 = cy8 * w8 + cx8;
     int cmx = cmv[2 * c0], cmy = cmv[2 * c0 + 1], crf = cref[c0];
     int n = cu.size, s8 = n / 8;
+    if (cu.part && crf != 255) {
+      // rectangular inter CU: two PUs in decode order, each with its
+      // own (mv, ref) from the per-8-cell maps; availability state
+      // updates after EACH PU (mv.py _neighbor progressive rule)
+      int lg = 0; while ((1 << lg) < n) lg++;
+      for (int pi = 0; pi < 2; pi++) {
+        int px = cu.x0, py = cu.y0, pw = n, ph = n;
+        if (cu.part == 1) {  // 2NxN
+          ph = n / 2; py += pi ? n / 2 : 0;
+        } else {             // Nx2N
+          pw = n / 2; px += pi ? n / 2 : 0;
+        }
+        int p0 = (py / 8) * w8 + (px / 8);
+        int pmx = cmv[2 * p0], pmy = cmv[2 * p0 + 1], prf = cref[p0];
+        int excl = pi == 0 ? 0 : (cu.part == 1 ? 2 : 1);
+        PuSyn syn = derive_pu(wk, px, py, pw, ph, pmx, pmy, prf, excl);
+        for (int yy = py / 8; yy < (py + ph) / 8; yy++)
+          for (int xx = px / 8; xx < (px + pw) / 8; xx++) {
+            int c = yy * w8 + xx;
+            cu_log2[c] = lg;
+            mv_out[2 * c] = pmx;
+            mv_out[2 * c + 1] = pmy;
+            ref_out[c] = prf;
+            if (syn.merge_i >= 0) {
+              merge_flag[c] = 1;
+              merge_idx[c] = syn.merge_i;
+            } else {
+              mvp_flag[c] = syn.mvp;
+              mvd[2 * c] = syn.mvdx;
+              mvd[2 * c + 1] = syn.mvdy;
+            }
+            wk.fmvx[c] = pmx;
+            wk.fmvy[c] = pmy;
+            wk.fref[c] = prf;
+            wk.fvalid[c] = 1;
+          }
+      }
+      continue;
+    }
     if (crf == 255) {
       // intra CU in a P slice (ref sentinel): no motion syntax, stays
       // unavailable (fvalid 0) as a merge/AMVP neighbor per the spec
@@ -286,7 +436,43 @@ extern "C" int tpuhevc_decision_walk_map(
       for (int dy = 0; dy < s8; dy++)
         for (int dx = 0; dx < s8; dx++)
           seen[(y8 + dy) * w8 + (x8 + dx)] = 1;
-      cus.push_back({x8 * 8, y8 * 8, 1 << lg, wk.ord(x8, y8)});
+      cus.push_back({x8 * 8, y8 * 8, 1 << lg, wk.ord(x8, y8), 0});
+    }
+  walk_cus(wk, cus, mv8, cref.data(), cbf8, cu_log2, mv_out, ref_out,
+           skip, merge_flag, merge_idx, mvp_flag, mvd);
+  return 0;
+}
+
+// v3 walk: v2 plus a per-8-cell partition map (0 = 2Nx2N, 1 = 2NxN,
+// 2 = Nx2N at the CU origin cell) for rectangular inter PUs.
+extern "C" int tpuhevc_decision_walk_map_part(
+    const uint8_t* log2_map, const int32_t* mv8, const uint8_t* ref8,
+    const uint8_t* cbf8, const uint8_t* part8,
+    int W, int H, int log2_ctu, int max_merge, int num_ref,
+    int32_t* cu_log2, int32_t* mv_out, int32_t* ref_out, int32_t* skip,
+    int32_t* merge_flag, int32_t* merge_idx, int32_t* mvp_flag,
+    int32_t* mvd) {
+  if (W % 8 || H % 8) return -1;
+  Walk wk;
+  init_walk(wk, W, H, log2_ctu, max_merge, num_ref);
+  const int w8 = wk.w8, h8 = wk.h8;
+  std::vector<int32_t> cref(w8 * h8);
+  for (int i = 0; i < w8 * h8; i++) cref[i] = ref8[i];
+  std::vector<Cu> cus;
+  cus.reserve(w8 * h8 / 4);
+  std::vector<uint8_t> seen(w8 * h8, 0);
+  for (int y8 = 0; y8 < h8; y8++)
+    for (int x8 = 0; x8 < w8; x8++) {
+      if (seen[y8 * w8 + x8]) continue;
+      int lg = log2_map[y8 * w8 + x8];
+      if (lg < 3 || lg > 6) return -2;
+      int part = part8[y8 * w8 + x8];
+      if (part && lg == 3) return -3;  // 8x8 PUs stay square (4-cell maps)
+      int s8 = 1 << (lg - 3);
+      for (int dy = 0; dy < s8; dy++)
+        for (int dx = 0; dx < s8; dx++)
+          seen[(y8 + dy) * w8 + (x8 + dx)] = 1;
+      cus.push_back({x8 * 8, y8 * 8, 1 << lg, wk.ord(x8, y8), part});
     }
   walk_cus(wk, cus, mv8, cref.data(), cbf8, cu_log2, mv_out, ref_out,
            skip, merge_flag, merge_idx, mvp_flag, mvd);
@@ -388,7 +574,7 @@ extern "C" int tpuhevc_decision_walk(
       int s = sz[by * nw16 + bx];
       int x0 = bx * 16, y0 = by * 16;
       if (x0 % s || y0 % s) continue;
-      cus.push_back({x0, y0, s, wk.ord(x0 / 8, y0 / 8)});
+      cus.push_back({x0, y0, s, wk.ord(x0 / 8, y0 / 8), 0});
     }
   walk_cus(wk, cus, cmv.data(), cref.data(), ccbf.data(), cu_log2,
            mv_out, ref_out, skip, merge_flag, merge_idx, mvp_flag, mvd);

@@ -10,6 +10,7 @@
 // Build: tools/build_native.sh  ->  native/libtpuhevc_entropy.so (ctypes).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -80,6 +81,13 @@ struct Cabac {
   int buffered = 0xFF, num_buffered = 0;
   std::vector<uint8_t> out;
   uint8_t ctx[512];
+#ifdef TRACE_BINS
+  FILE* tf = nullptr;
+  void trace(const char* kind, int val, int idx) {
+    if (!tf) tf = fopen("/tmp/native_bins.txt", "w");
+    fprintf(tf, "%s %d %d\n", kind, val, idx);
+  }
+#endif
 
   void init_ctx(int slice_type_row, int qp) {
     const unsigned char* init =
@@ -120,6 +128,9 @@ struct Cabac {
   }
 
   inline void bin(int val, int idx) {
+#ifdef TRACE_BINS
+    trace("B", val, idx);
+#endif
     uint8_t s = ctx[idx];
     uint32_t lps = kLpsTable[(s >> 1) * 4 + ((range >> 6) & 3)];
     range -= lps;
@@ -140,6 +151,9 @@ struct Cabac {
   }
 
   inline void ep(int val) {
+#ifdef TRACE_BINS
+    trace("E", val, -1);
+#endif
     low <<= 1;
     if (val) low += range;
     bits_left--;
@@ -147,6 +161,9 @@ struct Cabac {
   }
 
   void eps(uint32_t value, int n) {
+#ifdef TRACE_BINS
+    trace("S", (int)value, n);
+#endif
     while (n > 8) {
       n -= 8;
       uint32_t pattern = value >> n;
@@ -161,6 +178,9 @@ struct Cabac {
   }
 
   void trm(int val) {
+#ifdef TRACE_BINS
+    trace("T", val, -1);
+#endif
     range -= 2;
     if (val) {
       low = (low + range) << 7;
@@ -230,6 +250,10 @@ struct Frame {
   int sign_hiding;
   const int32_t* sao = nullptr;  // per-CTU packed params (18 each)
   int sao_luma = 0, sao_chroma = 0;
+  // v3: rectangular inter PUs + intra-CU-in-P (both null for v1/v2)
+  const int32_t* part = nullptr;       // per-8-cell: 0 2Nx2N, 1 2NxN, 2 Nx2N
+  const int32_t* inter_dir = nullptr;  // per-8-cell: 0 = intra CU (P slice)
+  int amp = 0;                         // sps.amp_enabled (AMP "not asym" bin)
   std::vector<int8_t> depth8;  // decoded-CU depth map (-1 = none)
 };
 
@@ -673,6 +697,56 @@ struct SliceEnc {
     }
   }
 
+  // TEncSbac::codePartSize inter branch: part 1 = 2NxN, 2 = Nx2N (the
+  // symmetric base forms; AMP variants are not emitted by the encoder)
+  void part_mode_inter(int log2, int part) {
+    bool at_min = log2 == f.log2_min_cu;
+    int max_bits = 2 + ((at_min && log2 > 3) ? 1 : 0);
+    for (int ui = 0; ui < part; ui++) c.bin(0, kOffPartMode + ui);
+    if (part < max_bits) c.bin(1, kOffPartMode + part);
+    if (f.amp && !at_min) c.bin(1, kOffPartMode + 3);  // not asymmetric
+  }
+
+  // one PU's motion syntax from the per-8-cell maps at its origin cell
+  void pu_motion(int px, int py) {
+    int ci = (py >> 3) * f.w8 + (px >> 3);
+    int merge_f = f.merge_flag[ci];
+    c.bin(merge_f ? 1 : 0, kOffMergeFlag);
+    if (merge_f) {
+      enc_merge_idx(f.merge_idx[ci]);
+    } else {
+      enc_ref_idx(f.ref_idx ? f.ref_idx[ci] : 0);
+      enc_mvd(f.mvd[ci * 2], f.mvd[ci * 2 + 1]);
+      c.bin(f.mvp_flag[ci] ? 1 : 0, kOffMvpFlag);
+    }
+  }
+
+  // rectangular inter CU (counterpart of syntax._enc_cu_p_partitioned):
+  // two PUs in decode order, TU tree with the §7.4.9.8 interSplitFlag
+  void cu_p_part(int x0, int y0, int log2, int part) {
+    c.bin(0, kOffPredModeFlag);  // inter
+    part_mode_inter(log2, part);
+    int n = 1 << log2;
+    for (int pi = 0; pi < 2; pi++) {
+      int px = x0, py = y0;
+      if (part == 1)
+        py += pi ? n / 2 : 0;  // 2NxN
+      else
+        px += pi ? n / 2 : 0;  // Nx2N
+      pu_motion(px, py);
+    }
+    mark_depth(x0, y0, log2);
+    int cs2 = n >> 1 >= 4 ? n >> 1 : 4;
+    bool cbf_y = any_y(x0, y0, n);
+    bool cbf_cb = any_c(f.coeff_cb, x0 >> 1, y0 >> 1, cs2);
+    bool cbf_cr = any_c(f.coeff_cr, x0 >> 1, y0 >> 1, cs2);
+    int root = (cbf_y || cbf_cb || cbf_cr) ? 1 : 0;
+    c.bin(root, kOffRqtRootCbf);
+    if (root)
+      transform_tree_p(x0, y0, log2, 0, true, true,
+                       f.max_tu_depth_inter == 0);
+  }
+
   void cu_p(int x0, int y0, int log2) {
     int ci = (y0 >> 3) * f.w8 + (x0 >> 3);
     int skip = f.skip[ci];
@@ -680,6 +754,15 @@ struct SliceEnc {
     if (skip) {
       enc_merge_idx(f.merge_idx[ci]);
       mark_depth(x0, y0, log2);
+      return;
+    }
+    if (f.inter_dir && f.inter_dir[ci] == 0) {  // intra CU in a P slice
+      c.bin(1, kOffPredModeFlag);
+      cu(x0, y0, log2);
+      return;
+    }
+    if (f.part && f.part[ci]) {
+      cu_p_part(x0, y0, log2, f.part[ci]);
       return;
     }
     c.bin(0, kOffPredModeFlag);  // inter
@@ -704,11 +787,23 @@ struct SliceEnc {
     if (root) transform_tree_p(x0, y0, log2, 0, true, true);
   }
 
+  // inter_split: implicit depth-0 split for non-2Nx2N inter CUs when
+  // max_tu_depth_inter == 0 (§7.4.9.8 interSplitFlag); twin of
+  // syntax._enc_transform_tree_p
   void transform_tree_p(int x0, int y0, int log2, int depth, bool parent_cb,
-                        bool parent_cr) {
-    bool split = log2 > f.log2_max_tu;
-    bool explicit_f = log2 <= f.log2_max_tu && log2 > f.log2_min_tu &&
-                      depth < f.max_tu_depth_inter;
+                        bool parent_cr, bool inter_split = false) {
+    bool split, explicit_f = false;
+    if (inter_split && depth == 0)
+      split = true;
+    else if (log2 > f.log2_max_tu)
+      split = true;
+    else if (log2 <= f.log2_min_tu ||
+             depth >= f.max_tu_depth_inter + (inter_split ? 1 : 0))
+      split = false;
+    else {
+      split = false;  // encoder keeps TU = CU below implicit splits
+      explicit_f = true;
+    }
     if (explicit_f)
       c.bin(split ? 1 : 0, kOffSplitTransformFlag + (5 - log2));
     int s = 1 << log2;
@@ -725,7 +820,9 @@ struct SliceEnc {
       for (int sy = 0; sy <= half; sy += half)
         for (int sx = 0; sx <= half; sx += half)
           transform_tree_p(x0 + sx, y0 + sy, log2 - 1, depth + 1, cbf_cb,
-                           cbf_cr);
+                           cbf_cr, inter_split);
+      // (8x8 -> 4x4 luma splits would code chroma at this parent; the
+      // encoder never splits below TU8, so that case is unreachable)
       return;
     }
     if (depth != 0 || cbf_cb || cbf_cr)
@@ -890,6 +987,65 @@ int tpuhevc_encode_slice_data_sao(
   e.f.sao = sao;
   e.f.sao_luma = sao_luma;
   e.f.sao_chroma = sao_chroma;
+  e.f.num_ref = num_ref;
+  e.f.max_tu_depth_inter = max_tu_depth_inter;
+  e.f.slice_type = slice_type;
+  e.f.max_merge = max_merge;
+  e.f.w = width;
+  e.f.h = height;
+  e.f.w8 = width >> 3;
+  e.f.h8 = height >> 3;
+  e.f.cw = width >> 1;
+  e.f.log2_ctu = log2_ctu;
+  e.f.log2_min_cu = log2_min_cu;
+  e.f.log2_min_tu = log2_min_tu;
+  e.f.log2_max_tu = log2_max_tu;
+  e.f.max_tu_depth_intra = max_tu_depth_intra;
+  e.f.sign_hiding = sign_hiding;
+  e.f.depth8.assign(e.f.w8 * e.f.h8, -1);
+  e.c.init_ctx(slice_type_row, qp);
+  e.run();
+  if ((int)e.c.out.size() > out_cap) return -1;
+  std::memcpy(out, e.c.out.data(), e.c.out.size());
+  return (int)e.c.out.size();
+}
+
+// v3: v2 plus rectangular inter PUs (part_mode per 8-cell at the CU
+// origin: 0 2Nx2N, 1 2NxN, 2 Nx2N — PU motion read at each PU's origin
+// cell) and intra CUs inside P slices (inter_dir == 0 cells use the
+// intra CU syntax after pred_mode_flag). sao may be null.
+int tpuhevc_encode_slice_data_v3(
+    const int32_t* cu_log2, const int32_t* luma_mode,
+    const int32_t* chroma_mode, const int32_t* coeff_y,
+    const int32_t* coeff_cb, const int32_t* coeff_cr,
+    const int32_t* skip, const int32_t* merge_flag, const int32_t* merge_idx,
+    const int32_t* mvp_flag, const int32_t* mvd, const int32_t* ref_idx,
+    const int32_t* sao, int sao_luma, int sao_chroma,
+    const int32_t* part_mode, const int32_t* inter_dir, int amp_enabled,
+    int width, int height,
+    int log2_ctu, int log2_min_cu, int log2_min_tu, int log2_max_tu,
+    int max_tu_depth_intra, int max_tu_depth_inter, int slice_type,
+    int max_merge, int slice_type_row, int qp, int sign_hiding, int num_ref,
+    uint8_t* out, int out_cap) {
+  SliceEnc e;
+  e.f.cu_log2 = cu_log2;
+  e.f.luma_mode = luma_mode;
+  e.f.chroma_mode = chroma_mode;
+  e.f.coeff_y = coeff_y;
+  e.f.coeff_cb = coeff_cb;
+  e.f.coeff_cr = coeff_cr;
+  e.f.skip = skip;
+  e.f.merge_flag = merge_flag;
+  e.f.merge_idx = merge_idx;
+  e.f.mvp_flag = mvp_flag;
+  e.f.mvd = mvd;
+  e.f.ref_idx = ref_idx;
+  e.f.sao = sao;
+  e.f.sao_luma = sao_luma;
+  e.f.sao_chroma = sao_chroma;
+  e.f.part = part_mode;
+  e.f.inter_dir = inter_dir;
+  e.f.amp = amp_enabled;
   e.f.num_ref = num_ref;
   e.f.max_tu_depth_inter = max_tu_depth_inter;
   e.f.slice_type = slice_type;

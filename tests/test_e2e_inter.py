@@ -271,3 +271,52 @@ def test_checkpoint_resume(tmp_path):
     for i in range(poc, 8):
         b.encode_frame(*clip[i], poc=i)
     assert b.bitstream() == golden
+
+
+def test_gop_table_driven_ra_8deep(tmp_path):
+    """GOP-table-driven hierarchical structure: the reference's 8-deep
+    encoder_randomaccess_main GOP table drives slice types, decode
+    order, QP offsets, and RPS (TEncGOP.cpp:1077 counterpart); our
+    decoder and the HM oracle replay it hash-exact."""
+    import os
+    import subprocess
+
+    from tpuhevc.codec.decoder import decode_stream
+    from tpuhevc.codec.encoder import encode_sequence
+    from tpuhevc.codec.params import EncoderConfig, SeqParams
+    from tpuhevc.config.options import parse_gop_entry
+
+    rows = [  # HM-16.9 cfg/encoder_randomaccess_main.cfg:24-31
+        "B 8 1 0 0 0.442  0 0 0 2 3 -8 -12 -16 0",
+        "B 4 2 0 0 0.3536 0 0 1 2 3 -4 -8 4 1",
+        "B 2 3 0 0 0.3536 0 0 2 2 4 -2 -6 2 6 1",
+        "B 1 4 0 0 0.68   0 0 3 2 4 -1 1 3 7 1",
+        "B 3 4 0 0 0.68   0 0 3 2 4 -1 -3 1 5 1",
+        "B 6 3 0 0 0.3536 0 0 2 2 3 -2 -6 2 1",
+        "B 5 4 0 0 0.68   0 0 3 2 4 -1 -5 1 3 1",
+        "B 7 4 0 0 0.68   0 0 3 2 4 -1 -3 -7 1 1",
+    ]
+    table = tuple(parse_gop_entry(r) for r in rows)
+    clip = _moving_clip(128, 64, 17)
+    cfg = EncoderConfig(
+        sps=SeqParams(width=128, height=64, max_tu_depth_intra=0),
+        qp=30, intra_period=-1, fme_mode="none", inter_backend="np",
+        gop_structure="ra", gop_table=table)
+
+    class R:
+        def read_frame(self, i):
+            return clip[i] if i < len(clip) else None
+
+    enc, _ = encode_sequence(R(), cfg, max_frames=17)
+    bs = enc.bitstream()
+    frames = decode_stream(bs)
+    assert len(frames) == 17
+    # decode order follows the table rows per GOP
+    assert [f.poc for f in frames][:9] == [0, 8, 4, 2, 1, 3, 6, 5, 7]
+    assert all(f.md5_ok for f in frames)
+    if os.path.exists(HM_DEC):
+        p = tmp_path / "ra8.bin"
+        p.write_bytes(bs)
+        out = subprocess.run([HM_DEC, "-b", str(p)], capture_output=True,
+                             text=True, timeout=120).stdout
+        assert out.count("(OK)") == 17 and "ERROR" not in out

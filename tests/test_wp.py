@@ -131,3 +131,28 @@ def test_decode_hm_wp_stream(tmp_path):
     fr = decode_stream(out.read_bytes())
     assert len(fr) == N
     assert all(f.md5_ok for f in fr)
+
+
+def test_ref_pic_list_modification_roundtrip():
+    """list_entry_l0 write/parse (§7.3.6.2) + cyclic temp-list apply."""
+    from tpuhevc.codec.params import P_SLICE, PicParams, SeqParams
+    from tpuhevc.entropy.bitio import BitReader
+    from tpuhevc.entropy.headers import (ShortTermRPS, SliceHeader,
+                                         parse_slice_header,
+                                         write_slice_header)
+
+    sps = SeqParams(width=64, height=64)
+    pps = PicParams(lists_modification_present=True,
+                    num_ref_idx_l0_default=3)
+    hdr = SliceHeader(slice_type=P_SLICE, nal_type=1, poc=5, qp=30,
+                      rps=ShortTermRPS([-1, -2, -3], [1, 1, 1]),
+                      num_ref_idx_l0=3)
+    hdr.list_entry_l0 = [2, 0, 1]
+    w = write_slice_header(hdr, sps, pps)
+    hdr2, _ = parse_slice_header(w.getvalue(), 1, sps, pps, [])
+    assert hdr2.list_entry_l0 == [2, 0, 1]
+    # unmodified header parses to None
+    hdr.list_entry_l0 = None
+    w = write_slice_header(hdr, sps, pps)
+    hdr3, _ = parse_slice_header(w.getvalue(), 1, sps, pps, [])
+    assert hdr3.list_entry_l0 is None

@@ -102,12 +102,19 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                 l0 = past + fut
                 deltas = (l0 * ((num_ref + len(l0) - 1)
                                 // max(1, len(l0))))[:num_ref]
+                if hdr.list_entry_l0 is not None:
+                    # ref_pic_list_modification (§8.3.4): explicit
+                    # temp-list indices replace the cyclic default
+                    deltas = [l0[e] for e in hdr.list_entry_l0[:num_ref]]
                 num_ref_l1 = (hdr.num_ref_idx_l1
                               if hdr.slice_type == B_SLICE else 0)
                 l1 = fut + past
                 l1_deltas = (l1 * ((num_ref_l1 + len(l1) - 1)
                                    // max(1, len(l1))))[:num_ref_l1] \
                     if num_ref_l1 else []
+                if num_ref_l1 and hdr.list_entry_l1 is not None:
+                    l1_deltas = [l1[e]
+                                 for e in hdr.list_entry_l1[:num_ref_l1]]
             else:
                 deltas, num_ref, l1_deltas, num_ref_l1 = [], 1, [], 0
             col = col_b = None

@@ -197,6 +197,16 @@ class Encoder:
         if fs.sao is not None:
             hdr.sao_luma = fs.sao.luma_on
             hdr.sao_chroma = fs.sao.chroma_on
+        if pps.weighted_pred and stype == P_SLICE:
+            from .wp import WpParams
+
+            hdr.wp_l0 = getattr(fs, "wp_l0", None) or WpParams().identity(
+                hdr.num_ref_idx_l0)
+        if pps.weighted_bipred and stype == B_SLICE:
+            from .wp import WpParams
+
+            hdr.wp_l0 = WpParams().identity(hdr.num_ref_idx_l0)
+            hdr.wp_l1 = WpParams().identity(hdr.num_ref_idx_l1)
         if (stype != I_SLICE and getattr(self, "_sps_rps", None)
                 and hdr.rps is not None):
             for i, r in enumerate(self._sps_rps):
@@ -225,10 +235,10 @@ class Encoder:
         else:
             w = headers.write_slice_header(
                 hdr, sps, pps, num_sps_rps=len(getattr(self, "_sps_rps", [])))
-            has_intra_cu = (stype != I_SLICE
-                            and bool((fs.inter_dir == 0).any()))
-            payload = (None if stype == B_SLICE
-                       or has_intra_cu else
+            # intra-in-P and rectangular PUs ride the native v3 coder;
+            # encode_slice_data_native itself returns None for frames
+            # whose features exceed it (NxN, RQT, transform-skip)
+            payload = (None if stype == B_SLICE else
                        encode_slice_data_native(fs, sps, pps, init_row, fqp,
                                                 stype, max_merge,
                                                 n_ref_slice))
@@ -392,7 +402,10 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
     elif cfg.target_bitrate > 0:
         _rate_controlled(enc, cfg, frames, _finish)
     elif cfg.gop_structure == "ra" and len(frames) > 1:
-        _ra_gop4(enc, cfg, frames, _finish)
+        if cfg.gop_table:
+            _gop_table_driven(enc, cfg, frames, _finish)
+        else:
+            _ra_gop4(enc, cfg, frames, _finish)
     elif (cfg.intra_period == -1 and cfg.inter_backend == "jax"
           and len(frames) > 1 and not cfg.intra_in_inter
           and ((not cfg.pps.sign_data_hiding and not cfg.rdoq
@@ -437,6 +450,85 @@ def _rate_controlled(enc, cfg, frames, finish):
                       num_ref_l0=1, l0_deltas=[1])
             finish(i, fr, None, si)
         rc.update(enc.results[-1].bits)
+
+
+def _gop_table_driven(enc, cfg, frames, finish):
+    """GOP-table-driven hierarchical structure: slice types, QP offsets,
+    temporal order, and RPS come straight from the parsed cfg GOP table
+    (config.options.GopEntry rows, Frame1..FrameN = decode order).
+    Counterpart of TEncGOP::compressGOP's table traversal
+    (TEncGOP.cpp:1077-1321) with the ref lists truncated to one active
+    picture per list (legal num_ref_idx override; the RPS keeps every
+    table reference alive in the DPB so HM replays the full hierarchy
+    hash-exact). First-GOP entries whose references precede POC 0 are
+    trimmed like TEncTop's initial-RPS adjustment."""
+    from ..entropy.headers import ShortTermRPS
+    from .inter_b import encode_frame_b
+
+    table = list(cfg.gop_table)
+    G = len(table)
+    n = len(frames)
+    cfg.sps.num_reorder_pics = max(cfg.sps.num_reorder_pics,
+                                   max(1, G - 1))
+    max_refs = max((len(e.ref_pics) for e in table), default=1)
+    cfg.sps.max_dec_pic_buffering = max(cfg.sps.max_dec_pic_buffering,
+                                        max_refs + 2)
+    dpb: dict = {}
+
+    finish(0, frames[0])
+    dpb[0] = enc._recon
+    last_coded = 0
+    base = 0
+    while base + G < n:
+        for e in table:
+            poc = base + e.poc_offset
+            if poc >= n:
+                continue
+            qp = min(max(cfg.qp + e.qp_offset, 0), 51)
+            # trim refs that precede the IDR or were never coded (the
+            # first GOPs reference pictures that do not exist yet)
+            deltas = [d for d in e.ref_pics if (poc + d) in dpb]
+            if not deltas:
+                deltas = [last_coded - poc]
+            past = sorted((poc + d for d in deltas if d < 0), reverse=True)
+            fut = sorted(poc + d for d in deltas if d > 0)
+            l0_poc = past[0] if past else fut[0]
+            l1_poc = fut[0] if fut else past[0]
+            rps = ShortTermRPS(deltas, [1] * len(deltas))
+            if e.slice_type == "B":
+                fs, recon = encode_frame_b(
+                    frames[poc], dpb[l0_poc], dpb[l1_poc], cfg, qp,
+                    [l0_poc], [l1_poc], poc, enc._nn_for_qp(qp))
+                si = dict(stype=B_SLICE, qp=qp, rps=rps,
+                          num_ref_l0=1, num_ref_l1=1,
+                          l0_deltas=[poc - l0_poc],
+                          l1_deltas=[poc - l1_poc])
+                finish(poc, frames[poc], (fs, recon), si)
+            else:
+                enc.dpb_recon = dpb[l0_poc]
+                si = dict(stype=P_SLICE, qp=qp, rps=rps,
+                          num_ref_l0=1, l0_deltas=[poc - l0_poc])
+                finish(poc, frames[poc], None, si)
+            dpb[poc] = enc._recon
+            last_coded = poc
+            # DPB: exactly the decoder's — keep only pictures the
+            # just-coded RPS names (plus the current picture)
+            keep = {poc} | {poc + d for d in deltas}
+            for p in [p for p in dpb if p not in keep]:
+                dpb.pop(p)
+        base += G
+    # tail: plain LD-P chain from the last coded picture
+    for poc in range(base + 1, n):
+        if poc in dpb:
+            continue
+        qp = min(max(cfg.qp + (table[-1].qp_offset if table else 3), 0), 51)
+        ref = max(p for p in dpb if p < poc)
+        enc.dpb_recon = dpb[ref]
+        si = dict(stype=P_SLICE, qp=qp,
+                  rps=ShortTermRPS([ref - poc], [1]),
+                  num_ref_l0=1, l0_deltas=[poc - ref])
+        finish(poc, frames[poc], None, si)
+        dpb[poc] = enc._recon
 
 
 def _ra_gop4(enc, cfg, frames, finish):
@@ -532,6 +624,8 @@ class LdpScanDriver:
             self.fn, _, _ = build_ldp_scan(cfg, nn_by_qp, self.n_gops)
             self.collect_fn = collect_frame
         self.R = max(1, cfg.num_ref_frames) if self.grid else 1
+        self.use_wp = self.grid and cfg.pps.weighted_pred
+        self.wp_by_poc: dict = {}
         self.refs = None
         self.pending: list = []
         self.starts = list(range(0, len(frames) - 1, self.K))
@@ -578,8 +672,13 @@ class LdpScanDriver:
             nav = np.array([max(1, min(s + 1 + j, self.R))
                             for j in range(self.K)],
                            np.int32).reshape(self.n_gops, self.G)
-            out = self.fn(jnp.asarray(self._chunk_u8(blk)),
-                          jnp.asarray(nav), *self.refs)
+            if self.use_wp:
+                wp_args = self._wp_arrays(s)
+                out = self.fn(jnp.asarray(self._chunk_u8(blk)),
+                              jnp.asarray(nav), *wp_args, *self.refs)
+            else:
+                out = self.fn(jnp.asarray(self._chunk_u8(blk)),
+                              jnp.asarray(nav), *self.refs)
         else:
             out = self.fn(jnp.asarray(self._chunk_u8(blk)), *self.refs)
         buf, self.refs = out[0], out[1:]
@@ -588,6 +687,38 @@ class LdpScanDriver:
         except Exception:
             pass
         self.pending.append((s, nvalid, buf))
+
+    def _wp_arrays(self, s: int):
+        """Per-frame explicit-WP parameters for one chunk: host-side
+        DC/AC analysis against the reference *originals*
+        (WeightPredAnalysis.cpp:246,398; the SAD select uses originals
+        as the recon proxy — encoder choice, not conformance). Returns
+        (wpw, wpo, wpd) shaped (n_gops, G, R, 3) / (n_gops, G)."""
+        import jax.numpy as jnp
+
+        from .wp import WpParams, analyse_slice_wp
+
+        K, R = self.K, self.R
+        wpw = np.zeros((K, R, 3), np.int32)
+        wpo = np.zeros((K, R, 3), np.int32)
+        wpd = np.full(K, 6, np.int32)
+        npocs = len(self.frames)
+        for j in range(K):
+            poc = min(s + 1 + j, npocs - 1)
+            nav = max(1, min(poc, R))
+            cur = self.frames[poc]
+            refs = [self.frames[poc - 1 - r] for r in range(nav)]
+            wp = analyse_slice_wp(cur, refs, bit_depth=8)
+            self.wp_by_poc[poc] = wp
+            d = wp.denom_y
+            wpd[j] = d
+            wpw[j, :, :] = 1 << d
+            for r in range(nav):
+                wpw[j, r] = wp.weights[r]
+                wpo[j, r] = wp.offsets[r]
+        return (jnp.asarray(wpw.reshape(self.n_gops, self.G, R, 3)),
+                jnp.asarray(wpo.reshape(self.n_gops, self.G, R, 3)),
+                jnp.asarray(wpd.reshape(self.n_gops, self.G)))
 
     def collect(self) -> None:
         """Serialize the oldest in-flight chunk (blocks on its fetch)."""
@@ -610,6 +741,8 @@ class LdpScanDriver:
                                        agglomerate=not self.grid)
             if self.grid and cfg_f.deblocking:
                 pre[0].prefiltered = True  # device stage already filtered
+            if self.use_wp:
+                pre[0].wp_l0 = self.wp_by_poc.pop(poc, None)
             self.finish(poc, self.frames[poc], pre)
 
 

@@ -38,7 +38,8 @@ _BUILD_CACHE: dict = {}
 _PROBES: dict = {}  # stage closures of the last build (profiling hooks)
 
 # experiment knobs (ablation / debugging; part of the build cache key)
-_TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True, zme=True)
+_TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True, zme=True,
+             parts=True)
 
 
 def supports(cfg) -> bool:
@@ -64,17 +65,28 @@ def _xor_mask(h: int, w: int) -> np.ndarray:
             ^ (x[None, :] >> 8) ^ (y[:, None] >> 8)).astype(np.int32)
 
 
+def _parts_ok() -> bool:
+    """Rectangular partitions require the v3 native walk (syntax side)."""
+    from ..entropy.native import get_lib
+
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "tpuhevc_decision_walk_map_part")
+
+
 def _lvl8(cfg) -> bool:
     offs = tuple(cfg.gop_qp_offsets) or (0,)
     return min(min(max(cfg.qp + o, 0), 51) for o in offs) >= 27
 
 
-def _mode_tables(qp: int, num_ref: int, max_merge: int):
+def _mode_tables(qp: int, num_ref: int, max_merge: int, amp: bool = True):
     """Host-side per-QP decision tables (P-slice init row)."""
     from ..entropy.bitest import FracBits, ResidualBitEst
 
     fb = FracBits(1, qp)
     b = fb.b
+    # rectangular part_mode prefix bits (+ the AMP "not asymmetric" bin
+    # when AMP is on — TEncSbac::codePartSize inter branch)
+    amp_b = b("part_mode", 3, 1) if amp else 0.0
     t = dict(
         fb=fb,
         mvd_lut=fb.mvd_lut,                      # (4096,) f32 per |comp|
@@ -84,6 +96,8 @@ def _mode_tables(qp: int, num_ref: int, max_merge: int):
         prev_mode=[b("prev_intra_luma_pred_flag", 0, v) for v in (0, 1)],
         chroma_dm=b("intra_chroma_pred_mode", 0, 0),
         part2n=b("part_mode", 0, 1),
+        part_hv=[b("part_mode", 0, 0) + b("part_mode", 1, 1) + amp_b,
+                 b("part_mode", 0, 0) + b("part_mode", 1, 0) + amp_b],
         mf1=b("merge_flag", 0, 1), mf0=b("merge_flag", 0, 0),
         midx=[fb.merge_idx_bits(i, max_merge) for i in range(max_merge)],
         mvp=0.5 * (b("mvp_flag", 0, 0) + b("mvp_flag", 0, 1)),
@@ -134,11 +148,12 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     use_sbh = cfg.pps.sign_data_hiding
     use_deblock = cfg.deblocking
     use_sao = sps.sao_enabled
+    use_wp = cfg.pps.weighted_pred
     key = ("v3", W, H, bd, sr, sr_full, cfg.fme_mode, qps, n_gops,
            fetch_recon,
            R, MM, cfg.nn_weights_dir, not nn_by_qp.get(qps[0]),
-           use_rdoq, use_sbh, use_deblock, use_sao,
-           tuple(cfg.gop_qp_factors), cfg.qp,
+           use_rdoq, use_sbh, use_deblock, use_sao, use_wp,
+           tuple(cfg.gop_qp_factors), cfg.qp, _parts_ok(),
            tuple(sorted(_TUNE.items())))
     hit = _BUILD_CACHE.get(key)
     if hit is not None:
@@ -156,7 +171,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     Hc, Wc = H // 2, W // 2  # chroma frame; UV packed side by side (Hc, W)
     h8, w8 = H // 8, W // 8
 
-    tabs_by_qp = {qp: _mode_tables(qp, R, MM) for qp in set(qps)}
+    tabs_by_qp = {qp: _mode_tables(qp, R, MM, sps.amp_enabled)
+                  for qp in set(qps)}
+    # rectangular inter PUs need the v3 native walk for the syntax side
+    use_parts = bool(_TUNE["parts"]) and _TUNE["enable8"] and _parts_ok()
 
     # ME constants ------------------------------------------------------
     R2 = sr // 2
@@ -629,8 +647,12 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     tl_j = jnp.asarray(taps_l)  # (4, 8)
     tc_j = jnp.asarray(taps_c)  # (8, 4)
 
-    def luma_planes_all(ry_stack):
-        """(R, H, W) -> (R, 4, 4, HmL, WmL) int16 phase planes."""
+    def luma_planes_all(ry_stack, wpy=None):
+        """(R, H, W) -> (R, 4, 4, HmL, WmL) int16 phase planes. With
+        wpy = (w (R,), o (R,), denom ()) the explicit-WP weighting is
+        folded into the final rounding of the 14-bit intermediate
+        (weightUnidir, TComWeightPrediction.cpp:52) — identity weights
+        reduce to the default (p14 + 32) >> 6 bit-exactly."""
         rp = jnp.pad(ry_stack, ((0, 0), (PADL, PADL), (PADL, PADL)),
                      mode="edge")
         hsh = jnp.stack([rp[:, :, i + 1 : i + 1 + WmL] for i in range(8)],
@@ -639,11 +661,20 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         vsh = jnp.stack([hst[:, :, j + 1 : j + 1 + HmL, :] for j in range(8)],
                         axis=1)
         pl = jnp.einsum("gj,rjfhw->rgfhw", tl_j, vsh)
-        return jnp.clip(((pl >> 6) + 32) >> 6, 0, maxv).astype(jnp.int16)
+        p14 = pl >> 6
+        if wpy is None:
+            return jnp.clip((p14 + 32) >> 6, 0, maxv).astype(jnp.int16)
+        w_, o_, d_ = wpy
+        sh = d_ + 6
+        rnd = (jnp.int32(1) << sh) >> 1
+        return jnp.clip(((p14 * w_[:, None, None, None, None] + rnd) >> sh)
+                        + o_[:, None, None, None, None],
+                        0, maxv).astype(jnp.int16)
 
-    def chroma_planes_all(ruv_stack):
+    def chroma_planes_all(ruv_stack, wpc=None):
         """(R, Hc, W) packed [U|V] -> (pl_u, pl_v) each
-        (R, 8, 8, HmC, WmC) int16."""
+        (R, 8, 8, HmC, WmC) int16. wpc = (w (R,2), o (R,2), denom ())
+        folds chroma WP into the final rounding (see luma_planes_all)."""
         halves = jnp.stack([ruv_stack[:, :, :Wc], ruv_stack[:, :, Wc:]],
                            axis=1)
         rp = jnp.pad(halves, ((0, 0), (0, 0), (PADC, PADC), (PADC, PADC)),
@@ -654,7 +685,16 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         vsh = jnp.stack([hst[:, :, :, j + 1 : j + 1 + HmC, :]
                          for j in range(4)], axis=2)
         pl = jnp.einsum("gj,rujfhw->rugfhw", tc_j, vsh)
-        pl = jnp.clip(((pl >> 6) + 32) >> 6, 0, maxv).astype(jnp.int16)
+        p14 = pl >> 6
+        if wpc is None:
+            pl = jnp.clip((p14 + 32) >> 6, 0, maxv).astype(jnp.int16)
+            return pl[:, 0], pl[:, 1]
+        w_, o_, d_ = wpc
+        sh = d_ + 6
+        rnd = (jnp.int32(1) << sh) >> 1
+        pl = jnp.clip(
+            ((p14 * w_[:, :, None, None, None, None] + rnd) >> sh)
+            + o_[:, :, None, None, None, None], 0, maxv).astype(jnp.int16)
         return pl[:, 0], pl[:, 1]
 
     def pred_luma(planes, mvq_pix, ref_pix, hp, wp):
@@ -805,14 +845,20 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return jnp.where(tu_log2 == 3, any8,
                          jnp.where(tu_log2 == 4, any16, any32))
 
-    def _bs_dir(log2_map, mv_map, ref_map, tb_cbf, axis, intra=None):
+    def _bs_dir(log2_map, mv_map, ref_map, tb_cbf, axis, intra=None,
+                part_b=None):
         """(h8, w8) boundary strength for the edge at each cell's
         left (axis 1) / top (axis 0); P-slice rules (§8.7.2.4 with the
-        deblock.boundary_strength semantics); intra cells force bs 2."""
+        deblock.boundary_strength semantics); intra cells force bs 2.
+        part_b adds the PU-internal edge of rectangular 16-CUs (the
+        half boundary is a PU edge though the TU spans the CU)."""
         tu_log2 = jnp.minimum(log2_map.astype(jnp.int32), 5)
         cs = (jnp.arange(w8)[None] if axis == 1
               else jnp.arange(h8)[:, None])
         edge = (cs % (1 << (tu_log2 - 3))) == 0
+        if part_b is not None:
+            want = 1 if axis == 0 else 2  # 2NxN: horiz edge; Nx2N: vert
+            edge = edge | ((part_b == want) & (cs % 2 == 1))
         if axis == 1:
             p_cbf = jnp.roll(tb_cbf, 1, 1)
             p_mv = jnp.roll(mv_map, 1, 1)
@@ -954,15 +1000,19 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return t.reshape(hc, wc)
 
     def deblock_device(rec_y, rec_uv, log2_map, mv_map, ref_map,
-                       cbf_cells, qp, intra_cells=None):
+                       cbf_cells, qp, intra_cells=None, part_b=None):
         """Whole-frame deblock (vertical then horizontal edges), device
         twin of ops/deblock.deblock_frame for P slices. Luma filters
         bs >= 1 edges; chroma only bs == 2 (intra) edges. Same int math;
-        parity is tested against the host filter."""
+        parity is tested against the host filter. part_b: per-8-cell
+        partition-type broadcast (1 = 2NxN, 2 = Nx2N) — PU-internal
+        edges of rectangular CUs deblock too (§8.7.2.2 PU boundaries)."""
         tb_cbf = _tb_cbf_cells(log2_map, cbf_cells)
-        bs_v = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 1, intra_cells)
+        bs_v = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 1, intra_cells,
+                       part_b)
         y = _deblock_luma_vert(rec_y, bs_v, qp)
-        bs_h = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 0, intra_cells)
+        bs_h = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 0, intra_cells,
+                       part_b)
         y = _deblock_luma_vert(y.T, bs_h.T, qp).T
         if intra_cells is None:
             return y, rec_uv
@@ -1270,18 +1320,27 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return mv_grid, ref_grid, mode_b, merged, midx_b
 
     def class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u, pl_v,
-                   mv_grid, ref_grid, S, nbh, nbw):
+                   mv_grid, ref_grid, S, nbh, nbw, mv_cells=None,
+                   ref_cells=None):
         """Code every S-block under mv_grid/ref_grid with TU = min(S, 32).
-        Returns composed planes + per-block (d, res_bits, cbf)."""
+        Returns composed planes + per-block (d, res_bits, cbf).
+        mv_cells/ref_cells (per-8-cell maps over the class region)
+        override the per-CU grids for rectangular-PU candidates — the
+        TU structure stays TU = CU (split_transform_flag 0)."""
         qpc = chroma_qp(qp)
         T = min(S, 32)
         log2t = T.bit_length() - 1
         Hp, Wp = nbh * S, nbw * S
         fT = S // T  # TUs per CU side (luma)
         oy_c = oy[:Hp, :Wp]
-        mvq_pix = jnp.stack([up(mv_grid[..., 0], S), up(mv_grid[..., 1], S)],
-                            -1)
-        refp = up(ref_grid, S)
+        if mv_cells is not None:
+            mvq_pix = jnp.stack([up(mv_cells[..., 0], 8),
+                                 up(mv_cells[..., 1], 8)], -1)
+            refp = up(ref_cells, 8)
+        else:
+            mvq_pix = jnp.stack([up(mv_grid[..., 0], S),
+                                 up(mv_grid[..., 1], S)], -1)
+            refp = up(ref_grid, S)
         pred_y = pred_luma(planes_y, mvq_pix, refp, Hp, Wp)
         coef = fwd_tx(oy_c - pred_y, T)
         if use_rdoq:
@@ -1328,9 +1387,14 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         log2c = Tc.bit_length() - 1
         fTc = Sc // Tc
         Hpc, Wpc = Hp // 2, Wp // 2
-        mvq_c = jnp.stack([up(mv_grid[..., 0], Sc), up(mv_grid[..., 1], Sc)],
-                          -1)
-        refc = up(ref_grid, Sc)
+        if mv_cells is not None:
+            mvq_c = jnp.stack([up(mv_cells[..., 0], 4),
+                               up(mv_cells[..., 1], 4)], -1)
+            refc = up(ref_cells, 4)
+        else:
+            mvq_c = jnp.stack([up(mv_grid[..., 0], Sc),
+                               up(mv_grid[..., 1], Sc)], -1)
+            refc = up(ref_grid, Sc)
         pu = pred_chroma(pl_u, mvq_c, refc, Hpc, Wpc)
         pv = pred_chroma(pl_v, mvq_c, refc, Hpc, Wpc)
         pred_uv = jnp.concatenate([pu, pv], axis=1)  # (Hpc, 2*Wpc)
@@ -1711,7 +1775,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             bits = bits + tabs["split"][0]
         return c["d"] + lam * bits, bits
 
-    def frame_step(ref, fu8, navail, gpos):
+    def frame_step(ref, fu8, navail, gpos, wp=None):
         ry_stack, ruv_stack, mv16p = ref  # + prev-frame full-pel 16-MVs
         qp = qps[gpos]
         tabs = tabs_by_qp[qp]
@@ -1731,8 +1795,20 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         # temporal seed); refs 1..R-1 run one scaled-coarse grid each
         # inside a lax.scan so the traced graph holds ONE extra-ref body
         # instead of R-1 copies (compile time).
+        if use_wp:
+            # per-ref weighted full-pel search references (the clipped
+            # SAD form of xCalcSADvalueWPOptionalClip): the decision
+            # stages see illumination-compensated references; the
+            # normative weighting rides the MC phase planes below
+            wpw, wpo, wpd = wp
+            rnd_me = (jnp.int32(1) << wpd) >> 1
+            ry_stack_me = jnp.clip(
+                ((ry_stack * wpw[:, 0][:, None, None] + rnd_me) >> wpd)
+                + wpo[:, 0][:, None, None], 0, maxv)
+        else:
+            ry_stack_me = ry_stack
         oy2 = tile_sum(oy, 2).astype(jnp.int16)
-        ry0 = ry_stack[0]
+        ry0 = ry_stack_me[0]
         ry2p = jnp.pad(tile_sum(ry0, 2).astype(jnp.int16), R2,
                        mode="edge")
         s16c, sum16c = coarse_stack(oy2, ry2p)
@@ -1865,15 +1941,17 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
 
             (acc16, acc8, acc32), _ = jax.lax.scan(
                 ref_body, (acc16, acc8, acc32),
-                (ry_stack[1:], scales, rbits, ridxs))
+                (ry_stack_me[1:], scales, rbits, ridxs))
 
         def pick_ref(acc):
             _, mv, sad9, refi = acc
             return mv, sad9, refi
 
         # MC phase planes for every reference (einsum-batched)
-        planes_y = luma_planes_all(ry_stack)
-        pl_u, pl_v = chroma_planes_all(ruv_stack)
+        planes_y = luma_planes_all(
+            ry_stack, (wpw[:, 0], wpo[:, 0], wpd) if use_wp else None)
+        pl_u, pl_v = chroma_planes_all(
+            ruv_stack, (wpw[:, 1:], wpo[:, 1:], wpd) if use_wp else None)
 
         mv16, sad9_16, ref16 = pick_ref(acc16)
         if _TUNE["enable8"]:
@@ -1945,6 +2023,91 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         else:
             use8 = jnp.zeros((nh16, nw16), bool)
             best16 = c16["cost"]
+
+        # --- rectangular PU trial at the 16 level (2NxN / Nx2N) ---------
+        # TEncCu::xCheckRDCostInter(SIZE_2NxN / SIZE_Nx2N) counterpart:
+        # per-half motion candidates come from the settled 8-class grid,
+        # the cheaper-SATD shape is coded exactly (one 16 TU, per-half
+        # MC) and competes in the quadtree compare. PU syntax is costed
+        # as AMVP (merge underestimated -> partitions only win when
+        # clearly better; the native walk emits real merges when they
+        # exist).
+        use_part = None
+        if use_parts:
+            Hp16, Wp16 = nh16 * 16, nw16 * 16
+            h8c, w8c = nh16 * 2, nw16 * 2
+            oy16 = oy[:Hp16, :Wp16]
+            mv8c = c8["mv"][:h8c, :w8c]
+            ref8c = c8["ref"][:h8c, :w8c]
+
+            def half_pick(pair_axis):
+                """Per-half best MV of the two member 8-cells
+                (pair_axis 1: 16x8 halves of 2NxN; 0: 8x16 of Nx2N)."""
+                if pair_axis == 1:
+                    first = jnp.repeat(mv8c[:, 0::2], 2, 1)
+                    second = jnp.repeat(mv8c[:, 1::2], 2, 1)
+                    rfirst = jnp.repeat(ref8c[:, 0::2], 2, 1)
+                    rsecond = jnp.repeat(ref8c[:, 1::2], 2, 1)
+                else:
+                    first = jnp.repeat(mv8c[0::2], 2, 0)
+                    second = jnp.repeat(mv8c[1::2], 2, 0)
+                    rfirst = jnp.repeat(ref8c[0::2], 2, 0)
+                    rsecond = jnp.repeat(ref8c[1::2], 2, 0)
+                sat = []
+                for mvm, refm in ((first, rfirst), (second, rsecond)):
+                    p = pred_luma(planes_y,
+                                  jnp.stack([up(mvm[..., 0], 8),
+                                             up(mvm[..., 1], 8)], -1),
+                                  up(refm, 8), Hp16, Wp16)
+                    sat.append(satd8_plane(oy16 - p))
+                sA, sB = sat
+                if pair_axis == 1:
+                    hA = sA[:, 0::2] + sA[:, 1::2]    # (h8c, nw16)
+                    hB = sB[:, 0::2] + sB[:, 1::2]
+                    takeB = hB < hA
+                    tB2 = jnp.repeat(takeB, 2, 1)
+                else:
+                    hA = sA[0::2] + sA[1::2]          # (nh16, w8c)
+                    hB = sB[0::2] + sB[1::2]
+                    takeB = hB < hA
+                    tB2 = jnp.repeat(takeB, 2, 0)
+                mvh = jnp.where(tB2[..., None], second, first)
+                refh = jnp.where(tB2, rsecond, rfirst)
+                sath = jnp.where(takeB, hB, hA)
+                return mvh, refh, sath
+
+            mv_h, ref_h, sat_h = half_pick(1)   # 2NxN cell maps
+            mv_v, ref_v, sat_v = half_pick(0)   # Nx2N cell maps
+            s2nxn = sat_h[0::2] + sat_h[1::2]   # per-CU SATD (nh16, nw16)
+            snx2n = sat_v[:, 0::2] + sat_v[:, 1::2]
+            pick_v = snx2n < s2nxn
+            ptype16 = jnp.where(pick_v, 2, 1)   # 1 = 2NxN, 2 = Nx2N
+            pv2 = jnp.repeat(jnp.repeat(pick_v, 2, 0), 2, 1)
+            mvp8 = jnp.where(pv2[..., None], mv_v, mv_h)
+            refp8 = jnp.where(pv2, ref_v, ref_h)
+            cpart = class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u,
+                               pl_v, None, None, 16, nh16, nw16,
+                               mv_cells=mvp8, ref_cells=refp8)
+            mvd_lut = jnp.asarray(tabs["mvd_lut"])
+            ref_lut = jnp.asarray(tabs["ref_bits"])
+            c16mv2 = jnp.repeat(jnp.repeat(c16["mv"], 2, 0), 2, 1)
+            dmv = jnp.minimum(jnp.abs(mvp8 - c16mv2), 4095)
+            pu_b8 = (mvd_lut[dmv[..., 0]] + mvd_lut[dmv[..., 1]]
+                     + ref_lut[refp8] + tabs["mf0"] + tabs["mvp"])
+            # each PU covers two cells with identical bits -> 0.5x sum
+            pu_bits = 0.5 * pu_b8.reshape(nh16, 2, nw16, 2).sum((1, 3))
+            mode_bp = (tabs["pred_inter"] + pu_bits
+                       + jnp.where(pick_v, jnp.float32(tabs["part_hv"][1]),
+                                   jnp.float32(tabs["part_hv"][0])))
+            cbf_p = cpart["cbf"]
+            syn_p = (tabs["skip0"] + mode_bp
+                     + jnp.where(cbf_p, tabs["root1"], tabs["root0"]))
+            bits_p = (syn_p + jnp.where(cbf_p, cpart["bits"], 0.0)
+                      + tabs["split"][0])
+            cost_p = cpart["d"] + lam * bits_p
+            use_part = cost_p < best16
+            best16 = jnp.minimum(best16, cost_p)
+            use8 = use8 & ~use_part
 
         # intra-16 candidate competes at the 16 level (TEncCu.cpp:644)
         icand = None
@@ -2021,6 +2184,25 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                               dst[:hs, off_d : off_d + ws]))
             return dst
 
+        # rectangular-PU winners overwrite the 16/8 select; later 32/64
+        # and intra pastes override them in turn (clearing part16_final)
+        part16_final = None
+        if use_parts:
+            mp2 = jnp.repeat(jnp.repeat(use_part, 2, 0), 2, 1)
+            mv_map = jnp.where(mp2[..., None], mvp8, mv_map)
+            ref_map = jnp.where(mp2, refp8, ref_map)
+            log2_map = jnp.where(mp2, jnp.int8(4), log2_map)
+            lvl_y = paste(lvl_y, cpart["lvl"], up(use_part, 16), Hp16,
+                          Wp16)
+            rec_y = paste(rec_y, cpart["rec"], up(use_part, 16), Hp16,
+                          Wp16)
+            mpart_c = up(use_part, 8)
+            lvl_uv = paste_uv(lvl_uv, cpart["lvl_c"], mpart_c, Hp16 // 2,
+                              Wp16 // 2)
+            rec_uv = paste_uv(rec_uv, cpart["rec_c"], mpart_c, Hp16 // 2,
+                              Wp16 // 2)
+            part16_final = jnp.where(use_part, ptype16, 0)
+
         if has32:
             H32, W32 = nh32 * 32, nw32 * 32
             m32p = up(use32, 32)
@@ -2041,6 +2223,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             ref_map = ref_map.at[: nh32 * 4, : nw32 * 4].set(
                 jnp.where(m32cell, cells(c32["ref"], 32),
                           ref_map[: nh32 * 4, : nw32 * 4]))
+            if part16_final is not None:
+                part16_final = part16_final.at[: nh32 * 2, : nw32 * 2].set(
+                    jnp.where(jnp.repeat(jnp.repeat(use32, 2, 0), 2, 1),
+                              0, part16_final[: nh32 * 2, : nw32 * 2]))
             if has64 and use64 is not None:
                 H64, W64 = nh64 * 64, nw64 * 64
                 m64p = up(use64, 64)
@@ -2061,6 +2247,11 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 ref_map = ref_map.at[: nh64 * 8, : nw64 * 8].set(
                     jnp.where(m64cell, cells(c64["ref"], 64),
                               ref_map[: nh64 * 8, : nw64 * 8]))
+                if part16_final is not None:
+                    part16_final = part16_final.at[
+                        : nh64 * 4, : nw64 * 4].set(jnp.where(
+                            jnp.repeat(jnp.repeat(use64, 4, 0), 4, 1),
+                            0, part16_final[: nh64 * 4, : nw64 * 4]))
 
         # --- intra-16 exact reconstruction + composition -----------------
         intra_cells = jnp.zeros((h8, w8), bool)
@@ -2114,6 +2305,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 kp_cell)
             imode_map = jnp.where(
                 kept, jnp.asarray(IMODES)[bm16.reshape(nh16, nw16)], 0)
+            if part16_final is not None:
+                part16_final = jnp.where(kept, 0, part16_final)
 
         # per-8-cell cbf map from the composed level planes
         cbf_cells = (tile_sum((lvl_y != 0).astype(jnp.int32), 8)
@@ -2121,12 +2314,24 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                      + tile_sum((lvl_uv[:, Wc:] != 0).astype(jnp.int32), 4)
                      ) > 0
 
+        part_cells = None
+        if part16_final is not None:
+            # per-8-cell partition broadcast (PU-edge deblock) + the
+            # origin-cell map the syntax walk consumes
+            pb = jnp.zeros((h8, w8), jnp.int32).at[
+                : nh16 * 2, : nw16 * 2].set(
+                jnp.repeat(jnp.repeat(part16_final, 2, 0), 2, 1))
+            orig = jnp.asarray((np.arange(h8)[:, None] % 2 == 0)
+                               & (np.arange(w8)[None] % 2 == 0))
+            part_cells = jnp.where(orig, pb, 0)
+
         if use_deblock:
             # luma-TB cbf only for the BS condition (§8.7.2.4)
             luma_cbf = tile_sum((lvl_y != 0).astype(jnp.int32), 8) > 0
             rec_y, rec_uv = deblock_device(
                 rec_y, rec_uv, log2_map, mv_map, ref_map, luma_cbf, qp,
-                intra_cells if icand is not None else None)
+                intra_cells if icand is not None else None,
+                pb if part16_final is not None else None)
         sao_params = None
         if use_sao:
             rec_y, rec_uv, sao_params = sao_device(oy, ouv, rec_y, rec_uv,
@@ -2156,7 +2361,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                   ref_map.astype(jnp.uint8).reshape(-1),
                   cbf_cells.astype(jnp.uint8).reshape(-1),
                   intra_cells.astype(jnp.uint8).reshape(-1),
-                  imode_map.astype(jnp.uint8).reshape(-1)]
+                  imode_map.astype(jnp.uint8).reshape(-1),
+                  (part_cells.astype(jnp.uint8).reshape(-1)
+                   if part_cells is not None
+                   else jnp.zeros(h8 * w8, jnp.uint8))]
         if sao_params is not None:
             parts.append(u8(sao_params))
         parts += [u8(sad9_16.astype(jnp.int32)),
@@ -2186,20 +2394,35 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     ))
 
     def gop_step(carry, xs):
-        frames_g, navail_g = xs
+        if use_wp:
+            frames_g, navail_g, wpw_g, wpo_g, wpd_g = xs
+        else:
+            frames_g, navail_g = xs
         outs = []
         for g in range(G):
-            carry, pk = frame_step(carry, frames_g[g], navail_g[g], g)
+            wp_g = ((wpw_g[g], wpo_g[g], wpd_g[g]) if use_wp else None)
+            carry, pk = frame_step(carry, frames_g[g], navail_g[g], g,
+                                   wp=wp_g)
             outs.append(pk)
         return carry, jnp.stack(outs)
 
-    def run(frames_u8, navail, ry_stack, ruv_stack):
-        mv0 = jnp.zeros((n16, 2), jnp.int32)
-        (ry_stack, ruv_stack, _), packed = jax.lax.scan(
-            gop_step, (ry_stack, ruv_stack, mv0), (frames_u8, navail))
-        return packed.reshape(n_gops * G, -1), ry_stack, ruv_stack
+    if use_wp:
+        def run(frames_u8, navail, wpw, wpo, wpd, ry_stack, ruv_stack):
+            mv0 = jnp.zeros((n16, 2), jnp.int32)
+            (ry_stack, ruv_stack, _), packed = jax.lax.scan(
+                gop_step, (ry_stack, ruv_stack, mv0),
+                (frames_u8, navail, wpw, wpo, wpd))
+            return packed.reshape(n_gops * G, -1), ry_stack, ruv_stack
 
-    fn = jax.jit(run, donate_argnums=(2, 3))
+        fn = jax.jit(run, donate_argnums=(5, 6))
+    else:
+        def run(frames_u8, navail, ry_stack, ruv_stack):
+            mv0 = jnp.zeros((n16, 2), jnp.int32)
+            (ry_stack, ruv_stack, _), packed = jax.lax.scan(
+                gop_step, (ry_stack, ruv_stack, mv0), (frames_u8, navail))
+            return packed.reshape(n_gops * G, -1), ry_stack, ruv_stack
+
+        fn = jax.jit(run, donate_argnums=(2, 3))
     out = (fn, dict(W=W, H=H), qps)
     _BUILD_CACHE[key] = out
     return out
@@ -2242,6 +2465,7 @@ def _parse_frame_buf(cfg, buf: np.ndarray) -> dict:
         cbf_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
         intra_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
         imode_map=take(n16, np.uint8, (nh16, nw16)).astype(np.int32),
+        part_map=take(h8 * w8, np.uint8, (h8, w8)),
     )
     if sps.sao_enabled:
         ctu = 1 << sps.log2_ctu
@@ -2282,9 +2506,12 @@ def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
     has_intra = bool(d["intra_map"].any())
     if has_intra:
         ref_in = np.where(d["intra_map"] > 0, 255, ref_in)
+    part_map = d.get("part_map")
+    has_parts = part_map is not None and bool(part_map.any())
     maps = decision_walk_map_native(
         d["log2_map"], d["mv_map"], ref_in, d["cbf_map"],
-        W, H, sps.log2_ctu, cfg.max_num_merge_cand, num_ref)
+        W, H, sps.log2_ctu, cfg.max_num_merge_cand, num_ref,
+        part_map=part_map if has_parts else None)
     if maps is None:
         return None
     fs = FrameSyntax(
@@ -2296,6 +2523,8 @@ def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
         coeff_cb=np.ascontiguousarray(d["lvl_uv"][:, :Wc]),
         coeff_cr=np.ascontiguousarray(d["lvl_uv"][:, Wc:]),
     )
+    if has_parts:
+        fs.part_mode = part_map.astype(np.int32)
     if has_intra:
         im = d["intra_map"] > 0
         fs.inter_dir = np.where(im, 0, fs.inter_dir)
@@ -2340,6 +2569,9 @@ def collect_grid_frame(cfg, buf: np.ndarray):
     d = _parse_frame_buf(cfg, buf)
     if "rec_y" not in d:
         raise RuntimeError("python-walk fallback requires fetch_recon")
+    if d.get("part_map") is not None and d["part_map"].any():
+        raise RuntimeError("python-walk fallback cannot serialize "
+                           "rectangular partitions (native walk v3 only)")
     lvl_y, rec_y = d["lvl_y"], d["rec_y"]
     lvl_u, lvl_v = d["lvl_uv"][:, :Wc], d["lvl_uv"][:, Wc:]
     rec_u, rec_v = d["rec_uv"][:, :Wc], d["rec_uv"][:, Wc:]

@@ -97,6 +97,7 @@ class PicParams:
     cr_qp_offset: int = 0
     weighted_pred: bool = False
     weighted_bipred: bool = False
+    lists_modification_present: bool = False
     transquant_bypass_enabled: bool = False
     loop_filter_across_slices: bool = True
     deblocking_control_present: bool = True
@@ -126,7 +127,9 @@ class EncoderConfig:
     nn_weights_dir: str | None = None
     max_num_merge_cand: int = 5
     num_ref_frames: int = 1      # active L0 refs (anchor LD-P uses 4)
-    gop_structure: str = "ldp"   # ldp | ra (hierarchical-B GOP4)
+    gop_structure: str = "ldp"   # ldp | ra (hierarchical-B)
+    gop_table: tuple = ()        # config.options.GopEntry rows in decode
+                                 # order; drives the RA structure when set
     target_bitrate: int = 0      # bps; > 0 enables R-lambda rate control
     intra_in_inter: bool = False # intra 8x8 fallback CUs in P frames
     intra_qt: bool = True        # quadtree intra CUs 8/16/32 (vs fixed 8x8)

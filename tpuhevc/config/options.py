@@ -206,8 +206,11 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
             unknown[k] = v
     # apply the GOP table (cfg Frame1..FrameN rows): low-delay tables (all
     # poc_offset ascending by 1) drive per-position QP offsets and the
-    # active-reference count (encoder_lowdelay_P_main.cfg:23-28)
-    gop.sort(key=lambda e: e.poc_offset)
+    # active-reference count (encoder_lowdelay_P_main.cfg:23-28).
+    # Frame1..FrameN row order IS decode order (TEncGOP traversal) — keep
+    # it for the table-driven hierarchical structure.
+    decode_order = tuple(gop)
+    gop = sorted(gop, key=lambda e: e.poc_offset)
     if gop and all(e.slice_type == "P" for e in gop) \
             and [e.poc_offset for e in gop] == list(range(1, len(gop) + 1)):
         cfg.gop_qp_offsets = tuple(e.qp_offset for e in gop)
@@ -217,6 +220,7 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
             cfg.num_ref_frames = nact
     elif gop and any(e.slice_type == "B" for e in gop):
         cfg.gop_structure = "ra"  # hierarchical-B random access
+        cfg.gop_table = decode_order
     io = {
         "InputFile": opts.get("InputFile"),
         "BitstreamFile": opts.get("BitstreamFile"),

@@ -351,7 +351,7 @@ def write_pps(pps: PicParams) -> bytes:
             w.write_se(pps.beta_offset_div2)
             w.write_se(pps.tc_offset_div2)
     w.write_flag(0)  # pps_scaling_list_data_present_flag
-    w.write_flag(0)  # lists_modification_present_flag
+    w.write_flag(pps.lists_modification_present)
     w.write_ue(pps.log2_parallel_merge_level - 2)
     w.write_flag(0)  # slice_segment_header_extension_present_flag
     w.write_flag(0)  # pps_extension_present_flag
@@ -394,8 +394,8 @@ def parse_pps(data: bytes) -> PicParams:
         if not pps.deblocking_disabled:
             pps.beta_offset_div2 = r.read_se()
             pps.tc_offset_div2 = r.read_se()
-    assert r.read_flag() == 0
-    assert r.read_flag() == 0
+    assert r.read_flag() == 0  # scaling lists unsupported
+    pps.lists_modification_present = bool(r.read_flag())
     pps.log2_parallel_merge_level = 2 + r.read_ue()
     r.read_flag()
     r.read_flag()
@@ -431,6 +431,10 @@ class SliceHeader:
     # and B). codec.wp.WpParams per list.
     wp_l0: object | None = None
     wp_l1: object | None = None
+    # ref_pic_list_modification (§7.3.6.2): list_entry indices into the
+    # cyclic temp list, or None when unmodified
+    list_entry_l0: list | None = None
+    list_entry_l1: list | None = None
 
 
 def write_pred_weight_table(w: BitWriter, hdr: "SliceHeader") -> None:
@@ -533,6 +537,18 @@ def write_slice_header(
             w.write_ue(hdr.num_ref_idx_l0 - 1)
             if hdr.slice_type == B_SLICE:
                 w.write_ue(hdr.num_ref_idx_l1 - 1)
+        nptc = sum(hdr.rps.used) if hdr.rps is not None else 0
+        if pps.lists_modification_present and nptc > 1:
+            nb = max(1, (nptc - 1).bit_length())
+            w.write_flag(hdr.list_entry_l0 is not None)
+            if hdr.list_entry_l0 is not None:
+                for e in hdr.list_entry_l0[: hdr.num_ref_idx_l0]:
+                    w.write(e, nb)
+            if hdr.slice_type == B_SLICE:
+                w.write_flag(hdr.list_entry_l1 is not None)
+                if hdr.list_entry_l1 is not None:
+                    for e in hdr.list_entry_l1[: hdr.num_ref_idx_l1]:
+                        w.write(e, nb)
         if hdr.slice_type == B_SLICE:
             w.write_flag(hdr.mvd_l1_zero)
         if pps.cabac_init_present:
@@ -605,6 +621,15 @@ def parse_slice_header(
             hdr.num_ref_idx_l0 = r.read_ue() + 1
             if hdr.slice_type == B_SLICE:
                 hdr.num_ref_idx_l1 = r.read_ue() + 1
+        nptc = sum(hdr.rps.used) if hdr.rps is not None else 0
+        if pps.lists_modification_present and nptc > 1:
+            nb = max(1, (nptc - 1).bit_length())
+            if r.read_flag():  # ref_pic_list_modification_flag_l0
+                hdr.list_entry_l0 = [r.read(nb)
+                                     for _ in range(hdr.num_ref_idx_l0)]
+            if hdr.slice_type == B_SLICE and r.read_flag():
+                hdr.list_entry_l1 = [r.read(nb)
+                                     for _ in range(hdr.num_ref_idx_l1)]
         if hdr.slice_type == B_SLICE:
             hdr.mvd_l1_zero = bool(r.read_flag())
         if pps.cabac_init_present:

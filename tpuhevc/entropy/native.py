@@ -48,6 +48,12 @@ def get_lib():
         lib.tpuhevc_encode_slice_data_sao.argtypes = (
             [ctypes.POINTER(ctypes.c_int32)] * 13 + [ctypes.c_int] * 16
             + [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int])
+    if hasattr(lib, "tpuhevc_encode_slice_data_v3"):
+        lib.tpuhevc_encode_slice_data_v3.restype = ctypes.c_int
+        lib.tpuhevc_encode_slice_data_v3.argtypes = (
+            [ctypes.POINTER(ctypes.c_int32)] * 13 + [ctypes.c_int] * 2
+            + [ctypes.POINTER(ctypes.c_int32)] * 2 + [ctypes.c_int] * 15
+            + [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int])
     if hasattr(lib, "tpuhevc_decision_walk"):
         lib.tpuhevc_decision_walk.restype = ctypes.c_int
         lib.tpuhevc_decision_walk.argtypes = (
@@ -64,17 +70,29 @@ def get_lib():
              ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
             + [ctypes.c_int] * 5
             + [ctypes.POINTER(ctypes.c_int32)] * 8)
+    if hasattr(lib, "tpuhevc_decision_walk_map_part"):
+        lib.tpuhevc_decision_walk_map_part.restype = ctypes.c_int
+        lib.tpuhevc_decision_walk_map_part.argtypes = (
+            [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+            + [ctypes.POINTER(ctypes.c_uint8)] * 3
+            + [ctypes.c_int] * 5
+            + [ctypes.POINTER(ctypes.c_int32)] * 8)
     _LIB = lib
     return _LIB
 
 
 def decision_walk_map_native(log2_map, mv_map, ref_map, cbf_map, W, H,
-                             log2_ctu, max_merge, num_ref: int = 1):
-    """v2 native walk: final per-8x8-cell (cu_log2, mv, ref, cbf) maps
-    from the device stage -> FrameSyntax merge/skip/AMVP maps, or None
-    if the library is unavailable."""
+                             log2_ctu, max_merge, num_ref: int = 1,
+                             part_map=None):
+    """v2/v3 native walk: final per-8x8-cell (cu_log2, mv, ref, cbf[,
+    part]) maps from the device stage -> FrameSyntax merge/skip/AMVP
+    maps (per-PU at PU-origin cells for rectangular partitions), or
+    None if the library is unavailable."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "tpuhevc_decision_walk_map"):
+        return None
+    use_part = part_map is not None and np.any(part_map)
+    if use_part and not hasattr(lib, "tpuhevc_decision_walk_map_part"):
         return None
     h8, w8 = H // 8, W // 8
     lm = np.ascontiguousarray(log2_map, dtype=np.uint8)
@@ -86,12 +104,22 @@ def decision_walk_map_native(log2_map, mv_map, ref_map, cbf_map, W, H,
     mvd = np.zeros((h8, w8, 2), np.int32)
     arrs = [outs[0], mv, outs[1], outs[2], outs[3], outs[4], outs[5], mvd]
     outp = [a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs]
-    rc = lib.tpuhevc_decision_walk_map(
-        lm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        mv_in.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        rf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        W, H, log2_ctu, max_merge, num_ref, *outp)
+    if use_part:
+        pm = np.ascontiguousarray(part_map, dtype=np.uint8)
+        rc = lib.tpuhevc_decision_walk_map_part(
+            lm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mv_in.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            pm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            W, H, log2_ctu, max_merge, num_ref, *outp)
+    else:
+        rc = lib.tpuhevc_decision_walk_map(
+            lm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mv_in.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            W, H, log2_ctu, max_merge, num_ref, *outp)
     if rc != 0:
         return None
     cu_log2, ref, skipf, merge_flag, merge_idx, mvp_flag = outs
@@ -144,16 +172,36 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
                              slice_type: int = 2, max_merge: int = 5,
                              num_ref: int = 1) -> bytes | None:
     """Full slice-data payload (CABAC bytes + rbsp trailing), or None if
-    the native library is unavailable (or it predates SAO support and the
-    frame carries SAO params). slice_type: 2 = I, 1 = P."""
+    the native library is unavailable (or it predates a feature the
+    frame uses: SAO, rectangular PUs, intra-in-P). slice_type: 2 = I,
+    1 = P."""
     lib = get_lib()
     if lib is None:
         return None
     if fs.sao is not None and not hasattr(lib, "tpuhevc_encode_slice_data_sao"):
         return None
-    if slice_type != 2 and fs.inter_dir is not None \
-            and (fs.inter_dir == 0).any():
-        return None  # intra-in-P frames take the python slice coder
+    has_v3 = hasattr(lib, "tpuhevc_encode_slice_data_v3")
+    has_intra_p = (slice_type != 2 and fs.inter_dir is not None
+                   and bool((fs.inter_dir == 0).any()))
+    part_mode = getattr(fs, "part_mode", None)
+    has_parts = (slice_type != 2 and part_mode is not None
+                 and bool(np.any(part_mode)))
+    if (has_intra_p or has_parts) and not has_v3:
+        return None  # python slice coder handles these on old libs
+    if has_intra_p:
+        # native intra-in-P covers square whole-CU intra only: no NxN
+        # (luma_mode4 uniform per 8-cell), no transform-skip, TU = CU
+        im = fs.inter_dir == 0
+        im4 = np.repeat(np.repeat(im, 2, 0), 2, 1)
+        m4 = np.repeat(np.repeat(np.asarray(fs.luma_mode), 2, 0), 2, 1)
+        exp_tu = np.minimum(
+            np.repeat(np.repeat(np.asarray(fs.cu_log2), 2, 0), 2, 1), 5)
+        if (bool((np.asarray(fs.luma_mode4)[im4] != m4[im4]).any())
+                or bool(np.asarray(fs.ts_y)[im4].any())
+                or bool(np.asarray(fs.ts_cb)[im].any())
+                or bool(np.asarray(fs.ts_cr)[im].any())
+                or bool((np.asarray(fs.tu_log2)[im4] != exp_tu[im4]).any())):
+            return None
 
     def ptr(a):
         a = np.ascontiguousarray(a, dtype=np.int32)
@@ -169,6 +217,46 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
         ptrs.append(p)
     cap = fs.width * fs.height * 4 + 1024
     out = np.empty(cap, dtype=np.uint8)
+    if has_intra_p or has_parts:
+        nullp = ctypes.POINTER(ctypes.c_int32)()
+        sao_p, sao_l, sao_c = nullp, 0, 0
+        if fs.sao is not None:
+            pp = fs.sao
+            nctu = pp.ny * pp.nx
+            pack = np.zeros((nctu, 18), np.int32)
+            pack[:, 0] = pp.type_y.reshape(-1)
+            pack[:, 1] = pp.aux_y.reshape(-1)
+            pack[:, 2:6] = pp.off_y.reshape(nctu, 4)
+            pack[:, 6] = pp.type_c.reshape(-1)
+            pack[:, 7] = pp.aux_cb.reshape(-1)
+            pack[:, 8:12] = pp.off_cb.reshape(nctu, 4)
+            pack[:, 12] = pp.aux_cr.reshape(-1)
+            pack[:, 13:17] = pp.off_cr.reshape(nctu, 4)
+            pack[:, 17] = pp.merge.reshape(-1)
+            a, sao_p = ptr(pack)
+            keep.append(a)
+            sao_l, sao_c = int(pp.luma_on), int(pp.chroma_on)
+        if has_parts:
+            a, part_p = ptr(part_mode)
+            keep.append(a)
+        else:
+            part_p = nullp
+        if has_intra_p:
+            a, dir_p = ptr(fs.inter_dir)
+            keep.append(a)
+        else:
+            dir_p = nullp
+        n = lib.tpuhevc_encode_slice_data_v3(
+            *ptrs, sao_p, sao_l, sao_c, part_p, dir_p,
+            1 if sps.amp_enabled else 0,
+            fs.width, fs.height, sps.log2_ctu, sps.log2_min_cu,
+            sps.log2_min_tu, sps.log2_max_tu, sps.max_tu_depth_intra,
+            sps.max_tu_depth_inter, slice_type, max_merge,
+            slice_type_row, qp, 1 if pps.sign_data_hiding else 0, num_ref,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n < 0:
+            return None
+        return out[:n].tobytes()
     if fs.sao is not None:
         pp = fs.sao
         nctu = pp.ny * pp.nx

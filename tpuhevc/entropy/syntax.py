@@ -870,6 +870,67 @@ def _dec_ref_idx(dec, num_ref):
     return ref
 
 
+def _enc_part_mode_inter(enc, sc, log2, part: str) -> None:
+    """TEncSbac::codePartSize inter branch — exact inverse of
+    _dec_part_mode_inter (prefix of up-to-2/3 ctx bins + AMP bin)."""
+    sps = sc.sps
+    at_min = log2 == sps.log2_min_cu
+    names = ("2Nx2N", "2NxN", "Nx2N", "NxN")
+    base = {"2NxnU": "2NxN", "2NxnD": "2NxN",
+            "nLx2N": "Nx2N", "nRx2N": "Nx2N"}.get(part, part)
+    mode = names.index(base)
+    max_bits = 2 + (1 if at_min and log2 > 3 else 0)
+    for ui in range(mode):
+        enc.encode_bin(0, CTX_OFFSET["part_mode"] + ui)
+    if mode < max_bits:
+        enc.encode_bin(1, CTX_OFFSET["part_mode"] + mode)
+    if sps.amp_enabled and not at_min and base in ("2NxN", "Nx2N"):
+        if part == base:
+            enc.encode_bin(1, CTX_OFFSET["part_mode"] + 3)
+        else:
+            enc.encode_bin(0, CTX_OFFSET["part_mode"] + 3)
+            enc.encode_bin_ep(1 if part in ("2NxnD", "nRx2N") else 0)
+
+
+def _enc_cu_p_partitioned(enc, sc, x0, y0, log2, part: str):
+    """Encode one rectangular-PU inter CU. Per-PU motion and merge/AMVP
+    decisions come from the per-8-cell maps at each PU's origin cell —
+    derived by the native decision walk (decision_walk.cpp partition
+    branch) in the same progressive PU order the decoder replays, so
+    the coded stream decodes to the given motion exactly (TEncCu PU
+    loop / TEncSearch::xCheckBestMVP counterpart)."""
+    fs = sc.fs
+    size = 1 << log2
+    enc.encode_bin(0, CTX_OFFSET["pred_mode_flag"])  # inter
+    _enc_part_mode_inter(enc, sc, log2, part)
+    for pi, (dx, dy, pw, ph) in enumerate(_pu_geometry(part, size)):
+        px, py = x0 + dx, y0 + dy
+        y8, x8 = py // 8, px // 8
+        mv = fs.mv[y8, x8].copy()
+        ref = int(fs.ref_idx[y8, x8])
+        merge_f = int(fs.merge_flag[y8, x8])
+        enc.encode_bin(merge_f, CTX_OFFSET["merge_flag"])
+        if merge_f:
+            _enc_merge_idx(enc, int(fs.merge_idx[y8, x8]), sc.max_merge)
+        else:
+            _enc_ref_idx(enc, ref, sc.num_ref)
+            _enc_mvd(enc, fs.mvd[y8, x8])
+            enc.encode_bin(int(fs.mvp_flag[y8, x8]),
+                           CTX_OFFSET["mvp_flag"])
+        _mark_inter_pu(sc, x0, y0, log2, px, py, pw, ph, mv, ref, pi == 0)
+    cbf_y, cbf_cb, cbf_cr = _tu_cbfs(sc, x0, y0, log2)
+    root_cbf = 1 if (cbf_y or cbf_cb or cbf_cr) else 0
+    enc.encode_bin(root_cbf, CTX_OFFSET["rqt_root_cbf"])
+    if root_cbf:
+        intersplit = sc.sps.max_tu_depth_inter == 0
+        _enc_transform_tree_p(enc, sc, x0, y0, log2, 0, True, True,
+                              inter_split=intersplit)
+    else:
+        s4 = 1 << (log2 - 2)
+        fs.tu_log2[y0 // 4 : y0 // 4 + s4,
+                   x0 // 4 : x0 // 4 + s4] = min(log2, 5)
+
+
 def _enc_cu_p(enc, sc, x0, y0, log2):
     from ..codec.mv import amvp_candidates, merge_candidates
 
@@ -896,6 +957,12 @@ def _enc_cu_p(enc, sc, x0, y0, log2):
         _enc_cu(enc, sc, x0, y0, log2)
         s8 = 1 << (log2 - 3)
         fs.inter_dir[y8 : y8 + s8, x8 : x8 + s8] = 0
+        return
+    part_map = getattr(fs, "part_mode", None)
+    pcode = int(part_map[y8, x8]) if part_map is not None else 0
+    if pcode:
+        _enc_cu_p_partitioned(enc, sc, x0, y0, log2,
+                              ("2Nx2N", "2NxN", "Nx2N")[pcode])
         return
     enc.encode_bin(0, CTX_OFFSET["pred_mode_flag"])  # inter
     enc.encode_bin(1, CTX_OFFSET["part_mode"])       # 2Nx2N
@@ -1058,15 +1125,26 @@ def _mark_inter_pu(sc, cu_x0, cu_y0, log2, px, py, pw, ph, mv, ref,
             fs.merge_flag[cy, cx] = 0
 
 
-def _enc_transform_tree_p(enc, sc, x0, y0, log2, depth, parent_cb, parent_cr):
+def _enc_transform_tree_p(enc, sc, x0, y0, log2, depth, parent_cb, parent_cr,
+                          inter_split=False):
+    """Exact inverse of _dec_transform_tree_p. inter_split: implicit
+    depth-0 split for non-2Nx2N inter CUs when max_tu_depth_inter == 0
+    (§7.4.9.8 interSplitFlag)."""
     sps = sc.sps
-    split = log2 > sps.log2_max_tu
-    explicit = (
-        log2 <= sps.log2_max_tu and log2 > sps.log2_min_tu
-        and depth < sps.max_tu_depth_inter
-    )
+    fs = sc.fs
+    explicit = False
+    if inter_split and depth == 0:
+        split = 1
+    elif log2 > sps.log2_max_tu:
+        split = 1
+    elif log2 <= sps.log2_min_tu or depth >= sps.max_tu_depth_inter + (
+            1 if inter_split else 0):
+        split = 0
+    else:
+        split = 0  # encoder keeps TU = CU below implicit splits
+        explicit = True
     if explicit:
-        enc.encode_bin(1 if split else 0,
+        enc.encode_bin(split,
                        CTX_OFFSET["split_transform_flag"] + (5 - log2))
     cbf_y, cbf_cb, cbf_cr = _tu_cbfs(sc, x0, y0, log2)
     if log2 > 2:
@@ -1074,13 +1152,19 @@ def _enc_transform_tree_p(enc, sc, x0, y0, log2, depth, parent_cb, parent_cr):
             enc.encode_bin(1 if cbf_cb else 0, CTX_OFFSET["qt_cbf"] + 5 + depth)
         if parent_cr:
             enc.encode_bin(1 if cbf_cr else 0, CTX_OFFSET["qt_cbf"] + 5 + depth)
+    else:
+        cbf_cb, cbf_cr = parent_cb, parent_cr
     if split:
         half = 1 << (log2 - 1)
         for sy in (0, half):
             for sx in (0, half):
                 _enc_transform_tree_p(enc, sc, x0 + sx, y0 + sy, log2 - 1,
-                                      depth + 1, cbf_cb, cbf_cr)
+                                      depth + 1, cbf_cb, cbf_cr, inter_split)
+        if log2 == 3 and (cbf_cb or cbf_cr):
+            _enc_chroma_tu_p(enc, sc, x0, y0, 2, cbf_cb, cbf_cr)
         return
+    s4 = 1 << (log2 - 2)
+    fs.tu_log2[y0 // 4 : y0 // 4 + s4, x0 // 4 : x0 // 4 + s4] = log2
     # inter leaf: cbf_luma inferred 1 at depth 0 with no chroma cbf
     if depth != 0 or cbf_cb or cbf_cr:
         enc.encode_bin(1 if cbf_y else 0,
@@ -1088,6 +1172,22 @@ def _enc_transform_tree_p(enc, sc, x0, y0, log2, depth, parent_cb, parent_cr):
     else:
         assert cbf_y, "rqt_root_cbf=1 requires residual at inferred leaf"
     _enc_transform_unit_p(enc, sc, x0, y0, log2, cbf_y, cbf_cb, cbf_cr)
+
+
+def _enc_chroma_tu_p(enc, sc, x0, y0, clog2, cbf_cb, cbf_cr):
+    """Chroma residual coded at the 8x8 parent of split 4x4 luma TUs
+    (inverse of _dec_chroma_tu_p; own streams never use transform-skip)."""
+    from ..utils.tables import SCAN_DIAG
+
+    fs, pps = sc.fs, sc.pps
+    cs = 1 << clog2
+    cx, cy2 = x0 // 2, y0 // 2
+    if cbf_cb:
+        encode_residual(enc, fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs],
+                        clog2, False, SCAN_DIAG, pps.sign_data_hiding)
+    if cbf_cr:
+        encode_residual(enc, fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs],
+                        clog2, False, SCAN_DIAG, pps.sign_data_hiding)
 
 
 def _dec_transform_tree_p(dec, sc, x0, y0, log2, depth, parent_cb,
