@@ -113,3 +113,38 @@ def test_segment_overlapped_encoding():
     dec = decode_stream(bs)
     assert len(dec) == n
     assert all(f.md5_ok for f in dec)
+
+
+def test_stripe_refine_bit_exact():
+    """The v3 grid path's full-pel ME refine sharded over CTU-row
+    stripes (shard_map + ppermute reference halos) must match the
+    single-device refine bit-exactly — including frame-edge clamping
+    reproduced by edge-row halo fill."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuhevc.codec.params import EncoderConfig, SeqParams
+    from tpuhevc.parallel.mesh import make_mesh, stripe_refine
+
+    w, h = 128, 384  # 8 stripes x 48 rows >= the sr+24 halo
+    cfg = EncoderConfig(
+        sps=SeqParams(width=w, height=h, max_tu_depth_intra=0),
+        qp=32, intra_period=-1, fme_mode="none", inter_backend="jax",
+        num_ref_frames=1, search_range=16)
+    mesh = make_mesh(8)
+    sharded, single, halo = stripe_refine(cfg, {32: None}, mesh)
+
+    rng = np.random.default_rng(7)
+    oy = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    # reference = shifted original + noise so the search has structure
+    ry = jnp.asarray(np.roll(np.asarray(oy), (5, -3), (0, 1))
+                     + rng.integers(-4, 5, (h, w)), jnp.int32)
+    nh16, nw16 = h // 16, w // 16
+    cx4 = jnp.asarray(rng.integers(-4, 5, (nh16, nw16)), jnp.int32)
+    cy4 = jnp.asarray(rng.integers(-4, 5, (nh16, nw16)), jnp.int32)
+
+    mv_s, sad9_s, cost_s = sharded(oy, ry, cx4, cy4)
+    mv_1, sad9_1, cost_1 = single(oy, ry, cx4, cy4)
+    assert np.array_equal(np.asarray(mv_s), np.asarray(mv_1))
+    assert np.array_equal(np.asarray(sad9_s), np.asarray(sad9_1))
+    assert np.array_equal(np.asarray(cost_s), np.asarray(cost_1))

@@ -101,3 +101,71 @@ def tile_prescreen(mesh, height: int, width: int, bit_depth: int = 8):
         out_specs=(P(axis, None), P(axis, None)),
     )
     return jax.jit(fn)
+
+
+def stripe_refine(cfg, nn_by_qp, mesh):
+    """CTU-row-stripe sharding of the v3 grid path's full-pel ME refine —
+    the dominant per-frame analysis stage of the bench path
+    (inter_grid.build_ldp_grid_scan's `refine`), run as a shard_map over
+    row stripes with a ppermute halo exchange for the reference rows
+    each stripe's search windows reach into.
+
+    Returns (sharded_fn, single_fn, halo): both take
+    (oy (H, W) int32, ry (H, W) int32, cx4, cy4 (nh16, nw16) int32) and
+    return (mv (n16, 2), sad9 (n16, 9), cost (n16,)); the sharded one is
+    bit-exact to the single-device one whenever the stripe height covers
+    the halo (asserted at build). Counterpart of the reference's
+    frame-parallel motion estimation split (SURVEY.md §2.5) re-expressed
+    as SPMD row stripes over the mesh.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..codec import inter_grid
+
+    from ..codec.params import p_frame_lambda
+
+    inter_grid.build_ldp_grid_scan(cfg, nn_by_qp, 1)
+    refine = inter_grid._PROBES["refine"]
+    meta = inter_grid._PROBES["meta"]
+    H, W, sr = meta["H"], meta["W"], meta["sr"]
+    qp = meta["qps"][0]
+    lam_me = int(round(np.sqrt(p_frame_lambda(cfg, 0, qp)) * 256))
+
+    (axis,) = mesh.axis_names
+    n = mesh.devices.size
+    hs = H // n
+    assert H % (16 * n) == 0, "H must split into 16-aligned row stripes"
+    # reference reach below/above a block row: coarse center (<= sr) +
+    # window margin + block size; exactness needs the halo inside the
+    # neighbor stripe
+    halo = sr + 24
+    assert hs >= halo, f"stripe {hs} rows must cover the {halo}-row halo"
+    fwd = [(d, d + 1) for d in range(n - 1)]
+    bwd = [(d + 1, d) for d in range(n - 1)]
+
+    def local(oy_s, ry_s, cx4_s, cy4_s):
+        i = jax.lax.axis_index(axis)
+        up = jax.lax.ppermute(ry_s[-halo:], axis, fwd)
+        dn = jax.lax.ppermute(ry_s[:halo], axis, bwd)
+        # frame-edge stripes replicate their own edge row: identical to
+        # the single-device clip-to-frame-edge gather semantics
+        up = jnp.where(i > 0, up, jnp.broadcast_to(ry_s[:1], (halo, W)))
+        dn = jnp.where(i < n - 1, dn,
+                       jnp.broadcast_to(ry_s[-1:], (halo, W)))
+        ry_loc = jnp.concatenate([up, ry_s, dn])
+        mv, sad9, cost = refine(ry_loc, oy_s, cx4_s, cy4_s, 16,
+                                hs // 16, W // 16, qp, lam_me,
+                                ry_y0=halo)
+        return mv, sad9, cost
+
+    sharded = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis))))
+
+    def single(oy, ry, cx4, cy4):
+        return refine(ry, oy, cx4, cy4, 16, H // 16, W // 16, qp, lam_me)
+
+    return sharded, jax.jit(single), halo
