@@ -50,3 +50,102 @@ def test_rate_model_update_direction():
     rc.update(int(tgt * 4))  # massive overshoot
     qp2, lam2, _ = rc.pick(5, False)  # same gop position/level
     assert qp2 >= qp1  # model must push QP up after overshoot
+
+
+def test_ctu_rate_control_cu_qp_delta(tmp_path):
+    """CTU-level RC (LCULevelRC counterpart): per-CTU QPs signaled with
+    cu_qp_delta, decoded hash-exact by us and the HM oracle; at least
+    one frame must actually carry nonzero deltas."""
+    import os
+    import subprocess
+
+    import numpy as np
+
+    clip = _clip(192, 128, 12)
+
+    class R:
+        def read_frame(self, i):
+            return clip[i] if i < len(clip) else None
+
+    cfg = EncoderConfig(
+        sps=SeqParams(width=192, height=128, max_tu_depth_intra=0),
+        qp=32, intra_period=-1, fme_mode="none", inter_backend="np",
+        target_bitrate=300_000, frame_rate=30, rc_ctu=True,
+        deblocking=True)  # deblock must use the per-CTU QP map too
+    enc, _ = encode_sequence(R(), cfg, max_frames=12)
+    bs = enc.bitstream()
+    frames = decode_stream(bs)
+    assert len(frames) == 12
+    assert all(f.md5_ok for f in frames)
+
+    # the stream must really exercise per-CTU QP variation
+    import tpuhevc.entropy.syntax as syn
+    seen_qps = set()
+    orig = syn._dec_dqp_if_pending
+
+    def spy(dec, sc):
+        pend = sc.dqp_pending
+        orig(dec, sc)
+        if pend and not sc.dqp_pending:
+            seen_qps.add(sc.last_qp)
+    syn._dec_dqp_if_pending = spy
+    try:
+        decode_stream(bs)
+    finally:
+        syn._dec_dqp_if_pending = orig
+    assert len(seen_qps) > 1, f"expected varied CTU QPs, saw {seen_qps}"
+
+    hm = "/tmp/hmref/TAppDecoder"
+    if os.path.exists(hm):
+        p = tmp_path / "rcctu.bin"
+        p.write_bytes(bs)
+        out = subprocess.run([hm, "-b", str(p)], capture_output=True,
+                             text=True, timeout=120).stdout
+        assert out.count("(OK)") == 12 and "ERROR" not in out
+
+
+def test_adaptive_qp_preanalysis(tmp_path):
+    """Source-activity adaptive QP (TEncPreanalyzer counterpart): smooth
+    CTUs get lower QP than textured ones, the map rides cu_qp_delta,
+    and both decoders replay it hash-exact."""
+    import os
+    import subprocess
+
+    import numpy as np
+
+    from tpuhevc.codec.preanalysis import adaptive_qp_map
+
+    rng = np.random.default_rng(11)
+    w, h, n = 192, 128, 6
+    frames = []
+    base_y = np.zeros((h, w), np.uint8)
+    base_y[:, :96] = 100                     # flat half
+    base_y[:, 96:] = rng.integers(0, 256, (h, 96))  # textured half
+    for i in range(n):
+        y = np.roll(base_y, i, axis=1)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        frames.append((y, u, v))
+
+    m = adaptive_qp_map(frames[0][0], 32, 64, 6)
+    assert m[:, 0].mean() < m[:, -1].mean()  # flat side gets lower QP
+
+    class R:
+        def read_frame(self, i):
+            return frames[i] if i < len(frames) else None
+
+    cfg = EncoderConfig(
+        sps=SeqParams(width=w, height=h, max_tu_depth_intra=0),
+        qp=32, intra_period=-1, fme_mode="none", inter_backend="np",
+        adaptive_qp=True, deblocking=True)
+    enc, _ = encode_sequence(R(), cfg, max_frames=n)
+    bs = enc.bitstream()
+    dec = decode_stream(bs)
+    assert len(dec) == n and all(f.md5_ok for f in dec)
+    hm = "/tmp/hmref/TAppDecoder"
+    if os.path.exists(hm):
+        p = tmp_path / "aq.bin"
+        p.write_bytes(bs)
+        out = subprocess.run([hm, "-b", str(p)], capture_output=True,
+                             text=True, timeout=120).stdout
+        assert out.count("(OK)") == n and "ERROR" not in out

@@ -141,7 +141,8 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                     ref_deltas=deltas, num_ref_l1=num_ref_l1,
                     l1_deltas=l1_deltas, col=col, col_b=col_b,
                     col_from_l0=hdr.collocated_from_l0,
-                    check_ldc=check_ldc, mvd_l1_zero=hdr.mvd_l1_zero)
+                    check_ldc=check_ldc, mvd_l1_zero=hdr.mvd_l1_zero,
+                    slice_qp=hdr.qp)
             else:
                 fs = decode_slice_data(dec, sps, pps, sps.coded_width,
                                        sps.coded_height, hdr.slice_type,
@@ -153,7 +154,8 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                                        col_b=col_b,
                                        col_from_l0=hdr.collocated_from_l0,
                                        check_ldc=check_ldc,
-                                       mvd_l1_zero=hdr.mvd_l1_zero)
+                                       mvd_l1_zero=hdr.mvd_l1_zero,
+                                       slice_qp=hdr.qp)
             if hdr.slice_type != I_SLICE:
                 from .mv import ColMotion
                 from .mv_b import ColMotionB

@@ -42,6 +42,8 @@ class Encoder:
         self.cfg = cfg
         cfg.pps.init_qp = cfg.qp
         cfg.pps.deblocking_disabled = not cfg.deblocking
+        if cfg.adaptive_qp:
+            cfg.pps.cu_qp_delta_enabled = True
         self.nals: list[bytes] = []
         self.first_of_au: list[bool] = []
         self.results: list[FrameResult] = []
@@ -135,9 +137,19 @@ class Encoder:
             cfg_f = dataclasses.replace(
                 cfg, qp=fqp,
                 frame_lambda=p_frame_lambda(cfg, (poc - 1) % G, fqp))
+            if (cfg.adaptive_qp and cfg.ctu_qp_map is None
+                    and cfg.inter_backend == "np"):
+                from .preanalysis import adaptive_qp_map
+
+                cfg_f = dataclasses.replace(
+                    cfg_f, ctu_qp_map=adaptive_qp_map(
+                        np.asarray(y), fqp, sps.ctu_size, cfg.aq_range))
             fs, (ry, ru, rv) = encode_frame_p(
                 (y, u, v), self.dpb_recon, cfg_f, self._nn_for_qp(fqp),
                 backend=cfg.inter_backend)
+            if cfg_f.ctu_qp_map is not None:
+                # CTU-level RC: signal the map via cu_qp_delta
+                fs.qp_ctu = np.asarray(cfg_f.ctu_qp_map, np.int32)
 
         if (cfg.deblocking and ry is not None
                 and not getattr(fs, "prefiltered", False)):
@@ -249,7 +261,8 @@ class Encoder:
                 cab = CabacEncoder(ctx)
                 encode_slice_data(cab, fs, sps, pps, stype, max_merge,
                                   num_ref=n_ref_slice, ref_deltas=l0d,
-                                  num_ref_l1=n_ref_l1, l1_deltas=l1d)
+                                  num_ref_l1=n_ref_l1, l1_deltas=l1d,
+                                  slice_qp=fqp)
                 cab.finish()
                 w.write_bytes(bytes(cab.out))
                 val, nbits = cab.pending_bits
@@ -428,18 +441,24 @@ def _grid_supports(cfg) -> bool:
 def _rate_controlled(enc, cfg, frames, finish):
     """Picture-level R-lambda rate control (RateControl=1): QP per frame
     from the model, model updated with actual bits (TEncRateCtrl
-    counterpart; SURVEY.md §2.2)."""
+    counterpart; SURVEY.md §2.2). With cfg.rc_ctu (LCULevelRC) the
+    picture target is further distributed over CTUs by activity and the
+    per-CTU QPs ride cu_qp_delta."""
     from ..entropy.headers import ShortTermRPS
     from .params import I_SLICE
-    from .ratectrl import RateControl
+    from .ratectrl import CtuAlloc, RateControl
 
     sps = cfg.sps
     rc = RateControl(cfg.target_bitrate, cfg.frame_rate, sps.coded_width,
                      sps.coded_height, len(cfg.gop_qp_offsets) or 4,
                      len(frames))
+    alloc = None
+    if cfg.rc_ctu:
+        cfg.pps.cu_qp_delta_enabled = True  # before the PPS is written
+        alloc = CtuAlloc(sps.coded_width, sps.coded_height, sps.ctu_size)
     for i, fr in enumerate(frames):
         stype = enc._slice_type(i)
-        qp, lam, _ = rc.pick(i, stype == I_SLICE)
+        qp, lam, target = rc.pick(i, stype == I_SLICE)
         if stype == I_SLICE:
             si = None
             enc.cfg = dataclasses.replace(cfg, qp=qp)
@@ -448,7 +467,17 @@ def _rate_controlled(enc, cfg, frames, finish):
         else:
             si = dict(stype=P_SLICE, qp=qp, rps=ShortTermRPS([-1], [1]),
                       num_ref_l0=1, l0_deltas=[1])
-            finish(i, fr, None, si)
+            if alloc is not None:
+                level = rc._pending[0]
+                a, b = rc._model(level)
+                m = alloc.qp_map(target, qp,
+                                 a, b, alloc.weights(fr[0],
+                                                     frames[i - 1][0]))
+                enc.cfg = dataclasses.replace(cfg, ctu_qp_map=m)
+                finish(i, fr, None, si)
+                enc.cfg = cfg
+            else:
+                finish(i, fr, None, si)
         rc.update(enc.results[-1].bits)
 
 

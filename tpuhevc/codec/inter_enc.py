@@ -119,6 +119,21 @@ def _np_me(ref, cur, xs, ys, sr, lambda_fp):
     return mv, me_ops.sad_surface_np(sad_map, best)
 
 
+
+def _per_qp(op, arr, qpv, *rest):
+    """Apply op(batch, qp, *rest) grouped by distinct per-block QP values
+    (cu_qp_delta streams: blocks of one CTU share a QP, QPs vary across
+    CTUs within the clip window, so the group count stays tiny)."""
+    out = None
+    for v in np.unique(qpv):
+        m = qpv == v
+        r = op(arr[m], int(v), *rest)
+        if out is None:
+            out = np.empty((len(qpv),) + r.shape[1:], r.dtype)
+        out[m] = r
+    return out
+
+
 def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
                     lambda_fp):
     """ME + FME + MC + transform/quant + skip-bias for one CU-size class.
@@ -127,6 +142,14 @@ def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
     sps, qp = cfg.sps, cfg.qp
     bd = sps.bit_depth
     qpc = chroma_qp(qp)
+    qp_map = getattr(cfg, "ctu_qp_map", None)
+    qpv = qpcv = None
+    if qp_map is not None and F["xp"] is np:
+        l2c = sps.log2_ctu
+        qp_map = np.asarray(qp_map)
+        qpv = qp_map[np.asarray(ys_np) >> l2c,
+                     np.asarray(xs_np) >> l2c].astype(np.int32)
+        qpcv = np.array([chroma_qp(int(v)) for v in qpv], np.int32)
     sr = min(cfg.search_range, 16)
     lam = _full_lambda_fp(cfg)
     oy, ou, ov = orig
@@ -154,16 +177,40 @@ def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
     pred = F["mc"](ry, xs, ys, mvq, size, True, bd)
     log2 = size.bit_length() - 1
     coef = F["fwd"](cur.astype(xp.int32) - pred, bd)
-    if cfg.rdoq and F["xp"] is np:
+    if qpv is not None:
+        if cfg.rdoq:
+            lvl = _per_qp(lambda a, q: tx.rdoq_np(a, q, log2, bd, lam),
+                          np.asarray(coef), qpv)
+        else:
+            lvl = _per_qp(lambda a, q: F["quant"](a, q, log2, bd, False),
+                          coef, qpv)
+        if sbh:
+            from ..entropy.residual import SCAN_DIAG, apply_sign_bit_hiding
+
+            lvl = apply_sign_bit_hiding(
+                lvl, log2, SCAN_DIAG,
+                _per_qp(lambda a, q: tx.ideal_levels_np(a, q, log2, bd),
+                        np.asarray(coef), qpv))
+        rsd = F["inv"](_per_qp(lambda a, q: F["deq"](a, q, log2, bd),
+                               lvl, qpv), bd)
+    elif cfg.rdoq and F["xp"] is np:
         lvl = tx.rdoq_np(np.asarray(coef), qp, log2, bd, lam)
+        if sbh:
+            from ..entropy.residual import SCAN_DIAG, apply_sign_bit_hiding
+
+            lvl = apply_sign_bit_hiding(
+                lvl, log2, SCAN_DIAG,
+                tx.ideal_levels_np(coef, qp, log2, bd))
+        rsd = F["inv"](F["deq"](lvl, qp, log2, bd), bd)
     else:
         lvl = F["quant"](coef, qp, log2, bd, False)
-    if sbh:
-        from ..entropy.residual import SCAN_DIAG, apply_sign_bit_hiding
+        if sbh:
+            from ..entropy.residual import SCAN_DIAG, apply_sign_bit_hiding
 
-        lvl = apply_sign_bit_hiding(lvl, log2, SCAN_DIAG,
-                                    tx.ideal_levels_np(coef, qp, log2, bd))
-    rsd = F["inv"](F["deq"](lvl, qp, log2, bd), bd)
+            lvl = apply_sign_bit_hiding(
+                lvl, log2, SCAN_DIAG,
+                tx.ideal_levels_np(coef, qp, log2, bd))
+        rsd = F["inv"](F["deq"](lvl, qp, log2, bd), bd)
     rec = xp.clip(pred + rsd, 0, (1 << bd) - 1)
     nz = (lvl != 0).reshape(n, -1).any(axis=1)
     rec = xp.where(nz[:, None, None], rec, pred)
@@ -186,17 +233,32 @@ def _class_pipeline(F, cfg, orig, ref, size, xs_np, ys_np, nn_params,
             for x, y in zip(xs_np, ys_np)])
         pred_c = F["mc"](refp, cxs, cys, mvq, cs, False, bd)
         cc = F["fwd"](cur_c.astype(xp.int32) - pred_c, bd)
-        if cfg.rdoq and F["xp"] is np:
+        if qpcv is not None:
+            if cfg.rdoq:
+                clvl = _per_qp(lambda a, q: tx.rdoq_np(a, q, clog2, bd,
+                                                       lam),
+                               np.asarray(cc), qpcv)
+            else:
+                clvl = _per_qp(
+                    lambda a, q: F["quant"](a, q, clog2, bd, False),
+                    cc, qpcv)
+        elif cfg.rdoq and F["xp"] is np:
             clvl = tx.rdoq_np(np.asarray(cc), qpc, clog2, bd, lam)
         else:
             clvl = F["quant"](cc, qpc, clog2, bd, False)
         if sbh:
             from ..entropy.residual import SCAN_DIAG, apply_sign_bit_hiding
 
-            clvl = apply_sign_bit_hiding(
-                clvl, clog2, SCAN_DIAG,
-                tx.ideal_levels_np(cc, qpc, clog2, bd))
-        crs = F["inv"](F["deq"](clvl, qpc, clog2, bd), bd)
+            ideal = (tx.ideal_levels_np(cc, qpc, clog2, bd)
+                     if qpcv is None else
+                     _per_qp(lambda a, q: tx.ideal_levels_np(a, q, clog2,
+                                                             bd),
+                             np.asarray(cc), qpcv))
+            clvl = apply_sign_bit_hiding(clvl, clog2, SCAN_DIAG, ideal)
+        crs = F["inv"]((F["deq"](clvl, qpc, clog2, bd) if qpcv is None
+                        else _per_qp(lambda a, q: F["deq"](a, q, clog2,
+                                                           bd),
+                                     clvl, qpcv)), bd)
         crec = xp.clip(pred_c + crs, 0, (1 << bd) - 1)
         cnz = (clvl != 0).reshape(n, -1).any(axis=1)
         crec = xp.where(cnz[:, None, None], crec, pred_c)
@@ -755,6 +817,8 @@ def reconstruct_frame_p(fs, sps, qp: int, ref_recon):
                                         and hasattr(ref_recon[0], "shape")):
         ref_recon = [ref_recon]
     refs = [tuple(p.astype(np.int32) for p in r) for r in ref_recon]
+    qp_ctu = getattr(fs, "qp_ctu", None)
+    log2_ctu = sps.log2_ctu
     qpc = chroma_qp(qp)
     rec_y = np.zeros((h, w), dtype=np.int32)
     rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
@@ -770,6 +834,9 @@ def reconstruct_frame_p(fs, sps, qp: int, ref_recon):
             s8 = size // 8
             seen[y8 : y8 + s8, x8 : x8 + s8] = True
             x0, y0 = x8 * 8, y8 * 8
+            if qp_ctu is not None:  # cu_qp_delta: the CTU's coded QpY
+                qp = int(qp_ctu[y0 >> log2_ctu, x0 >> log2_ctu])
+                qpc = chroma_qp(qp)
             mv = fs.mv[y8, x8][None]
             ry, ru, rv = refs[min(int(fs.ref_idx[y8, x8]), len(refs) - 1)]
             pred = mc_np(ry, np.array([x0]), np.array([y0]), mv, size, True, bd)[0]

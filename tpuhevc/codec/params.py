@@ -131,6 +131,12 @@ class EncoderConfig:
     gop_table: tuple = ()        # config.options.GopEntry rows in decode
                                  # order; drives the RA structure when set
     target_bitrate: int = 0      # bps; > 0 enables R-lambda rate control
+    rc_ctu: bool = False         # CTU-level allocation (HM LCULevelRC):
+                                 # per-CTU QP via cu_qp_delta
+    adaptive_qp: bool = False    # source-activity AQ (TEncPreanalyzer)
+    aq_range: int = 6            # MaxQPAdaptationRange
+    ctu_qp_map: object = None    # per-frame (hctu, wctu) QpY map the host
+                                 # pipelines quantize with (set by RC)
     intra_in_inter: bool = False # intra 8x8 fallback CUs in P frames
     intra_qt: bool = True        # quadtree intra CUs 8/16/32 (vs fixed 8x8)
     rdoq: bool = False           # RD-optimized quantization (host paths)

@@ -104,3 +104,60 @@ class RateControl:
                                         + 13.7122))
         self.spent += actual_bits
         self.coded += 1
+
+
+class CtuAlloc:
+    """CTU-level bit allocation (TEncRateCtrl.cpp:928 getLCUTargetBpp /
+    :1149 updateAfterCTU, LCULevelRC=1): per-CTU targets weighted by a
+    collocated-activity estimate (the MAD proxy), QP per CTU from the
+    same R-lambda model, clipped to the picture QP +-2 (HM's LCU clip).
+
+    The host encoder quantizes each CTU at its QP and signals the map
+    with cu_qp_delta; the model adapts from realized picture bits (the
+    per-picture update already owns alpha/beta)."""
+
+    def __init__(self, width: int, height: int, ctu: int = 64):
+        self.wctu = (width + ctu - 1) // ctu
+        self.hctu = (height + ctu - 1) // ctu
+        self.ctu = ctu
+        self.width = width
+        self.height = height
+
+    def weights(self, cur_y, prev_y):
+        """Per-CTU activity: SAD against the previous original picture
+        (TEncRateCtrl's CTU MAD estimate, computed pre-encode)."""
+        import numpy as np
+
+        c = np.asarray(cur_y, np.int32)
+        p = np.asarray(prev_y, np.int32)
+        w = np.empty((self.hctu, self.wctu), np.float64)
+        for cy in range(self.hctu):
+            for cx in range(self.wctu):
+                ys, xs = cy * self.ctu, cx * self.ctu
+                blk = np.abs(c[ys : ys + self.ctu, xs : xs + self.ctu]
+                             - p[ys : ys + self.ctu, xs : xs + self.ctu])
+                w[cy, cx] = float(blk.sum()) + 1.0
+        return w
+
+    def qp_map(self, frame_target: float, frame_qp: int, alpha: float,
+               beta: float, weights):
+        """Distribute the picture target over CTUs by weight; QP per CTU
+        from lambda = alpha * bpp^beta, clipped to frame QP +-2."""
+        import math
+
+        import numpy as np
+
+        w = np.asarray(weights, np.float64)
+        share = w / w.sum()
+        out = np.empty((self.hctu, self.wctu), np.int32)
+        for cy in range(self.hctu):
+            for cx in range(self.wctu):
+                ys, xs = cy * self.ctu, cx * self.ctu
+                npx = (min(self.ctu, self.height - ys)
+                       * min(self.ctu, self.width - xs))
+                bpp = max(frame_target * share[cy, cx] / npx, 1e-7)
+                lam = min(max(alpha * bpp ** beta, 0.1), 10000.0)
+                q = int(round(4.2005 * math.log(lam) + 13.7122))
+                out[cy, cx] = min(max(q, frame_qp - 2, 0),
+                                  frame_qp + 2, 51)
+        return out

@@ -178,6 +178,12 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
                 cfg.target_bitrate = 0
         elif k == "TargetBitrate":
             cfg.target_bitrate = int(v)
+        elif k == "LCULevelRateControl":
+            cfg.rc_ctu = _b(v)
+        elif k == "AdaptiveQP":
+            cfg.adaptive_qp = _b(v)
+        elif k == "MaxQPAdaptationRange":
+            cfg.aq_range = int(v)
         elif k == "LoopFilterDisable":
             cfg.deblocking = not _b(v)
         elif k == "AMP":

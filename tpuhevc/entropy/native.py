@@ -178,6 +178,8 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
     lib = get_lib()
     if lib is None:
         return None
+    if pps.cu_qp_delta_enabled:
+        return None  # per-CTU QP deltas ride the python slice coder
     if fs.sao is not None and not hasattr(lib, "tpuhevc_encode_slice_data_sao"):
         return None
     has_v3 = hasattr(lib, "tpuhevc_encode_slice_data_v3")

@@ -51,6 +51,7 @@ class FrameSyntax:
     ref_idx_l1: np.ndarray = None
     mvp_flag_l1: np.ndarray = None
     sao: object = None             # codec.sao_enc.SaoPicParams, or None
+    qp_ctu: np.ndarray = None      # per-CTU QpY (cu_qp_delta; QG = CTU)
     # general-stream (foreign-encoder) features, per 4x4 luma cell; only
     # populated by the decoder's parse. full_features flips when a
     # feature outside this encoder's subset appears (NxN, TU split,
@@ -154,6 +155,13 @@ class _SliceCoder:
         self.check_ldc = False     # all refs (both lists) precede cur
         self.mvd_l1_zero = False
         self.cur_poc = 0
+        # cu_qp_delta state (§8.6.1; quantization group = CTU —
+        # diff_cu_qp_delta_depth 0, the HM rate-control configuration):
+        # last_qp is qPY_PREV, dqp_pending mirrors !IsCuQpDeltaCoded
+        self.slice_qp = 26
+        self.last_qp = 26
+        self.qg_qp = 26      # encoder: intended QP of the current QG
+        self.dqp_pending = False
         self.ctu = sps.ctu_size
         self.log2_ctu = sps.log2_ctu
         self.w = fs.width
@@ -230,14 +238,23 @@ def encode_slice_data(enc: CabacEncoder, fs: FrameSyntax, sps: SeqParams,
                       pps: PicParams, slice_type: int = I_SLICE,
                       max_merge: int = 5, num_ref: int = 1,
                       ref_deltas=None, num_ref_l1: int = 0,
-                      l1_deltas=None) -> None:
+                      l1_deltas=None, slice_qp: int = 26) -> None:
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
                      ref_deltas)
     if num_ref_l1:
         sc.num_ref_l1 = num_ref_l1
         sc.l1_pocs = [-d for d in l1_deltas]
+    use_dqp = pps.cu_qp_delta_enabled
+    if use_dqp:
+        assert pps.diff_cu_qp_delta_depth == 0, "QG = CTU only"
+        sc.slice_qp = sc.last_qp = slice_qp
     for cy in range(sc.hctu):
         for cx in range(sc.wctu):
+            if use_dqp:
+                sc.dqp_pending = True
+                sc.qg_qp = (int(fs.qp_ctu[cy, cx])
+                            if getattr(fs, "qp_ctu", None) is not None
+                            else slice_qp)
             if fs.sao is not None:
                 _enc_sao_ctu(enc, fs.sao, cx, cy)
             _enc_quadtree(enc, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
@@ -477,6 +494,7 @@ def _enc_transform_unit(enc, sc, x0, y0, log2, depth, mode, cmode,
     s = 1 << log2
     if not (cbf_y or cbf_cb or cbf_cr):
         return
+    _enc_dqp_if_pending(enc, sc)
     if cbf_y:
         scan = intra_scan_idx(mode, log2, True)
         blk = fs.coeff_y[y0 : y0 + s, x0 : x0 + s]
@@ -507,7 +525,7 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
                       l1_deltas=None, col=None, col_b=None,
                       col_from_l0: bool = True, check_ldc: bool = False,
                       mvd_l1_zero: bool = False,
-                      cur_poc: int = 0) -> FrameSyntax:
+                      cur_poc: int = 0, slice_qp: int = 26) -> FrameSyntax:
     fs = FrameSyntax(width, height)
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
                      ref_deltas)
@@ -525,12 +543,22 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
 
         fs.sao = SaoPicParams(sc.hctu, sc.wctu, luma_on=sao_luma,
                               chroma_on=sao_chroma)
+    use_dqp = pps.cu_qp_delta_enabled
+    if use_dqp:
+        assert pps.diff_cu_qp_delta_depth == 0, "QG = CTU only"
+        sc.slice_qp = sc.last_qp = slice_qp
+        fs.qp_ctu = np.full((sc.hctu, sc.wctu), slice_qp, np.int32)
     for cy in range(sc.hctu):
         for cx in range(sc.wctu):
+            if use_dqp:
+                sc.dqp_pending = True
             if fs.sao is not None:
                 _dec_sao_ctu(dec, fs.sao, cx, cy)
             _dec_quadtree(dec, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
                           sc.log2_ctu, 0)
+            if use_dqp:
+                # QG QpY: predicted (= qPY_PREV) when no delta was coded
+                fs.qp_ctu[cy, cx] = sc.last_qp
             end = dec.decode_bin_trm()
             last = (cy == sc.hctu - 1) and (cx == sc.wctu - 1)
             assert end == (1 if last else 0), "end_of_slice mismatch"
@@ -686,6 +714,8 @@ def _dec_chroma_tu(dec, sc, x0, y0, clog2, mode, cmode, cbf_cb, cbf_cr,
     fs, pps = sc.fs, sc.pps
     cs = 1 << clog2
     cx, cy2 = x0 // 2, y0 // 2
+    if cbf_cb or cbf_cr:
+        _dec_dqp_if_pending(dec, sc)
     # DM chroma of an NxN CU follows PU0's mode (§8.4.3)
     lm = int(fs.luma_mode4[cu_y0 // 4, cu_x0 // 4])
     actual_cmode = sc.chroma_actual_mode(cmode, lm)
@@ -713,6 +743,7 @@ def _dec_transform_unit(dec, sc, x0, y0, log2, depth, mode, cmode,
     s = 1 << log2
     if not (cbf_y or cbf_cb or cbf_cr):
         return
+    _dec_dqp_if_pending(dec, sc)
     if cbf_y:
         if pps.transform_skip_enabled and log2 == 2 \
                 and _dec_ts_flag(dec, False):
@@ -813,6 +844,74 @@ def _dec_mvd(dec):
             v = -v
         out.append(v)
     return out
+
+
+def _enc_dqp_if_pending(enc, sc):
+    """cu_qp_delta_abs/sign at the first residual-bearing TU of the
+    quantization group (§7.3.8.10; TEncSbac::codeDeltaQP — TU-5 prefix
+    on two contexts, EG0 suffix, bypass sign)."""
+    if not sc.dqp_pending:
+        return
+    sc.dqp_pending = False
+    off = 6 * (sc.sps.bit_depth - 8)
+    dqp = sc.qg_qp - sc.last_qp
+    dqp = (dqp + 78 + off + off // 2) % (52 + off) - 26 - off // 2
+    a = abs(dqp)
+    tu = min(a, 5)
+    c0 = CTX_OFFSET["cu_qp_delta"]
+    enc.encode_bin(1 if tu else 0, c0)
+    if tu:
+        for _ in range(tu - 1):
+            enc.encode_bin(1, c0 + 1)
+        if tu < 5:
+            enc.encode_bin(0, c0 + 1)
+        if a >= 5:
+            _enc_eg0(enc, a - 5)
+        enc.encode_bin_ep(1 if dqp < 0 else 0)
+    sc.last_qp = ((sc.last_qp + dqp + 52 + 2 * off) % (52 + off)) - off
+
+
+def _dec_dqp_if_pending(dec, sc):
+    """Inverse of _enc_dqp_if_pending; updates qPY_PREV."""
+    if not sc.dqp_pending:
+        return
+    sc.dqp_pending = False
+    c0 = CTX_OFFSET["cu_qp_delta"]
+    a = 0
+    sign = 0
+    if dec.decode_bin(c0):
+        a = 1
+        while a < 5 and dec.decode_bin(c0 + 1):
+            a += 1
+        if a == 5:
+            a += _dec_eg0(dec)
+        sign = dec.decode_bin_ep()
+    dqp = -a if sign else a
+    off = 6 * (sc.sps.bit_depth - 8)
+    sc.last_qp = ((sc.last_qp + dqp + 52 + 2 * off) % (52 + off)) - off
+
+
+def _enc_eg0(enc, v):
+    """0th-order Exp-Golomb, bypass (§9.3.3.3)."""
+    k = 0
+    while v >= (1 << k):
+        enc.encode_bin_ep(1)
+        v -= 1 << k
+        k += 1
+    enc.encode_bin_ep(0)
+    if k:
+        enc.encode_bins_ep(v, k)
+
+
+def _dec_eg0(dec):
+    k = 0
+    v = 0
+    while dec.decode_bin_ep():
+        v += 1 << k
+        k += 1
+    if k:
+        v += dec.decode_bins_ep(k)
+    return v
 
 
 def _enc_eg1(enc, v):
@@ -1182,6 +1281,8 @@ def _enc_chroma_tu_p(enc, sc, x0, y0, clog2, cbf_cb, cbf_cr):
     fs, pps = sc.fs, sc.pps
     cs = 1 << clog2
     cx, cy2 = x0 // 2, y0 // 2
+    if cbf_cb or cbf_cr:
+        _enc_dqp_if_pending(enc, sc)
     if cbf_cb:
         encode_residual(enc, fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs],
                         clog2, False, SCAN_DIAG, pps.sign_data_hiding)
@@ -1240,6 +1341,7 @@ def _enc_transform_unit_p(enc, sc, x0, y0, log2, cbf_y, cbf_cb, cbf_cr):
     s = 1 << log2
     if not (cbf_y or cbf_cb or cbf_cr):
         return
+    _enc_dqp_if_pending(enc, sc)
     if cbf_y:
         encode_residual(enc, fs.coeff_y[y0 : y0 + s, x0 : x0 + s], log2,
                         True, SCAN_DIAG, pps.sign_data_hiding)
@@ -1262,6 +1364,7 @@ def _dec_transform_unit_p(dec, sc, x0, y0, log2, cbf_y, cbf_cb, cbf_cr):
     s = 1 << log2
     if not (cbf_y or cbf_cb or cbf_cr):
         return
+    _dec_dqp_if_pending(dec, sc)
     if cbf_y:
         if pps.transform_skip_enabled and log2 == 2 \
                 and _dec_ts_flag(dec, False):
@@ -1279,6 +1382,8 @@ def _dec_chroma_tu_p(dec, sc, x0, y0, clog2, cbf_cb, cbf_cr):
     fs, pps = sc.fs, sc.pps
     cs = 1 << clog2
     cx, cy2 = x0 // 2, y0 // 2
+    if cbf_cb or cbf_cr:
+        _dec_dqp_if_pending(dec, sc)
     ts_ok = pps.transform_skip_enabled and clog2 == 2
     if cbf_cb:
         if ts_ok and _dec_ts_flag(dec, True):

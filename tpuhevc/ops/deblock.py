@@ -299,7 +299,9 @@ def _filter_luma_lines(p, q, tc, beta, mask):
 def _deblock_luma_dir(plane, bs8, qp, vertical: bool):
     """One direction over the whole plane. bs8: (h8, w8) per-cell edge
     BS, or (h8, w8, 2) with per-4-sample-segment BS (partitioned
-    streams)."""
+    streams). qp: scalar, or an (h8, w8) per-cell QpY map (cu_qp_delta
+    streams) — each edge then filters at (QpP + QpQ + 1) >> 1
+    (§8.7.2.5.3)."""
     h, w = plane.shape
     if bs8.ndim == 2:
         bs8 = np.repeat(bs8[:, :, None], 2, axis=2)
@@ -329,9 +331,20 @@ def _deblock_luma_dir(plane, bs8, qp, vertical: bool):
             bs[k] = bs8[y8, x8, half]
             coords.append((y, x))
             k += 1
-    qidx_b = np.clip(qp, 0, 51)
-    beta = np.full(n, int(BETA_TABLE[qidx_b]), dtype=np.int32)
-    qidx_t = np.clip(qp + 2 * (bs - 1), 0, 53)
+    if np.isscalar(qp):
+        qp_seg = np.full(n, qp, dtype=np.int32)
+    else:
+        qp_seg = np.empty(n, dtype=np.int32)
+        k2 = 0
+        for y8, x8 in zip(*cells):
+            qq = int(qp[y8, x8])
+            qpp = int(qp[y8, x8 - 1] if vertical else qp[y8 - 1, x8])
+            for _ in (0, 1):
+                qp_seg[k2] = (qq + qpp + 1) >> 1
+                k2 += 1
+    qidx_b = np.clip(qp_seg, 0, 51)
+    beta = BETA_TABLE[qidx_b].astype(np.int32)
+    qidx_t = np.clip(qp_seg + 2 * (bs - 1), 0, 53)
     tc = TC_TABLE[qidx_t].astype(np.int32)
     mask = bs > 0  # per-segment BS can be 0 in partitioned streams
     fp, fq = _filter_luma_lines(p, q, tc, beta, mask)
@@ -355,11 +368,19 @@ def _deblock_chroma_dir(plane, bs8, qp_c, vertical: bool):
         bs8 = bs8[:, :, 0]
     h8, w8 = bs8.shape
     out = plane.copy().astype(np.int32)
-    qidx = np.clip(qp_c + 2, 0, 53)
-    tc = int(TC_TABLE[qidx])
-    if tc == 0:
-        return out
+    per_cell = not np.isscalar(qp_c)
+    if not per_cell:
+        qidx = np.clip(qp_c + 2, 0, 53)
+        tc = int(TC_TABLE[qidx])
+        if tc == 0:
+            return out
     for y8, x8 in zip(*np.nonzero(bs8 == 2)):
+        if per_cell:
+            qq = int(qp_c[y8, x8])
+            qpp = int(qp_c[y8, x8 - 1] if vertical else qp_c[y8 - 1, x8])
+            tc = int(TC_TABLE[np.clip(((qq + qpp + 1) >> 1) + 2, 0, 53)])
+            if tc == 0:
+                continue
         # chroma edge exists where the luma edge lies on the 16-luma grid
         if vertical:
             if (x8 * 8) % 16:
@@ -394,9 +415,17 @@ def _deblock_chroma_dir(plane, bs8, qp_c, vertical: bool):
 def deblock_frame(planes, fs, qp: int, is_intra_slice: bool):
     """(y, u, v) recon -> deblocked recon (both encoder and decoder call
     this after full-frame reconstruction; intra prediction already used the
-    unfiltered samples, matching the normative decoding order)."""
+    unfiltered samples, matching the normative decoding order). With
+    fs.qp_ctu set (cu_qp_delta streams) edges filter at the per-cell
+    average QP."""
     y, u, v = (np.asarray(p).astype(np.int32) for p in planes)
-    qpc = chroma_qp(qp)
+    if getattr(fs, "qp_ctu", None) is not None:
+        h8, w8 = fs.height // 8, fs.width // 8
+        f = -(-h8 // fs.qp_ctu.shape[0])  # CTU -> 8-cell granularity
+        qp = np.repeat(np.repeat(fs.qp_ctu, f, 0), f, 1)[:h8, :w8]
+        qpc = np.vectorize(chroma_qp)(qp).astype(np.int32)
+    else:
+        qpc = chroma_qp(qp)
     full = (not is_intra_slice and getattr(fs, "full_features", False)
             and fs.mv4 is not None)
     bs_v = (boundary_strength_full(fs, 0) if full
