@@ -112,7 +112,28 @@ class Encoder:
             self._emit(bitio.make_nal(
                 bitio.NAL_SPS, headers.write_sps(sps, self._sps_rps or None)))
             self._emit(bitio.make_nal(bitio.NAL_PPS, headers.write_pps(pps)))
+            from ..entropy import sei
+
+            self._emit(bitio.make_nal(bitio.NAL_PREFIX_SEI, sei.write_sei_nal([
+                sei.ActiveParameterSets(sps_ids=[0]),
+                sei.UserDataUnregistered(data=b"tpuhevc"),
+            ])))
             self._wrote_ps = True
+        aus = []
+        if slice_info is None and self._slice_type(poc) == I_SLICE \
+                and poc > 0:
+            from ..entropy import sei
+
+            aus.append(sei.RecoveryPoint(recovery_poc_cnt=0))
+        if sps.vui_timing:
+            from ..entropy import sei
+
+            aus.append(sei.PicTiming())
+        if aus:
+            from ..entropy import sei
+
+            self._emit(bitio.make_nal(bitio.NAL_PREFIX_SEI,
+                                      sei.write_sei_nal(aus)))
 
         if slice_info is not None:
             stype = slice_info["stype"]

@@ -43,6 +43,9 @@ class SeqParams:
     scaling_list_enabled: bool = False
     pcm_enabled: bool = False
 
+    vui_timing: bool = False    # minimal VUI: timing + frame_field_info
+    time_scale: int = 50        # vui_time_scale (fps, num_units 1)
+
     profile_idc: int = 1  # Main
     level_idc: int = 123  # 4.1
     tier_flag: int = 0

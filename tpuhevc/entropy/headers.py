@@ -253,7 +253,26 @@ def write_sps(sps: SeqParams, rps_list: list[ShortTermRPS] | None = None) -> byt
     w.write_flag(0)  # long_term_ref_pics_present_flag
     w.write_flag(sps.temporal_mvp_enabled)
     w.write_flag(sps.strong_intra_smoothing)
-    w.write_flag(0)  # vui_parameters_present_flag
+    if sps.vui_timing:
+        # minimal VUI (E.2.1): frame_field_info + timing info; enables
+        # the per-AU pic_timing SEI (D.3.3 pic_struct branch)
+        w.write_flag(1)   # vui_parameters_present_flag
+        w.write_flag(0)   # aspect_ratio_info_present_flag
+        w.write_flag(0)   # overscan_info_present_flag
+        w.write_flag(0)   # video_signal_type_present_flag
+        w.write_flag(0)   # chroma_loc_info_present_flag
+        w.write_flag(0)   # neutral_chroma_indication_flag
+        w.write_flag(0)   # field_seq_flag
+        w.write_flag(1)   # frame_field_info_present_flag
+        w.write_flag(0)   # default_display_window_flag
+        w.write_flag(1)   # vui_timing_info_present_flag
+        w.write(1, 32)    # vui_num_units_in_tick
+        w.write(max(1, sps.time_scale), 32)  # vui_time_scale
+        w.write_flag(0)   # vui_poc_proportional_to_timing_flag
+        w.write_flag(0)   # vui_hrd_parameters_present_flag
+        w.write_flag(0)   # bitstream_restriction_flag
+    else:
+        w.write_flag(0)  # vui_parameters_present_flag
     w.write_flag(0)  # sps_extension_present_flag
     w.rbsp_trailing_bits()
     return w.getvalue()
@@ -307,8 +326,22 @@ def parse_sps(data: bytes) -> tuple[SeqParams, list[ShortTermRPS]]:
     assert lt == 0
     sps.temporal_mvp_enabled = bool(r.read_flag())
     sps.strong_intra_smoothing = bool(r.read_flag())
-    vui = r.read_flag()
-    assert vui == 0
+    if r.read_flag():  # vui_parameters_present_flag (the subset we emit)
+        sps.vui_timing = True
+        assert r.read_flag() == 0  # aspect_ratio_info
+        assert r.read_flag() == 0  # overscan
+        assert r.read_flag() == 0  # video_signal_type
+        assert r.read_flag() == 0  # chroma_loc
+        r.read_flag()              # neutral_chroma
+        r.read_flag()              # field_seq
+        r.read_flag()              # frame_field_info
+        assert r.read_flag() == 0  # default_display_window
+        if r.read_flag():          # timing info
+            r.read(32)
+            sps.time_scale = r.read(32)
+            r.read_flag()          # poc_proportional
+            assert r.read_flag() == 0  # hrd
+        assert r.read_flag() == 0  # bitstream_restriction
     r.read_flag()
     sps.width = lumaw - 2 * (crop_l + crop_r)
     sps.height = lumah - 2 * (crop_t + crop_b)
