@@ -40,6 +40,8 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
     cols_b: dict = {}  # poc -> ColMotionB (two-list TMVP for B slices)
     pending = None  # last decoded picture awaiting its suffix SEI
     prev_tid0 = (0, 0)  # (poc_msb, poc_lsb) of the last temporal-id-0 pic
+    part_fs = None  # multi-segment picture: shared FrameSyntax + count
+    part_done = 0
     for nal in nals:
         nal_type = (nal[0] >> 1) & 0x3F
         temporal_id = (nal[1] & 7) - 1
@@ -144,6 +146,17 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                     check_ldc=check_ldc, mvd_l1_zero=hdr.mvd_l1_zero,
                     slice_qp=hdr.qp)
             else:
+                # slice segment's CTU span in coding order (tile scan
+                # with tiles); the segment ends at end_of_slice_segment
+                nctu = sps.num_ctus
+                if pps.tiles_enabled:
+                    from .tiles import tile_layout
+
+                    ts_order, _, _ = tile_layout(sps, pps)
+                else:
+                    ts_order = list(range(nctu))
+                addr = 0 if hdr.first_slice else hdr.segment_address
+                span = ts_order[ts_order.index(addr):]
                 fs = decode_slice_data(dec, sps, pps, sps.coded_width,
                                        sps.coded_height, hdr.slice_type,
                                        max_merge, sao_luma=hdr.sao_luma,
@@ -155,7 +168,23 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                                        col_from_l0=hdr.collocated_from_l0,
                                        check_ldc=check_ldc,
                                        mvd_l1_zero=hdr.mvd_l1_zero,
-                                       slice_qp=hdr.qp)
+                                       slice_qp=hdr.qp,
+                                       fs=(None if hdr.first_slice
+                                           else part_fs),
+                                       ctu_addrs=span)
+                if hdr.first_slice:
+                    part_fs, part_done = fs, 0
+                part_done += getattr(fs, "consumed_ctus", nctu)
+                if part_done < nctu:
+                    continue  # more slice segments of this picture follow
+                part_fs, part_done = None, 0
+                if pps.tiles_enabled:
+                    # recon availability gated at tile boundaries
+                    from .tiles import block_order_for
+
+                    fs.tile_order8 = block_order_for(sps, pps)
+                    fs.tile_order4 = block_order_for(sps, pps,
+                                                     cell_log2=2)
             if hdr.slice_type != I_SLICE:
                 from .mv import ColMotion
                 from .mv_b import ColMotionB

@@ -259,12 +259,43 @@ class Encoder:
             subs = encode_slice_data_wpp(
                 fs, sps, pps, init_row, fqp, stype, max_merge,
                 num_ref=n_ref_slice, ref_deltas=l0d,
-                num_ref_l1=n_ref_l1, l1_deltas=l1d)
+                num_ref_l1=n_ref_l1, l1_deltas=l1d, slice_qp=fqp)
             hdr.entry_points = [len(s) for s in subs[:-1]]
             w = headers.write_slice_header(
                 hdr, sps, pps, num_sps_rps=len(getattr(self, "_sps_rps", [])))
             for s in subs:
                 w.write_bytes(s)
+        elif pps.tiles_enabled:
+            # one independent slice segment per tile (TEncSlice.cpp:650
+            # boundary semantics): fresh CABAC engine + slice header per
+            # tile, segment_address = first CTU of the tile in raster scan
+            from .tiles import block_order_for, tile_layout
+
+            _, _, spans = tile_layout(sps, pps)
+            cell_order = block_order_for(sps, pps)
+            n_sps_rps = len(getattr(self, "_sps_rps", []))
+            for ti, span in enumerate(spans):
+                hdr_t = dataclasses.replace(
+                    hdr, first_slice=(ti == 0), segment_address=span[0])
+                w = headers.write_slice_header(hdr_t, sps, pps,
+                                               num_sps_rps=n_sps_rps)
+                ctx = ContextSet(init_row, fqp)
+                cab = CabacEncoder(ctx)
+                encode_slice_data(cab, fs, sps, pps, stype, max_merge,
+                                  num_ref=n_ref_slice, ref_deltas=l0d,
+                                  num_ref_l1=n_ref_l1, l1_deltas=l1d,
+                                  slice_qp=fqp, ctu_addrs=span,
+                                  cell_order=cell_order)
+                cab.finish()
+                w.write_bytes(bytes(cab.out))
+                val, nbits = cab.pending_bits
+                w.write(val, nbits)
+                w.rbsp_trailing_bits()
+                self._emit(bitio.make_nal(hdr.nal_type, w.getvalue()),
+                           first_of_au=(ti == 0))
+            bits = sum((len(self.nals[-1 - i]) + 4) * 8
+                       for i in range(len(spans)))
+            w = None
         else:
             w = headers.write_slice_header(
                 hdr, sps, pps, num_sps_rps=len(getattr(self, "_sps_rps", [])))
@@ -289,8 +320,10 @@ class Encoder:
                 val, nbits = cab.pending_bits
                 w.write(val, nbits)
                 w.rbsp_trailing_bits()
-        self._emit(bitio.make_nal(hdr.nal_type, w.getvalue()), first_of_au=True)
-        bits = (len(self.nals[-1]) + 4) * 8
+        if w is not None:
+            self._emit(bitio.make_nal(hdr.nal_type, w.getvalue()),
+                       first_of_au=True)
+            bits = (len(self.nals[-1]) + 4) * 8
 
         # decoded-picture-hash SEI (suffix) + per-frame stats
         if stats is not None:  # device-computed (checksum hash + SSE)

@@ -157,7 +157,14 @@ def assemble_frame_b(cfg, blocks, l0_pocs, l1_pocs, cur_poc):
     rec_y = np.zeros((h, w), np.int32)
     rec_u = np.zeros((h // 2, w // 2), np.int32)
     rec_v = np.zeros((h // 2, w // 2), np.int32)
-    order = BlockOrder(w, h, sps.log2_ctu)
+    if cfg.pps.tiles_enabled:
+        from .tiles import block_order_for
+
+        order = block_order_for(sps, cfg.pps)
+        fs.tile_order8 = order
+        fs.tile_order4 = block_order_for(sps, cfg.pps, cell_log2=2)
+    else:
+        order = BlockOrder(w, h, sps.log2_ctu)
     field = MvFieldB(w // 8, h // 8)
     # relative pocs for the shared derivation (walk == decoder)
     l0_rel = [p - cur_poc for p in l0_pocs]

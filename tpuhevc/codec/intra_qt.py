@@ -330,7 +330,8 @@ def _code_tb(plane, coeff_pl, orig_pl, x0, y0, size, mode, order, qp,
 
 def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
     bd = sps.bit_depth
-    order = BlockOrder(fs.width, fs.height, sps.log2_ctu)
+    order = (getattr(fs, "tile_order8", None)
+             or BlockOrder(fs.width, fs.height, sps.log2_ctu))
     qpc = chroma_qp(qp)
     y, u, v = planes
     oy, ou, ov = origs if origs else (None, None, None)
@@ -365,6 +366,11 @@ def encode_frame_intra_qt(orig_y, orig_u, orig_v, cfg: EncoderConfig):
     cu_log2, lm8, cm8 = decide_intra_qt(oy, ou, ov, cfg, qp)
 
     fs = FrameSyntax(w, h)
+    if cfg.pps.tiles_enabled:
+        from .tiles import block_order_for
+
+        fs.tile_order8 = block_order_for(sps, cfg.pps)
+        fs.tile_order4 = block_order_for(sps, cfg.pps, cell_log2=2)
     fs.cu_log2 = cu_log2.astype(np.int8)
     fs.luma_mode = lm8.astype(np.int8)
     fs.chroma_mode = cm8.astype(np.int8)

@@ -110,6 +110,10 @@ class PicParams:
     tc_offset_div2: int = 0
     log2_parallel_merge_level: int = 2  # minus2 coded
     entropy_coding_sync: bool = False   # WPP: per-CTU-row substreams
+    tiles_enabled: bool = False         # uniform-spacing tile grid
+    num_tile_columns: int = 1
+    num_tile_rows: int = 1
+    loop_filter_across_tiles: bool = True
 
 
 @dataclass

@@ -53,7 +53,8 @@ def reconstruct_frame(fs, sps: SeqParams, qp: int) -> tuple[np.ndarray, np.ndarr
     y = np.zeros((h, w), dtype=np.int32)
     u = np.zeros((h // 2, w // 2), dtype=np.int32)
     v = np.zeros((h // 2, w // 2), dtype=np.int32)
-    order = BlockOrder(w, h, sps.log2_ctu)
+    order = (getattr(fs, "tile_order8", None)
+             or BlockOrder(w, h, sps.log2_ctu))
     qpc = chroma_qp(qp)
     sc_chroma = _chroma_mode_resolver(fs)
     for x8, y8 in _decode_order_cells(w // 8, h // 8, order):
@@ -101,7 +102,13 @@ def encode_frame_intra(orig_y, orig_u, orig_v, cfg: EncoderConfig):
     rec_y = np.zeros((h, w), dtype=np.int32)
     rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
     rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
-    order = BlockOrder(w, h, sps.log2_ctu)
+    if cfg.pps.tiles_enabled:
+        from .tiles import block_order_for
+
+        order = block_order_for(sps, cfg.pps)
+        fs.tile_order8 = order
+    else:
+        order = BlockOrder(w, h, sps.log2_ctu)
     qpc = chroma_qp(qp)
     # integer fixed-point mode cost (8.8) so the JAX path matches bit-exactly
     sqlam_fp = int(round(np.sqrt(qp_to_lambda(qp, cfg.lambda_qp_factor)) * 256))
@@ -193,7 +200,8 @@ def reconstruct_intra_cus_inter_frame(fs, sps, qp: int, planes) -> None:
     (what the encoder's intra-in-inter fallback emits)."""
     w, h = fs.width, fs.height
     bd = sps.bit_depth
-    order = BlockOrder(w, h, sps.log2_ctu)
+    order = (getattr(fs, "tile_order8", None)
+             or BlockOrder(w, h, sps.log2_ctu))
     qpc = chroma_qp(qp)
     y, u, v = planes
     resolve = _chroma_mode_resolver(fs)

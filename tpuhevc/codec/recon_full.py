@@ -49,8 +49,10 @@ def reconstruct_frame_full(fs, sps, qp: int):
     y = np.zeros((h, w), np.int32)
     u = np.zeros((h // 2, w // 2), np.int32)
     v = np.zeros((h // 2, w // 2), np.int32)
-    order4 = BlockOrder(w, h, sps.log2_ctu, cell_log2=2)
-    order8 = BlockOrder(w, h, sps.log2_ctu)  # chroma 4-sample cells
+    order4 = (getattr(fs, "tile_order4", None)
+              or BlockOrder(w, h, sps.log2_ctu, cell_log2=2))
+    order8 = (getattr(fs, "tile_order8", None)
+              or BlockOrder(w, h, sps.log2_ctu))  # chroma 4-sample cells
     qpc = chroma_qp(qp)
 
     from .intra_qt import _cu_roots
@@ -239,7 +241,8 @@ def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon, l1_recon=None,
         plane[y0 : y0 + size, x0 : x0 + size] = np.clip(
             plane[y0 : y0 + size, x0 : x0 + size] + r_, 0, (1 << bd) - 1)
 
-    order8 = BlockOrder(w, h, sps.log2_ctu)
+    order8 = (getattr(fs, "tile_order8", None)
+              or BlockOrder(w, h, sps.log2_ctu))
     from .intra_qt import _cu_roots
 
     def walk_tu_p(x0, y0, log2):
@@ -276,7 +279,8 @@ def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon, l1_recon=None,
     # intra CUs last, in decode order (their refs precede in decode
     # order, and inter recon does not depend on intra neighbors)
     if intra_roots:
-        order4 = BlockOrder(w, h, sps.log2_ctu, cell_log2=2)
+        order4 = (getattr(fs, "tile_order4", None)
+                  or BlockOrder(w, h, sps.log2_ctu, cell_log2=2))
         resolve = _chroma_resolver(fs)
 
         def luma_tb(x0, y0, log2):

@@ -25,7 +25,11 @@ class BlockOrder:
     general decoder's PU/TU granularity)."""
 
     def __init__(self, width: int, height: int, log2_ctu: int = 6,
-                 cell_log2: int = 3):
+                 cell_log2: int = 3, ctu_rank=None, slice_min=None):
+        """ctu_rank: per-raster-CTU coding-order rank (tile scan); default
+        raster order. slice_min: per-cell first-rank of the cell's slice
+        segment — availability additionally requires the neighbor's rank
+        to reach the CURRENT cell's slice start (tiles / multi-slice)."""
         c = cell_log2
         self.w8 = width >> c
         self.h8 = height >> c
@@ -39,16 +43,24 @@ class BlockOrder:
                 ctu = (y8 // self.cells_per_ctu_side) * self.wctu + (
                     x8 // self.cells_per_ctu_side
                 )
+                if ctu_rank is not None:
+                    ctu = int(ctu_rank[ctu])
                 z = morton(x8 % self.cells_per_ctu_side,
                            y8 % self.cells_per_ctu_side,
                            log2_ctu - c)
                 order[y8, x8] = ctu * per_ctu + z
         self.order = order
+        self.slice_min = slice_min  # (h8, w8) int64 ranks, or None
 
     def precedes(self, x8: int, y8: int, cur_x8: int, cur_y8: int) -> bool:
         if x8 < 0 or y8 < 0 or x8 >= self.w8 or y8 >= self.h8:
             return False
-        return bool(self.order[y8, x8] < self.order[cur_y8, cur_x8])
+        if self.order[y8, x8] >= self.order[cur_y8, cur_x8]:
+            return False
+        if self.slice_min is not None and (
+                self.order[y8, x8] < self.slice_min[cur_y8, cur_x8]):
+            return False
+        return True
 
 
 def gather_refs(plane: np.ndarray, x0: int, y0: int, size: int,

@@ -171,6 +171,19 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
             cfg.rdoq = _b(v)
         elif k == "WaveFrontSynchro":
             cfg.pps.entropy_coding_sync = _b(v)
+        elif k == "Tiles":  # shorthand: enable the uniform grid
+            cfg.pps.tiles_enabled = _b(v)
+        elif k == "NumTileColumnsMinus1":
+            cfg.pps.num_tile_columns = int(v) + 1
+            cfg.pps.tiles_enabled |= int(v) > 0
+        elif k == "NumTileRowsMinus1":
+            cfg.pps.num_tile_rows = int(v) + 1
+            cfg.pps.tiles_enabled |= int(v) > 0
+        elif k == "UniformSpacingIdc":
+            assert _b(v) or not cfg.pps.tiles_enabled, \
+                "only uniform tile spacing supported"
+        elif k == "LFCrossTileBoundaryFlag":
+            cfg.pps.loop_filter_across_tiles = _b(v)
         elif k == "NumRefFrames":  # active L0 refs (HM GOP-table column)
             cfg.num_ref_frames = int(v)
         elif k == "RateControl":

@@ -373,8 +373,14 @@ def write_pps(pps: PicParams) -> bytes:
     w.write_flag(pps.weighted_pred)
     w.write_flag(pps.weighted_bipred)
     w.write_flag(pps.transquant_bypass_enabled)
-    w.write_flag(0)  # tiles_enabled_flag
+    w.write_flag(pps.tiles_enabled)
     w.write_flag(pps.entropy_coding_sync)
+    if pps.tiles_enabled:
+        w.write_ue(pps.num_tile_columns - 1)
+        w.write_ue(pps.num_tile_rows - 1)
+        w.write_flag(1)  # uniform_spacing_flag (only shape we emit)
+        if pps.num_tile_columns + pps.num_tile_rows > 2:
+            w.write_flag(pps.loop_filter_across_tiles)
     w.write_flag(pps.loop_filter_across_slices)
     w.write_flag(pps.deblocking_control_present)
     if pps.deblocking_control_present:
@@ -416,8 +422,14 @@ def parse_pps(data: bytes) -> PicParams:
     pps.weighted_pred = bool(r.read_flag())
     pps.weighted_bipred = bool(r.read_flag())
     pps.transquant_bypass_enabled = bool(r.read_flag())
-    assert r.read_flag() == 0  # tiles
+    pps.tiles_enabled = bool(r.read_flag())
     pps.entropy_coding_sync = bool(r.read_flag())  # WPP
+    if pps.tiles_enabled:
+        pps.num_tile_columns = r.read_ue() + 1
+        pps.num_tile_rows = r.read_ue() + 1
+        assert r.read_flag() == 1, "only uniform tile spacing supported"
+        if pps.num_tile_columns + pps.num_tile_rows > 2:
+            pps.loop_filter_across_tiles = bool(r.read_flag())
     pps.loop_filter_across_slices = bool(r.read_flag())
     pps.deblocking_control_present = bool(r.read_flag())
     pps.deblocking_disabled = False  # spec default when not signaled
@@ -444,6 +456,7 @@ class SliceHeader:
     poc: int = 0
     qp: int = 32
     first_slice: bool = True
+    segment_address: int = 0   # first CTU (raster scan) of the segment
     sao_luma: bool = False
     sao_chroma: bool = False
     temporal_mvp: bool = False
@@ -543,6 +556,10 @@ def write_slice_header(
     if bitio.is_irap(hdr.nal_type):
         w.write_flag(0)  # no_output_of_prior_pics_flag
     w.write_ue(0)        # slice_pic_parameter_set_id
+    if not hdr.first_slice:
+        nctu = sps.pic_width_in_ctus * sps.pic_height_in_ctus
+        nb = max(1, (nctu - 1).bit_length())
+        w.write(hdr.segment_address, nb)  # CTU raster-scan address
     w.write_ue(hdr.slice_type)
     if not bitio.is_idr(hdr.nal_type):
         w.write(hdr.poc & ((1 << sps.log2_max_poc_lsb) - 1), sps.log2_max_poc_lsb)
@@ -603,8 +620,9 @@ def write_slice_header(
         hdr.sao_luma or hdr.sao_chroma or not pps.deblocking_disabled
     ):
         w.write_flag(1)  # slice_loop_filter_across_slices_enabled_flag
-    if pps.entropy_coding_sync:
-        # entry_point_offset per WPP substream after the first
+    if pps.entropy_coding_sync or pps.tiles_enabled:
+        # entry_point_offset per WPP substream after the first (0 with
+        # tiles: one tile per slice segment — §7.3.6.1 codes it anyway)
         offs = hdr.entry_points or []
         w.write_ue(len(offs))
         if offs:
@@ -630,6 +648,10 @@ def parse_slice_header(
     if bitio.is_irap(nal_type):
         r.read_flag()
     r.read_ue()
+    if not hdr.first_slice:
+        nctu = sps.pic_width_in_ctus * sps.pic_height_in_ctus
+        nb = max(1, (nctu - 1).bit_length())
+        hdr.segment_address = r.read(nb)
     hdr.slice_type = r.read_ue()
     if not bitio.is_idr(nal_type):
         hdr.poc = r.read(sps.log2_max_poc_lsb)
@@ -685,7 +707,7 @@ def parse_slice_header(
         hdr.sao_luma or hdr.sao_chroma or not pps.deblocking_disabled
     ):
         r.read_flag()
-    if pps.entropy_coding_sync:
+    if pps.entropy_coding_sync or pps.tiles_enabled:
         n = r.read_ue()
         hdr.entry_points = []
         if n:

@@ -162,6 +162,14 @@ class _SliceCoder:
         self.last_qp = 26
         self.qg_qp = 26      # encoder: intended QP of the current QG
         self.dqp_pending = False
+        # tiles / multi-slice: BlockOrder gating cross-segment
+        # availability for intra-MPM neighbors (None = whole-pic slice)
+        if pps.tiles_enabled:
+            from ..codec.tiles import block_order_for
+
+            self.tile_order = block_order_for(sps, pps)
+        else:
+            self.tile_order = None
         self.ctu = sps.ctu_size
         self.log2_ctu = sps.log2_ctu
         self.w = fs.width
@@ -175,11 +183,18 @@ class _SliceCoder:
             from ..codec.mv_b import MvFieldB
             from ..codec.refsamples import BlockOrder
 
-            self.order = BlockOrder(self.w, self.h, self.log2_ctu)
-            # P-path motion at 4-sample granularity (rect partitions);
-            # equivalent to the old 8-cell field for 2Nx2N-only streams
-            self.order4 = BlockOrder(self.w, self.h, self.log2_ctu,
-                                     cell_log2=2)
+            if pps.tiles_enabled:
+                from ..codec.tiles import block_order_for
+
+                self.order = block_order_for(sps, pps)
+                self.order4 = block_order_for(sps, pps, cell_log2=2)
+            else:
+                self.order = BlockOrder(self.w, self.h, self.log2_ctu)
+                # P-path motion at 4-sample granularity (rect
+                # partitions); equivalent to the old 8-cell field for
+                # 2Nx2N-only streams
+                self.order4 = BlockOrder(self.w, self.h, self.log2_ctu,
+                                         cell_log2=2)
             self.mvfield = MvField(self.w // 8, self.h // 8, cell=4)
             self.mvfield_b = MvFieldB(self.w // 8, self.h // 8, cell=4)
 
@@ -196,9 +211,13 @@ class _SliceCoder:
 
     def neighbor_mode(self, x0: int, y0: int, left: bool) -> int:
         """candIntraPredModeA/B with availability rules (§8.4.2), at PU
-        (4-sample) granularity so NxN partitions resolve correctly."""
+        (4-sample) granularity so NxN partitions resolve correctly. With
+        tiles (tile_order set) a neighbor in another tile/slice segment
+        is unavailable (same-cell neighbors — NxN PUs — stay valid)."""
         if left:
             if x0 == 0:
+                return DC_MODE
+            if not self._cell_avail(x0 - 1, y0, x0, y0):
                 return DC_MODE
             return int(self.fs.luma_mode4[y0 // 4, (x0 - 1) // 4])
         if y0 == 0:
@@ -206,7 +225,17 @@ class _SliceCoder:
         # above outside this CTU row -> DC
         if (y0 - 1) < ((y0 >> self.log2_ctu) << self.log2_ctu):
             return DC_MODE
+        if not self._cell_avail(x0, y0 - 1, x0, y0):
+            return DC_MODE
         return int(self.fs.luma_mode4[(y0 - 1) // 4, x0 // 4])
+
+    def _cell_avail(self, nx: int, ny: int, cx: int, cy: int) -> bool:
+        if self.tile_order is None:
+            return True
+        n8, c8 = (nx // 8, ny // 8), (cx // 8, cy // 8)
+        if n8 == c8:
+            return True  # same cell: earlier PU of the same CU
+        return self.tile_order.precedes(n8[0], n8[1], c8[0], c8[1])
 
     def mark_cu(self, x0: int, y0: int, log2: int, mode: int, cmode: int):
         s = 1 << (log2 - 3)
@@ -238,9 +267,16 @@ def encode_slice_data(enc: CabacEncoder, fs: FrameSyntax, sps: SeqParams,
                       pps: PicParams, slice_type: int = I_SLICE,
                       max_merge: int = 5, num_ref: int = 1,
                       ref_deltas=None, num_ref_l1: int = 0,
-                      l1_deltas=None, slice_qp: int = 26) -> None:
+                      l1_deltas=None, slice_qp: int = 26,
+                      ctu_addrs=None, cell_order=None) -> None:
+    """ctu_addrs: raster CTU addresses of ONE slice segment in coding
+    order (tiles / multi-slice; default = the whole picture in raster
+    order). cell_order: tiles.block_order_for BlockOrder gating
+    cross-segment intra-MPM availability."""
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
                      ref_deltas)
+    if cell_order is not None:
+        sc.tile_order = cell_order
     if num_ref_l1:
         sc.num_ref_l1 = num_ref_l1
         sc.l1_pocs = [-d for d in l1_deltas]
@@ -248,19 +284,21 @@ def encode_slice_data(enc: CabacEncoder, fs: FrameSyntax, sps: SeqParams,
     if use_dqp:
         assert pps.diff_cu_qp_delta_depth == 0, "QG = CTU only"
         sc.slice_qp = sc.last_qp = slice_qp
-    for cy in range(sc.hctu):
-        for cx in range(sc.wctu):
-            if use_dqp:
-                sc.dqp_pending = True
-                sc.qg_qp = (int(fs.qp_ctu[cy, cx])
-                            if getattr(fs, "qp_ctu", None) is not None
-                            else slice_qp)
-            if fs.sao is not None:
-                _enc_sao_ctu(enc, fs.sao, cx, cy)
-            _enc_quadtree(enc, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
-                          sc.log2_ctu, 0)
-            last = (cy == sc.hctu - 1) and (cx == sc.wctu - 1)
-            enc.encode_bin_trm(1 if last else 0)
+    if ctu_addrs is None:
+        ctu_addrs = range(sc.hctu * sc.wctu)
+    ctu_addrs = list(ctu_addrs)
+    for k, rs in enumerate(ctu_addrs):
+        cy, cx = divmod(rs, sc.wctu)
+        if use_dqp:
+            sc.dqp_pending = True
+            sc.qg_qp = (int(fs.qp_ctu[cy, cx])
+                        if getattr(fs, "qp_ctu", None) is not None
+                        else slice_qp)
+        if fs.sao is not None:
+            _enc_sao_ctu(enc, fs.sao, cx, cy)
+        _enc_quadtree(enc, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
+                      sc.log2_ctu, 0)
+        enc.encode_bin_trm(1 if k == len(ctu_addrs) - 1 else 0)
 
 
 # --- SAO syntax (§7.3.8.3 sao(); TEncSbac codeSAOBlkParam order) ----------
@@ -525,10 +563,18 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
                       l1_deltas=None, col=None, col_b=None,
                       col_from_l0: bool = True, check_ldc: bool = False,
                       mvd_l1_zero: bool = False,
-                      cur_poc: int = 0, slice_qp: int = 26) -> FrameSyntax:
-    fs = FrameSyntax(width, height)
+                      cur_poc: int = 0, slice_qp: int = 26,
+                      fs: FrameSyntax = None, ctu_addrs=None,
+                      cell_order=None) -> FrameSyntax:
+    """fs/ctu_addrs/cell_order: multi-segment pictures decode each
+    slice NAL into the shared picture FrameSyntax over its own CTU
+    span (tiles: one segment per tile, coding order inside)."""
+    if fs is None:
+        fs = FrameSyntax(width, height)
     sc = _SliceCoder(fs, sps, pps, slice_type, max_merge, num_ref,
                      ref_deltas)
+    if cell_order is not None:
+        sc.tile_order = cell_order
     sc.col = col
     sc.col_b = col_b
     sc.col_from_l0 = col_from_l0
@@ -538,7 +584,7 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
     if num_ref_l1:
         sc.num_ref_l1 = num_ref_l1
         sc.l1_pocs = [-d for d in l1_deltas]
-    if sao_luma or sao_chroma:
+    if (sao_luma or sao_chroma) and fs.sao is None:
         from ..codec.sao_enc import SaoPicParams
 
         fs.sao = SaoPicParams(sc.hctu, sc.wctu, luma_on=sao_luma,
@@ -547,21 +593,28 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
     if use_dqp:
         assert pps.diff_cu_qp_delta_depth == 0, "QG = CTU only"
         sc.slice_qp = sc.last_qp = slice_qp
-        fs.qp_ctu = np.full((sc.hctu, sc.wctu), slice_qp, np.int32)
-    for cy in range(sc.hctu):
-        for cx in range(sc.wctu):
-            if use_dqp:
-                sc.dqp_pending = True
-            if fs.sao is not None:
-                _dec_sao_ctu(dec, fs.sao, cx, cy)
-            _dec_quadtree(dec, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
-                          sc.log2_ctu, 0)
-            if use_dqp:
-                # QG QpY: predicted (= qPY_PREV) when no delta was coded
-                fs.qp_ctu[cy, cx] = sc.last_qp
-            end = dec.decode_bin_trm()
-            last = (cy == sc.hctu - 1) and (cx == sc.wctu - 1)
-            assert end == (1 if last else 0), "end_of_slice mismatch"
+        if getattr(fs, "qp_ctu", None) is None:
+            fs.qp_ctu = np.full((sc.hctu, sc.wctu), slice_qp, np.int32)
+    if ctu_addrs is None:
+        ctu_addrs = range(sc.hctu * sc.wctu)
+    ctu_addrs = list(ctu_addrs)
+    for k, rs in enumerate(ctu_addrs):
+        cy, cx = divmod(rs, sc.wctu)
+        if use_dqp:
+            sc.dqp_pending = True
+        if fs.sao is not None:
+            _dec_sao_ctu(dec, fs.sao, cx, cy)
+        _dec_quadtree(dec, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
+                      sc.log2_ctu, 0)
+        if use_dqp:
+            # QG QpY: predicted (= qPY_PREV) when no delta was coded
+            fs.qp_ctu[cy, cx] = sc.last_qp
+        end = dec.decode_bin_trm()
+        if end:  # end_of_slice_segment_flag terminates the segment
+            fs.consumed_ctus = k + 1
+            return fs
+        assert k != len(ctu_addrs) - 1, "missing end_of_slice flag"
+    fs.consumed_ctus = len(ctu_addrs)
     return fs
 
 
@@ -1645,7 +1698,7 @@ def encode_slice_data_wpp(fs: FrameSyntax, sps: SeqParams, pps: PicParams,
                           init_row: int, qp: int, slice_type: int = I_SLICE,
                           max_merge: int = 5, num_ref: int = 1,
                           ref_deltas=None, num_ref_l1: int = 0,
-                          l1_deltas=None) -> list[bytes]:
+                          l1_deltas=None, slice_qp: int = 26) -> list[bytes]:
     """Wavefront slice data: one CABAC substream per CTU row, contexts
     inherited from the snapshot taken after the second CTU of the row
     above (§9.3.1 sync process; TEncSlice substream loop /
@@ -1659,6 +1712,10 @@ def encode_slice_data_wpp(fs: FrameSyntax, sps: SeqParams, pps: PicParams,
     if num_ref_l1:
         sc.num_ref_l1 = num_ref_l1
         sc.l1_pocs = [-d for d in l1_deltas]
+    use_dqp = pps.cu_qp_delta_enabled
+    if use_dqp:
+        assert pps.diff_cu_qp_delta_depth == 0, "QG = CTU only"
+        sc.slice_qp = slice_qp
     subs = []
     saved = None
     sync_x = min(1, sc.wctu - 1)
@@ -1666,8 +1723,15 @@ def encode_slice_data_wpp(fs: FrameSyntax, sps: SeqParams, pps: PicParams,
         ctx = ContextSet(init_row, qp)
         if cy > 0 and saved is not None:
             ctx.restore(saved)
+        if use_dqp:
+            sc.last_qp = slice_qp  # qPY_PREV resets per CTB row (§8.6.1)
         cab = CabacEncoder(ctx)
         for cx in range(sc.wctu):
+            if use_dqp:
+                sc.dqp_pending = True
+                sc.qg_qp = (int(fs.qp_ctu[cy, cx])
+                            if getattr(fs, "qp_ctu", None) is not None
+                            else slice_qp)
             if fs.sao is not None:
                 _enc_sao_ctu(cab, fs.sao, cx, cy)
             _enc_quadtree(cab, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
@@ -1697,7 +1761,8 @@ def decode_slice_data_wpp(payload: bytes, entry_points: list[int],
                           num_ref_l1: int = 0, l1_deltas=None,
                           col=None, col_b=None, col_from_l0: bool = True,
                           check_ldc: bool = False,
-                          mvd_l1_zero: bool = False) -> FrameSyntax:
+                          mvd_l1_zero: bool = False,
+                          slice_qp: int = 26) -> FrameSyntax:
     from .cabac import CabacDecoder, ContextSet
 
     fs = FrameSyntax(width, height)
@@ -1711,11 +1776,16 @@ def decode_slice_data_wpp(payload: bytes, entry_points: list[int],
     if num_ref_l1:
         sc.num_ref_l1 = num_ref_l1
         sc.l1_pocs = [-d for d in l1_deltas]
-    if sao_luma or sao_chroma:
+    if (sao_luma or sao_chroma) and fs.sao is None:
         from ..codec.sao_enc import SaoPicParams
 
         fs.sao = SaoPicParams(sc.hctu, sc.wctu, luma_on=sao_luma,
                               chroma_on=sao_chroma)
+    use_dqp = pps.cu_qp_delta_enabled
+    if use_dqp:
+        assert pps.diff_cu_qp_delta_depth == 0, "QG = CTU only"
+        sc.slice_qp = sc.last_qp = slice_qp
+        fs.qp_ctu = np.full((sc.hctu, sc.wctu), slice_qp, np.int32)
     # split substreams by entry points
     offs = [0]
     for e in entry_points:
@@ -1725,15 +1795,21 @@ def decode_slice_data_wpp(payload: bytes, entry_points: list[int],
     sync_x = min(1, sc.wctu - 1)
     for cy in range(sc.hctu):
         sub = payload[offs[cy] : offs[cy + 1]]
+        if use_dqp:
+            sc.last_qp = slice_qp  # qPY_PREV resets per CTB row (§8.6.1)
         ctx = ContextSet(init_row, qp)
         if cy > 0 and saved is not None:
             ctx.restore(saved)
         dec = CabacDecoder(sub, ctx)
         for cx in range(sc.wctu):
+            if use_dqp:
+                sc.dqp_pending = True
             if fs.sao is not None:
                 _dec_sao_ctu(dec, fs.sao, cx, cy)
             _dec_quadtree(dec, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
                           sc.log2_ctu, 0)
+            if use_dqp:
+                fs.qp_ctu[cy, cx] = sc.last_qp
             if cx == sync_x:
                 saved = ctx.snapshot()
             dec.decode_bin_trm()
