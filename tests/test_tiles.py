@@ -116,6 +116,37 @@ def test_tiles_ldp(tmp_path):
     _roundtrip(cfg, 3, tmp_path, "tiles_ldp")
 
 
+def test_slices_all_intra(tmp_path):
+    # 192x128 = 3x2 CTUs, 2 CTUs per slice -> 3 slice segments/picture
+    cfg = EncoderConfig(sps=SeqParams(width=192, height=128,
+                                      max_tu_depth_intra=0),
+                        qp=32, intra_period=1, slice_ctus=2)
+    enc = _roundtrip(cfg, 2, tmp_path, "slices_ai")
+    vcl = sum(1 for n in enc.nals if ((n[0] >> 1) & 0x3F) < 32)
+    assert vcl == 2 * 3
+
+
+def test_slices_ldp(tmp_path):
+    cfg = EncoderConfig(sps=SeqParams(width=192, height=128,
+                                      max_tu_depth_intra=0),
+                        qp=32, intra_period=-1, slice_ctus=4)
+    _roundtrip(cfg, 3, tmp_path, "slices_ldp")
+
+
+def test_segment_spans_slices():
+    from tpuhevc.codec.tiles import segment_spans
+
+    class _S:
+        pic_width_in_ctus = 3
+        pic_height_in_ctus = 2
+
+    class _P:
+        tiles_enabled = False
+
+    spans = segment_spans(_S, _P, 4)
+    assert spans == [[0, 1, 2, 3], [4, 5]]
+
+
 def test_tiles_pps_roundtrip():
     from tpuhevc.entropy.headers import parse_pps, write_pps
 

@@ -42,6 +42,7 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
     prev_tid0 = (0, 0)  # (poc_msb, poc_lsb) of the last temporal-id-0 pic
     part_fs = None  # multi-segment picture: shared FrameSyntax + count
     part_done = 0
+    part_starts: list = []  # coding-order start rank of each segment
     for nal in nals:
         nal_type = (nal[0] >> 1) & 0x3F
         temporal_id = (nal[1] & 7) - 1
@@ -156,7 +157,24 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                 else:
                     ts_order = list(range(nctu))
                 addr = 0 if hdr.first_slice else hdr.segment_address
-                span = ts_order[ts_order.index(addr):]
+                start_rank = ts_order.index(addr)
+                span = ts_order[start_rank:]
+                cell_order = None
+                if start_rank and not pps.tiles_enabled:
+                    # multi-slice picture: gate intra-MPM availability at
+                    # the segment boundary (tiles: _SliceCoder derives
+                    # the gating from the PPS itself)
+                    from .refsamples import BlockOrder
+
+                    c8 = sps.log2_ctu - 3
+                    per_ctu = (1 << c8) ** 2
+                    smin = np.full((sps.coded_height >> 3,
+                                    sps.coded_width >> 3),
+                                   start_rank * per_ctu, np.int64)
+                    cell_order = BlockOrder(sps.coded_width,
+                                            sps.coded_height,
+                                            sps.log2_ctu, 3,
+                                            slice_min=smin)
                 fs = decode_slice_data(dec, sps, pps, sps.coded_width,
                                        sps.coded_height, hdr.slice_type,
                                        max_merge, sao_luma=hdr.sao_luma,
@@ -171,13 +189,14 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                                        slice_qp=hdr.qp,
                                        fs=(None if hdr.first_slice
                                            else part_fs),
-                                       ctu_addrs=span)
+                                       ctu_addrs=span,
+                                       cell_order=cell_order)
                 if hdr.first_slice:
-                    part_fs, part_done = fs, 0
+                    part_fs, part_done, part_starts = fs, 0, []
+                part_starts.append(start_rank)
                 part_done += getattr(fs, "consumed_ctus", nctu)
                 if part_done < nctu:
                     continue  # more slice segments of this picture follow
-                part_fs, part_done = None, 0
                 if pps.tiles_enabled:
                     # recon availability gated at tile boundaries
                     from .tiles import block_order_for
@@ -185,6 +204,18 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                     fs.tile_order8 = block_order_for(sps, pps)
                     fs.tile_order4 = block_order_for(sps, pps,
                                                      cell_log2=2)
+                elif len(part_starts) > 1:
+                    # multi-slice: recon availability gated at the
+                    # observed slice-segment boundaries
+                    from .tiles import spans_block_order
+
+                    bounds = part_starts + [nctu]
+                    spans = [list(range(bounds[i], bounds[i + 1]))
+                             for i in range(len(part_starts))]
+                    fs.tile_order8 = spans_block_order(sps, spans)
+                    fs.tile_order4 = spans_block_order(sps, spans,
+                                                       cell_log2=2)
+                part_fs, part_done, part_starts = None, 0, []
             if hdr.slice_type != I_SLICE:
                 from .mv import ColMotion
                 from .mv_b import ColMotionB

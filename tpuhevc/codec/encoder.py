@@ -265,14 +265,15 @@ class Encoder:
                 hdr, sps, pps, num_sps_rps=len(getattr(self, "_sps_rps", [])))
             for s in subs:
                 w.write_bytes(s)
-        elif pps.tiles_enabled:
-            # one independent slice segment per tile (TEncSlice.cpp:650
-            # boundary semantics): fresh CABAC engine + slice header per
-            # tile, segment_address = first CTU of the tile in raster scan
-            from .tiles import block_order_for, tile_layout
+        elif pps.tiles_enabled or cfg.slice_ctus > 0:
+            # one independent slice segment per tile / per fixed CTU
+            # count (TEncSlice.cpp:650 boundary semantics): fresh CABAC
+            # engine + slice header per segment, segment_address = its
+            # first CTU in raster scan
+            from .tiles import segment_spans, spans_block_order
 
-            _, _, spans = tile_layout(sps, pps)
-            cell_order = block_order_for(sps, pps)
+            spans = segment_spans(sps, pps, cfg.slice_ctus)
+            cell_order = spans_block_order(sps, spans)
             n_sps_rps = len(getattr(self, "_sps_rps", []))
             for ti, span in enumerate(spans):
                 hdr_t = dataclasses.replace(

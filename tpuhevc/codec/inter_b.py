@@ -157,12 +157,13 @@ def assemble_frame_b(cfg, blocks, l0_pocs, l1_pocs, cur_poc):
     rec_y = np.zeros((h, w), np.int32)
     rec_u = np.zeros((h // 2, w // 2), np.int32)
     rec_v = np.zeros((h // 2, w // 2), np.int32)
-    if cfg.pps.tiles_enabled:
+    if cfg.pps.tiles_enabled or cfg.slice_ctus > 0:
         from .tiles import block_order_for
 
-        order = block_order_for(sps, cfg.pps)
+        order = block_order_for(sps, cfg.pps, slice_ctus=cfg.slice_ctus)
         fs.tile_order8 = order
-        fs.tile_order4 = block_order_for(sps, cfg.pps, cell_log2=2)
+        fs.tile_order4 = block_order_for(sps, cfg.pps, cell_log2=2,
+                                         slice_ctus=cfg.slice_ctus)
     else:
         order = BlockOrder(w, h, sps.log2_ctu)
     field = MvFieldB(w // 8, h // 8)
@@ -174,8 +175,23 @@ def assemble_frame_b(cfg, blocks, l0_pocs, l1_pocs, cur_poc):
     cells = sorted(range(len(xs)),
                    key=lambda i: order.order[ys[i] // 8, xs[i] // 8])
     mm = cfg.max_num_merge_cand
+    if cfg.pps.tiles_enabled or cfg.slice_ctus > 0:
+        from .tiles import seg_of_ctu, segment_spans
+
+        seg_of = seg_of_ctu(sps, segment_spans(sps, cfg.pps,
+                                               cfg.slice_ctus))
+    else:
+        seg_of = None
+    cur_seg = 0
     for i in cells:
         x0, y0 = int(xs[i]), int(ys[i])
+        if seg_of is not None:
+            t = int(seg_of[(y0 >> sps.log2_ctu)
+                           * sps.pic_width_in_ctus
+                           + (x0 >> sps.log2_ctu)])
+            if t != cur_seg:  # MV candidates never cross segments
+                field = MvFieldB(w // 8, h // 8)
+                cur_seg = t
         d = int(blocks["inter_dir"][i])
         mv0 = tuple(int(v) for v in blocks["mvq0"][i]) if d & 1 else (0, 0)
         mv1 = tuple(int(v) for v in blocks["mvq1"][i]) if d & 2 else (0, 0)

@@ -638,35 +638,36 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict, num_ref: int = 1,
     rec_y = np.zeros((h, w), dtype=np.int32)
     rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
     rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
-    tiled = cfg.pps.tiles_enabled
+    tiled = cfg.pps.tiles_enabled or cfg.slice_ctus > 0
     if tiled:
-        from .tiles import block_order_for, tile_layout
+        from .tiles import segment_spans, seg_of_ctu, spans_block_order
 
-        order = block_order_for(cfg.sps, cfg.pps)
+        spans = segment_spans(cfg.sps, cfg.pps, cfg.slice_ctus)
+        order = spans_block_order(cfg.sps, spans)
         fs.tile_order8 = order
-        fs.tile_order4 = block_order_for(cfg.sps, cfg.pps, cell_log2=2)
-        _, tile_of, _ = tile_layout(cfg.sps, cfg.pps)
+        fs.tile_order4 = spans_block_order(cfg.sps, spans, cell_log2=2)
+        seg_of = seg_of_ctu(cfg.sps, spans)
         wc = sps.pic_width_in_ctus
     else:
         order = BlockOrder(w, h, sps.log2_ctu)
     field = MvField(w // 8, h // 8)
-    cur_tile = 0
+    cur_seg = 0
     if agglomerate:
         per_cu = _merge_static_cus(per_cu, w, h)
 
     # --- decision walk in decode order (merge/skip/AMVP + store); with
-    # tiles the order is tile-scan and the MV field resets at each tile
-    # (one slice segment per tile: candidates never cross) ---------------
+    # tiles/slices the order follows the segment structure and the MV
+    # field resets at each segment (candidates never cross) --------------
     cells = sorted(per_cu.keys(), key=lambda p: order.order[p[1] // 8, p[0] // 8])
     h8w8 = fs.cu_log2
     lam_intra = _full_lambda_fp(cfg)
     for x0, y0 in cells:
         if tiled:
-            t = int(tile_of[(y0 >> sps.log2_ctu) * wc
-                            + (x0 >> sps.log2_ctu)])
-            if t != cur_tile:
+            t = int(seg_of[(y0 >> sps.log2_ctu) * wc
+                           + (x0 >> sps.log2_ctu)])
+            if t != cur_seg:
                 field = MvField(w // 8, h // 8)
-                cur_tile = t
+                cur_seg = t
         cu = per_cu[(x0, y0)]
         size = cu["size"]
         log2 = size.bit_length() - 1

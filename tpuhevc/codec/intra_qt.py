@@ -366,11 +366,13 @@ def encode_frame_intra_qt(orig_y, orig_u, orig_v, cfg: EncoderConfig):
     cu_log2, lm8, cm8 = decide_intra_qt(oy, ou, ov, cfg, qp)
 
     fs = FrameSyntax(w, h)
-    if cfg.pps.tiles_enabled:
+    if cfg.pps.tiles_enabled or cfg.slice_ctus > 0:
         from .tiles import block_order_for
 
-        fs.tile_order8 = block_order_for(sps, cfg.pps)
-        fs.tile_order4 = block_order_for(sps, cfg.pps, cell_log2=2)
+        fs.tile_order8 = block_order_for(sps, cfg.pps,
+                                         slice_ctus=cfg.slice_ctus)
+        fs.tile_order4 = block_order_for(sps, cfg.pps, cell_log2=2,
+                                         slice_ctus=cfg.slice_ctus)
     fs.cu_log2 = cu_log2.astype(np.int8)
     fs.luma_mode = lm8.astype(np.int8)
     fs.chroma_mode = cm8.astype(np.int8)

@@ -146,6 +146,8 @@ class EncoderConfig:
                                  # pipelines quantize with (set by RC)
     intra_in_inter: bool = False # intra 8x8 fallback CUs in P frames
     intra_qt: bool = True        # quadtree intra CUs 8/16/32 (vs fixed 8x8)
+    slice_ctus: int = 0          # >0: fixed-CTU-count slices (HM SliceMode
+                                 # 1 / SliceArgument); 0 = one slice/pic
     rdoq: bool = False           # RD-optimized quantization (host paths)
 
     inter_backend: str = "np"    # "jax" = device compute stage for P frames

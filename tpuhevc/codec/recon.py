@@ -102,10 +102,10 @@ def encode_frame_intra(orig_y, orig_u, orig_v, cfg: EncoderConfig):
     rec_y = np.zeros((h, w), dtype=np.int32)
     rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
     rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
-    if cfg.pps.tiles_enabled:
+    if cfg.pps.tiles_enabled or cfg.slice_ctus > 0:
         from .tiles import block_order_for
 
-        order = block_order_for(sps, cfg.pps)
+        order = block_order_for(sps, cfg.pps, slice_ctus=cfg.slice_ctus)
         fs.tile_order8 = order
     else:
         order = BlockOrder(w, h, sps.log2_ctu)

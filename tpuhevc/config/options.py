@@ -129,6 +129,7 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
     sps = cfg.sps
     gop: list[GopEntry] = []
     unknown = {}
+    slice_mode = 0
     for k, v in opts.items():
         if k == "SourceWidth":
             sps.width = int(v)
@@ -184,6 +185,14 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
                 "only uniform tile spacing supported"
         elif k == "LFCrossTileBoundaryFlag":
             cfg.pps.loop_filter_across_tiles = _b(v)
+        elif k == "SliceMode":
+            assert int(v) in (0, 1), "only SliceMode 0/1 (CTU count)"
+            slice_mode = int(v)
+            if slice_mode == 0:
+                cfg.slice_ctus = 0
+        elif k == "SliceArgument":
+            if slice_mode == 1:
+                cfg.slice_ctus = int(v)
         elif k == "NumRefFrames":  # active L0 refs (HM GOP-table column)
             cfg.num_ref_frames = int(v)
         elif k == "RateControl":
