@@ -363,7 +363,12 @@ def encode_frame_intra_qt(orig_y, orig_u, orig_v, cfg: EncoderConfig):
     oy = _pad_to(orig_y, h, w)
     ou = _pad_to(orig_u, h // 2, w // 2)
     ov = _pad_to(orig_v, h // 2, w // 2)
-    cu_log2, lm8, cm8 = decide_intra_qt(oy, ou, ov, cfg, qp)
+    if cfg.inter_backend == "jax":
+        from .intra_decide_jax import decide_intra_qt_jax
+
+        cu_log2, lm8, cm8 = decide_intra_qt_jax(oy, ou, ov, cfg, qp)
+    else:
+        cu_log2, lm8, cm8 = decide_intra_qt(oy, ou, ov, cfg, qp)
 
     fs = FrameSyntax(w, h)
     if cfg.pps.tiles_enabled or cfg.slice_ctus > 0:

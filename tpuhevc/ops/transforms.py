@@ -159,6 +159,52 @@ def ideal_levels_np(coeff: np.ndarray, qp: int, log2_size: int,
     return coeff.astype(np.float64) * int(QUANT_SCALES[rem]) / (1 << qbits)
 
 
+def rdoq_xp(xp, coeff, qp: int, log2_size: int, bit_depth: int = 8,
+            lam_fp256: int = 256, is_intra_slice: bool = False):
+    """rdoq_np generalized over the array module (np or jnp) — the
+    decision-pass quantizer usable inside jit. float32 on device (the
+    magnitudes fit comfortably; decision-only, never coded)."""
+    f = xp.float32 if xp is not np else np.float64
+    qpe = qp + 6 * (bit_depth - 8)
+    per, rem = qpe // 6, qpe % 6
+    tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = 14 + per + tshift
+    scale = float(QUANT_SCALES[rem])
+    lam = 1.5 * lam_fp256 / 256.0
+    c = coeff.astype(f)
+    ac = xp.abs(c) * scale
+    lmax = xp.ceil(ac / (1 << qbits))
+    err_den = scale * (1 << tshift)
+
+    def cost(l):
+        d = (ac - l * float(1 << qbits)) / err_den
+        bits = xp.where(l > 0, 2 * xp.floor(xp.log2(xp.maximum(l, 1)))
+                        + 3 + 1, 0.0)
+        return d * d + lam * bits
+
+    l1 = xp.maximum(lmax, 0)
+    l2 = xp.maximum(lmax - 1, 0)
+    best = xp.where(cost(l1) <= cost(l2), l1, l2)
+    best = xp.where(cost(best) <= cost(xp.zeros_like(best)), best, 0)
+
+    # per-CG zero trial
+    s = 1 << log2_size
+    shp = best.shape
+    b4 = best.reshape(-1, s // 4, 4, s // 4, 4)
+    c4 = (ac / err_den).reshape(-1, s // 4, 4, s // 4, 4)
+    dz = (ac - best * float(1 << qbits)) / err_den
+    dz2 = (dz * dz).reshape(-1, s // 4, 4, s // 4, 4).sum((2, 4))
+    z2 = (c4 * c4).sum((2, 4))
+    bits_cg = xp.where(
+        b4 > 0, 2 * xp.floor(xp.log2(xp.maximum(b4, 1))) + 4, 0.0
+    ).sum((2, 4)) + 4.0
+    keep = dz2 + lam * bits_cg <= z2 + lam * 1.0
+    best = xp.where(xp.repeat(xp.repeat(keep, 4, 1), 4, 2)
+                    .reshape(-1, s, s).reshape(shp), best, 0)
+    lvl = xp.sign(c) * best
+    return xp.clip(lvl, -32768, 32767).astype(xp.int32)
+
+
 def rdoq_np(coeff: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8,
             lam_fp256: int = 256, is_intra_slice: bool = False,
             scan: np.ndarray | None = None) -> np.ndarray:
