@@ -107,3 +107,61 @@ def test_qt_with_sdh_and_rdoq():
     dec = decode_stream(e2.bitstream())
     assert dec[0].md5_ok is True
     assert enc.results[0].bits > 0
+
+
+def test_native_walk_matches_python():
+    """native/intra_walk.cpp must be byte-identical to the Python walk
+    (coeff maps + recon planes) across the toolset combinations."""
+    from tpuhevc.codec import intra_qt
+    from tpuhevc.codec import native_intra as ni
+    from tpuhevc.codec.params import i_frame_lambda
+    from tpuhevc.codec.recon import _pad_to
+    from tpuhevc.codec.refsamples import BlockOrder
+    from tpuhevc.entropy.syntax import FrameSyntax
+
+    if ni._fn() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    y, u, v = _frame(104, 72, seed=9)  # odd CTU cover: partial borders
+    for qp, rdoq, sdh in ((32, True, True), (22, False, False)):
+        cfg = EncoderConfig(sps=SeqParams(width=104, height=72,
+                                          max_tu_depth_intra=0),
+                            qp=qp, rdoq=rdoq)
+        cfg.pps.sign_data_hiding = sdh
+        sps = cfg.sps
+        W, H = sps.coded_width, sps.coded_height
+        oy = _pad_to(y, H, W)
+        ou = _pad_to(u, H // 2, W // 2)
+        ov = _pad_to(v, H // 2, W // 2)
+        cu, lm, cm = intra_qt.decide_intra_qt(oy, ou, ov, cfg, qp)
+        lam_fp = int(round(i_frame_lambda(cfg, qp) * 256))
+
+        def run(native):
+            fs = FrameSyntax(W, H)
+            fs.cu_log2 = cu.astype(np.int8)
+            fs.luma_mode = lm.astype(np.int8)
+            fs.chroma_mode = cm.astype(np.int8)
+            py = np.zeros((H, W), np.int32)
+            pu = np.zeros((H // 2, W // 2), np.int32)
+            pv = np.zeros((H // 2, W // 2), np.int32)
+            if native:
+                order = BlockOrder(W, H, sps.log2_ctu)
+                assert ni.intra_walk_native(
+                    fs, sps, qp, (py, pu, pv),
+                    (oy.astype(np.int32), ou.astype(np.int32),
+                     ov.astype(np.int32)), sdh, rdoq, lam_fp, order)
+            else:
+                saved = ni._fn
+                ni._fn = lambda: None
+                try:
+                    intra_qt._walk(fs, sps, qp, (py, pu, pv), (oy, ou, ov),
+                                   sdh, rdoq, lam_fp, True)
+                finally:
+                    ni._fn = saved
+            return (fs.coeff_y, fs.coeff_cb, fs.coeff_cr, py, pu, pv)
+
+        a = run(False)
+        b = run(True)
+        for x, yv in zip(a, b):
+            assert (np.asarray(x) == np.asarray(yv)).all(), (qp, rdoq, sdh)
