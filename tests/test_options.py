@@ -89,3 +89,36 @@ def test_crc_hash_roundtrip():
     enc.encode_frame(y, u, v, poc=0)
     frames = decode_stream(enc.bitstream())
     assert frames and frames[0].md5_ok is True
+
+
+def test_anchor_cfgs_fully_bound():
+    """Every key in the reference's Main/Main10 anchor cfgs must be
+    bound, accepted-at-default, or an intentional no-op — nothing
+    silently unknown (the silent-conformance-change trap)."""
+    import glob
+    import os
+
+    from tpuhevc.config.options import build_config, parse_cfg_file
+
+    cfgs = glob.glob("/root/reference/cfg/encoder_*main.cfg") + glob.glob(
+        "/root/reference/cfg/encoder_*main10.cfg")
+    if not cfgs:
+        import pytest
+
+        pytest.skip("reference cfgs not mounted")
+    for f in cfgs:
+        cfg, io = build_config(parse_cfg_file(f))
+        unk = set((io.get("unknown") or {}).keys())
+        assert unk <= {"BitstreamFile", "ReconFile"}, (os.path.basename(f),
+                                                       sorted(unk))
+
+
+def test_nondefault_unsupported_raises():
+    import pytest
+
+    from tpuhevc.config.options import build_config
+
+    with pytest.raises(NotImplementedError):
+        build_config({"ScalingList": "1"})
+    with pytest.raises(NotImplementedError):
+        build_config({"PCMEnabledFlag": "1"})

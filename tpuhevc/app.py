@@ -29,12 +29,13 @@ def main_encode(argv: list[str]) -> int:
     if not io["InputFile"] or not io["BitstreamFile"]:
         print("need -i input.yuv and -b out.bin", file=sys.stderr)
         return 2
-    try:
-        import jax  # noqa: F401
+    if "InterBackend" not in opts:
+        try:
+            import jax  # noqa: F401
 
-        cfg.inter_backend = "jax"
-    except Exception:
-        pass
+            cfg.inter_backend = "jax"
+        except Exception:
+            pass
     reader = YuvReader(io["InputFile"], cfg.sps.width, cfg.sps.height,
                        cfg.sps.bit_depth)
     t0 = time.time()

@@ -148,6 +148,9 @@ class EncoderConfig:
     intra_qt: bool = True        # quadtree intra CUs 8/16/32 (vs fixed 8x8)
     slice_ctus: int = 0          # >0: fixed-CTU-count slices (HM SliceMode
                                  # 1 / SliceArgument); 0 = one slice/pic
+    decoding_refresh_type: int = 0   # 0 off, 1 CRA, 2 IDR (HM DRT)
+    bipred_search_range: int = 4     # HM BipredSearchRange (iterative ME)
+    rc_initial_qp: int = 0           # rate control InitialQP (0 = auto)
     rdoq: bool = False           # RD-optimized quantization (host paths)
 
     inter_backend: str = "np"    # "jax" = device compute stage for P frames

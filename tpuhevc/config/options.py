@@ -123,6 +123,35 @@ def _b(v: str) -> bool:
     return v.strip().lower() in _TRUE
 
 
+# Keys accepted ONLY at their HM default: any other value would require
+# a feature this encoder does not implement (silently ignoring it would
+# change conformance or the coded toolset). Value = the accepted string.
+_DEFAULT_ONLY = {
+    "PCMEnabledFlag": "0",
+    "ScalingList": "0",
+    "TransquantBypassEnableFlag": "0",
+    "CUTransquantBypassFlagForce": "0",
+    "SAOLcuBoundary": "0",
+    "DeltaQpRD": "0",
+    "MaxDeltaQP": "0",
+    "DeblockingFilterMetric": "0",
+    "SliceChromaQPOffsetPeriodicity": "0",
+}
+
+# Encoder-speed knobs of HM's RD search with no counterpart in this
+# architecture (dense batched decisions instead of HM's pruned
+# recursion) — accepted and inert by design, any value.
+_ACCEPTED_NOOP = {
+    "FDM", "FEN", "FastSearch", "ESD", "ASR", "RDpenalty",
+    "TransformSkipFast", "RDOQTS", "KeepHierarchicalBit",
+    "RCForceIntraQP", "RCLCUSeparateModel", "ScalingListFile",
+    "LoopFilterOffsetInPPS",
+    "PCMLog2MaxSize", "PCMLog2MinSize", "PCMInputBitDepthFlag",
+    "PCMFilterDisableFlag", "SliceCbQpOffsetIntraOrPeriodic",
+    "SliceCrQpOffsetIntraOrPeriodic", "Tier",
+}
+
+
 def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
     """Raw options -> (EncoderConfig, io dict). io: InputFile etc."""
     cfg = EncoderConfig(sps=SeqParams())
@@ -222,12 +251,57 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
             cfg.max_num_merge_cand = int(v)
         elif k == "TemporalMVP" or k == "TMVPMode":
             sps.temporal_mvp_enabled = False  # not emitted yet
+        elif k == "InterBackend":
+            cfg.inter_backend = v.strip()
         elif k == "FmeMode":
             cfg.fme_mode = v.strip()
         elif k == "NNWeightsDir":
             cfg.nn_weights_dir = v.strip()
         elif k == "Level":
             cfg.sps.level_idc = int(float(v) * 30)
+        elif k == "LoopFilterBetaOffset_div2":
+            cfg.pps.beta_offset_div2 = int(v)
+            assert int(v) == 0, "deblock beta offset not applied yet"
+        elif k == "LoopFilterTcOffset_div2":
+            cfg.pps.tc_offset_div2 = int(v)
+            assert int(v) == 0, "deblock tc offset not applied yet"
+        elif k == "LFCrossSliceBoundaryFlag":
+            cfg.pps.loop_filter_across_slices = _b(v)
+        elif k == "MaxCuDQPDepth":
+            cfg.pps.diff_cu_qp_delta_depth = int(v)
+            assert int(v) == 0, "cu_qp_delta QG = CTU only"
+        elif k == "CbQpOffset":
+            cfg.pps.cb_qp_offset = int(v)
+        elif k == "CrQpOffset":
+            cfg.pps.cr_qp_offset = int(v)
+        elif k == "TransformSkip":
+            cfg.pps.transform_skip_enabled = _b(v)
+        elif k == "DecodingRefreshType":
+            cfg.decoding_refresh_type = int(v)
+        elif k == "Profile":
+            p = v.strip().lower()
+            assert p in ("main", "main10"), f"profile {v} unsupported"
+        elif k == "BipredSearchRange":
+            cfg.bipred_search_range = int(v)
+        elif k == "InitialQP":
+            cfg.rc_initial_qp = int(v)
+        elif k in ("TileColumnWidthArray", "TileRowHeightArray",
+                   "ColumnWidthArray", "RowHeightArray"):
+            assert not v.strip() or not cfg.pps.tiles_enabled, \
+                "only uniform tile spacing supported"
+        elif k == "TileUniformSpacing":
+            assert _b(v) or not cfg.pps.tiles_enabled, \
+                "only uniform tile spacing supported"
+        elif k in _DEFAULT_ONLY:
+            # accepted only at the HM default — a non-default value
+            # names a feature this encoder does not implement, and
+            # ignoring it would silently change conformance/behavior
+            if v.strip() != _DEFAULT_ONLY[k]:
+                raise NotImplementedError(
+                    f"{k} = {v!r} not supported (only {_DEFAULT_ONLY[k]})")
+        elif k in _ACCEPTED_NOOP:
+            pass  # encoder-speed knobs of HM's search; our search is
+            # structurally different, the knobs have no counterpart
         elif k.startswith("Frame") and k[5:].isdigit():
             gop.append(parse_gop_entry(v))
         else:
