@@ -466,6 +466,7 @@ inline int scanIdxOf(int mode, int log2, bool isLuma) {
 void codeTB(const Ctx &c, int32_t *plane, int32_t *coefPl,
             const int32_t *origPl, int pw, int ph, int x0, int y0, int s,
             int mode, int qp, bool isLuma, int cell) {
+  bool enc = origPl != nullptr;  // decode mode: read coefPl instead
   int log2 = 0;
   while ((1 << log2) < s) log2++;
   std::vector<int32_t> top(2 * s + 1), left(2 * s + 1);
@@ -484,23 +485,31 @@ void codeTB(const Ctx &c, int32_t *plane, int32_t *coefPl,
   if (isLuma && s < 32)
     postFilter(pred.data(), top.data(), left.data(), mode, s, c.bd);
 
-  std::vector<int32_t> resi(s * s), coefb(s * s), lvl(s * s);
-  std::vector<double> ideal(s * s);
-  for (int y = 0; y < s; y++)
-    for (int x = 0; x < s; x++)
-      resi[y * s + x] = origPl[(y0 + y) * pw + x0 + x] - pred[y * s + x];
-  fwdTransform(c, resi.data(), s, coefb.data());
-  quantTB(c, coefb.data(), s, qp, c.rdoq != 0, lvl.data(), ideal.data());
-  if (c.sdh) {
-    int si = scanIdxOf(mode, log2, isLuma);
-    const int32_t *scan = c.scans + c.scan_off[(log2 - 2) * 3 + si];
-    sbhTB(c, lvl.data(), ideal.data(), s, scan);
+  std::vector<int32_t> lvl(s * s);
+  if (enc) {
+    std::vector<int32_t> resi(s * s), coefb(s * s);
+    std::vector<double> ideal(s * s);
+    for (int y = 0; y < s; y++)
+      for (int x = 0; x < s; x++)
+        resi[y * s + x] = origPl[(y0 + y) * pw + x0 + x] - pred[y * s + x];
+    fwdTransform(c, resi.data(), s, coefb.data());
+    quantTB(c, coefb.data(), s, qp, c.rdoq != 0, lvl.data(), ideal.data());
+    if (c.sdh) {
+      int si = scanIdxOf(mode, log2, isLuma);
+      const int32_t *scan = c.scans + c.scan_off[(log2 - 2) * 3 + si];
+      sbhTB(c, lvl.data(), ideal.data(), s, scan);
+    }
+  } else {
+    for (int y = 0; y < s; y++)
+      for (int x = 0; x < s; x++)
+        lvl[y * s + x] = coefPl[(y0 + y) * pw + x0 + x];
   }
   bool any = false;
   for (int i = 0; i < s * s; i++) any |= (lvl[i] != 0);
-  for (int y = 0; y < s; y++)
-    for (int x = 0; x < s; x++)
-      coefPl[(y0 + y) * pw + x0 + x] = lvl[y * s + x];
+  if (enc)
+    for (int y = 0; y < s; y++)
+      for (int x = 0; x < s; x++)
+        coefPl[(y0 + y) * pw + x0 + x] = lvl[y * s + x];
   int maxv = (1 << c.bd) - 1;
   if (any) {
     std::vector<int32_t> dq(s * s), r(s * s);

@@ -332,12 +332,11 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
     bd = sps.bit_depth
     order = (getattr(fs, "tile_order8", None)
              or BlockOrder(fs.width, fs.height, sps.log2_ctu))
-    if encode:
-        from .native_intra import intra_walk_native
+    from .native_intra import intra_walk_native
 
-        if intra_walk_native(fs, sps, qp, planes, origs, sdh, rdoq,
-                             lam_fp, order):
-            return
+    if intra_walk_native(fs, sps, qp, planes, origs if encode else None,
+                         sdh, rdoq, lam_fp, order):
+        return
     qpc = chroma_qp(qp)
     y, u, v = planes
     oy, ou, ov = origs if origs else (None, None, None)

@@ -64,8 +64,9 @@ def _p32(a):
 
 def intra_walk_native(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp,
                       order) -> bool:
-    """Run the encoder-side intra walk natively. Returns False when the
-    native lib is unavailable (caller falls back to the Python walk)."""
+    """Run the intra walk natively: encoder side with `origs`, decoder
+    side (read fs.coeff_*, reconstruct) with origs=None. Returns False
+    when the native lib is unavailable (caller falls back to Python)."""
     f = _fn()
     if f is None:
         return False
@@ -79,12 +80,15 @@ def intra_walk_native(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp,
         cu[i] = (x8, y8, int(fs.cu_log2[y8, x8]),
                  int(fs.luma_mode[y8, x8]), resolve(x8, y8))
     y, u, v = planes
-    oy, ou, ov = origs
     for a in (y, u, v):
         assert a.dtype == np.int32 and a.flags.c_contiguous
-    oy = np.ascontiguousarray(oy, np.int32)
-    ou = np.ascontiguousarray(ou, np.int32)
-    ov = np.ascontiguousarray(ov, np.int32)
+    if origs is not None:
+        oy, ou, ov = origs
+        oy = np.ascontiguousarray(oy, np.int32)
+        ou = np.ascontiguousarray(ou, np.int32)
+        ov = np.ascontiguousarray(ov, np.int32)
+    else:
+        oy = ou = ov = None
     order_map = np.ascontiguousarray(order.order, np.int64)
     smin = order.slice_min
     sminp = (np.ascontiguousarray(smin, np.int64).ctypes.data_as(
@@ -94,11 +98,15 @@ def intra_walk_native(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp,
     cb = np.ascontiguousarray(fs.coeff_cb, np.int32)
     cr = np.ascontiguousarray(fs.coeff_cr, np.int32)
     scans, soffs, mats, moffs = _tables()
+    null32 = ctypes.POINTER(ctypes.c_int32)()
     f(fs.width, fs.height, sps.bit_depth, qp, chroma_qp(qp),
       int(bool(sdh)), int(bool(rdoq)), int(bool(sps.strong_intra_smoothing)),
       int(lam_fp), _p32(np.ascontiguousarray(cu)), len(roots),
       order_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), sminp,
-      _p32(y), _p32(u), _p32(v), _p32(oy), _p32(ou), _p32(ov),
+      _p32(y), _p32(u), _p32(v),
+      _p32(oy) if oy is not None else null32,
+      _p32(ou) if ou is not None else null32,
+      _p32(ov) if ov is not None else null32,
       _p32(cy), _p32(cb), _p32(cr),
       _p32(scans), _p32(soffs), _p32(mats), _p32(moffs))
     fs.coeff_y[:] = cy
