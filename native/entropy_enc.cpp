@@ -254,6 +254,10 @@ struct Frame {
   const int32_t* part = nullptr;       // per-8-cell: 0 2Nx2N, 1 2NxN, 2 Nx2N
   const int32_t* inter_dir = nullptr;  // per-8-cell: 0 = intra CU (P slice)
   int amp = 0;                         // sps.amp_enabled (AMP "not asym" bin)
+  // v4: per-8-cell wanted leaf TU log2 (one-level inter RQT; null =
+  // TU = CU everywhere). Twin of syntax._enc_transform_tree_p's
+  // fs.tu_log2 consultation.
+  const int32_t* tu_want8 = nullptr;
   std::vector<int8_t> depth8;  // decoded-CU depth map (-1 = none)
 };
 
@@ -801,7 +805,11 @@ struct SliceEnc {
              depth >= f.max_tu_depth_inter + (inter_split ? 1 : 0))
       split = false;
     else {
-      split = false;  // encoder keeps TU = CU below implicit splits
+      split = false;  // default: encoder keeps TU = CU
+      if (f.tu_want8) {
+        int want = f.tu_want8[(y0 >> 3) * f.w8 + (x0 >> 3)];
+        split = want >= 2 && want < log2;
+      }
       explicit_f = true;
     }
     if (explicit_f)
@@ -1014,6 +1022,21 @@ int tpuhevc_encode_slice_data_sao(
 // origin: 0 2Nx2N, 1 2NxN, 2 Nx2N — PU motion read at each PU's origin
 // cell) and intra CUs inside P slices (inter_dir == 0 cells use the
 // intra CU syntax after pred_mode_flag). sao may be null.
+int tpuhevc_encode_slice_data_v4(
+    const int32_t* cu_log2, const int32_t* luma_mode,
+    const int32_t* chroma_mode, const int32_t* coeff_y,
+    const int32_t* coeff_cb, const int32_t* coeff_cr,
+    const int32_t* skip, const int32_t* merge_flag, const int32_t* merge_idx,
+    const int32_t* mvp_flag, const int32_t* mvd, const int32_t* ref_idx,
+    const int32_t* sao, int sao_luma, int sao_chroma,
+    const int32_t* part_mode, const int32_t* inter_dir, int amp_enabled,
+    const int32_t* tu_want8,
+    int width, int height,
+    int log2_ctu, int log2_min_cu, int log2_min_tu, int log2_max_tu,
+    int max_tu_depth_intra, int max_tu_depth_inter, int slice_type,
+    int max_merge, int slice_type_row, int qp, int sign_hiding, int num_ref,
+    uint8_t* out, int out_cap);
+
 int tpuhevc_encode_slice_data_v3(
     const int32_t* cu_log2, const int32_t* luma_mode,
     const int32_t* chroma_mode, const int32_t* coeff_y,
@@ -1027,7 +1050,31 @@ int tpuhevc_encode_slice_data_v3(
     int max_tu_depth_intra, int max_tu_depth_inter, int slice_type,
     int max_merge, int slice_type_row, int qp, int sign_hiding, int num_ref,
     uint8_t* out, int out_cap) {
+  return tpuhevc_encode_slice_data_v4(
+      cu_log2, luma_mode, chroma_mode, coeff_y, coeff_cb, coeff_cr, skip,
+      merge_flag, merge_idx, mvp_flag, mvd, ref_idx, sao, sao_luma,
+      sao_chroma, part_mode, inter_dir, amp_enabled, nullptr, width, height,
+      log2_ctu, log2_min_cu, log2_min_tu, log2_max_tu, max_tu_depth_intra,
+      max_tu_depth_inter, slice_type, max_merge, slice_type_row, qp,
+      sign_hiding, num_ref, out, out_cap);
+}
+
+int tpuhevc_encode_slice_data_v4(
+    const int32_t* cu_log2, const int32_t* luma_mode,
+    const int32_t* chroma_mode, const int32_t* coeff_y,
+    const int32_t* coeff_cb, const int32_t* coeff_cr,
+    const int32_t* skip, const int32_t* merge_flag, const int32_t* merge_idx,
+    const int32_t* mvp_flag, const int32_t* mvd, const int32_t* ref_idx,
+    const int32_t* sao, int sao_luma, int sao_chroma,
+    const int32_t* part_mode, const int32_t* inter_dir, int amp_enabled,
+    const int32_t* tu_want8,
+    int width, int height,
+    int log2_ctu, int log2_min_cu, int log2_min_tu, int log2_max_tu,
+    int max_tu_depth_intra, int max_tu_depth_inter, int slice_type,
+    int max_merge, int slice_type_row, int qp, int sign_hiding, int num_ref,
+    uint8_t* out, int out_cap) {
   SliceEnc e;
+  e.f.tu_want8 = tu_want8;
   e.f.cu_log2 = cu_log2;
   e.f.luma_mode = luma_mode;
   e.f.chroma_mode = chroma_mode;

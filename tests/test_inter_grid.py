@@ -107,14 +107,17 @@ def test_native_walk_matches_python():
     cfg = _cfg(w, h)
     enc = Encoder(cfg)
     # square-CU walk parity only: the python fallback walk cannot
-    # serialize rectangular PUs (native v3 walk only), so build the
-    # grid with partitions off
+    # serialize rectangular PUs (native v3 walk only) or TU splits
+    # (FrameSyntax tu_log2 path only), so build the grid with both off
     old_parts = inter_grid._TUNE["parts"]
+    old_tsp = inter_grid._TUNE["tusplit"]
     inter_grid._TUNE["parts"] = False
+    inter_grid._TUNE["tusplit"] = False
     try:
         fn, _, _ = inter_grid.build_ldp_grid_scan(cfg, {32: enc.nn_params}, 3)
     finally:
         inter_grid._TUNE["parts"] = old_parts
+        inter_grid._TUNE["tusplit"] = old_tsp
     enc.encode_frame(*clip[0], poc=0)
     ry = jnp.asarray(np.asarray(enc.dpb_recon[0], np.int32))[None]
     ruv = jnp.concatenate([jnp.asarray(np.asarray(p, np.int32))

@@ -33,10 +33,10 @@ POC_RE = re.compile(
     r"\s+dB\s+V\s+([\d.]+)\s+dB\]")
 
 
-def run_hm(yuv, w, h, n, qp):
+def run_hm(yuv, w, h, n, qp, save=None):
     enc = os.path.join(HMREF, "TAppEncoder")
     with tempfile.TemporaryDirectory() as td:
-        out = os.path.join(td, "str.bin")
+        out = save or os.path.join(td, "str.bin")
         cmd = [enc, "-c", REF_CFG, "-i", yuv, "-wdt", str(w), "-hgt",
                str(h), "-f", str(n), "-fr", "50", "-q", str(qp), "-b", out,
                "--ConformanceWindowMode=1", "--Level=4.1",
@@ -54,7 +54,7 @@ def run_hm(yuv, w, h, n, qp):
     return frames
 
 
-def run_ours(yuv, w, h, n, qp, fme):
+def run_ours(yuv, w, h, n, qp, fme, save=None):
     from tpuhevc.codec.encoder import encode_sequence
     from tpuhevc.config.options import build_config, parse_cfg_file
     from tpuhevc.utils.yuv import YuvReader
@@ -74,6 +74,9 @@ def run_ours(yuv, w, h, n, qp, fme):
         pass
     reader = YuvReader(yuv, w, h, cfg.sps.bit_depth)
     enc, _ = encode_sequence(reader, cfg, max_frames=n)
+    if save:
+        with open(save, "wb") as f:
+            f.write(enc.bitstream())
     return {r.poc: dict(stype="I" if r.poc == 0 else "P", bits=r.bits,
                         y=r.psnr_y, u=r.psnr_u, v=r.psnr_v)
             for r in enc.results}
@@ -87,10 +90,19 @@ def main():
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--qp", type=int, default=27)
     ap.add_argument("--fme", default="nn")
+    ap.add_argument("--save-dir", default=None,
+                    help="keep both streams here (hm_qpN.bin/our_qpN.bin) "
+                         "for tools/stream_profile.py")
     a = ap.parse_args()
 
-    hm = run_hm(a.clip, a.width, a.height, a.frames, a.qp)
-    ours = run_ours(a.clip, a.width, a.height, a.frames, a.qp, a.fme)
+    sh = so = None
+    if a.save_dir:
+        os.makedirs(a.save_dir, exist_ok=True)
+        sh = os.path.join(a.save_dir, f"hm_qp{a.qp}.bin")
+        so = os.path.join(a.save_dir, f"our_qp{a.qp}.bin")
+    hm = run_hm(a.clip, a.width, a.height, a.frames, a.qp, save=sh)
+    ours = run_ours(a.clip, a.width, a.height, a.frames, a.qp, a.fme,
+                    save=so)
 
     print(f"\n POC T |   HM bits    Y dB |  our bits    Y dB |  ratio  dY")
     tot = dict(I=[0, 0], P=[0, 0])

@@ -39,7 +39,9 @@ _PROBES: dict = {}  # stage closures of the last build (profiling hooks)
 
 # experiment knobs (ablation / debugging; part of the build cache key)
 _TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True, zme=True,
-             parts=True)
+             parts=True, fuse_sweep=False,  # fuse_sweep: flip on once the
+             # equality A/B (tools/tune_grid) confirms it on this machine
+             tusplit=True)  # one-level inter RQT (TU = CU/2 candidates)
 
 
 def supports(cfg) -> bool:
@@ -103,6 +105,8 @@ def _mode_tables(qp: int, num_ref: int, max_merge: int, amp: bool = True):
         mvp=0.5 * (b("mvp_flag", 0, 0) + b("mvp_flag", 0, 1)),
         root1=b("rqt_root_cbf", 0, 1), root0=b("rqt_root_cbf", 0, 0),
         split=[b("split_cu_flag", 1, v) for v in (0, 1)],
+        tsplit={lg: [b("split_transform_flag", 5 - lg, v) for v in (0, 1)]
+                for lg in (3, 4, 5)},
         ref_bits=np.asarray([fb.ref_idx_bits(r, num_ref)
                              for r in range(max(num_ref, 1))], np.float32),
         cbf_y=[b("qt_cbf", 1, v) for v in (0, 1)],
@@ -154,6 +158,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
            R, MM, cfg.nn_weights_dir, not nn_by_qp.get(qps[0]),
            use_rdoq, use_sbh, use_deblock, use_sao, use_wp,
            tuple(cfg.gop_qp_factors), cfg.qp, _parts_ok(),
+           sps.max_tu_depth_inter,
            tuple(sorted(_TUNE.items())))
     hit = _BUILD_CACHE.get(key)
     if hit is not None:
@@ -175,6 +180,11 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                   for qp in set(qps)}
     # rectangular inter PUs need the v3 native walk for the syntax side
     use_parts = bool(_TUNE["parts"]) and _TUNE["enable8"] and _parts_ok()
+    # one-level inter RQT: needs an explicit split_transform_flag budget.
+    # Captured HERE (build time, like the cache key) — frame_step traces
+    # lazily on the first call, when _TUNE may already have changed.
+    use_tusplit = (bool(_TUNE.get("tusplit", True))
+                   and cfg.sps.max_tu_depth_inter >= 1)
 
     # ME constants ------------------------------------------------------
     R2 = sr // 2
@@ -1000,18 +1010,25 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return t.reshape(hc, wc)
 
     def deblock_device(rec_y, rec_uv, log2_map, mv_map, ref_map,
-                       cbf_cells, qp, intra_cells=None, part_b=None):
+                       cbf_cells, qp, intra_cells=None, part_b=None,
+                       tsplit_cells=None):
         """Whole-frame deblock (vertical then horizontal edges), device
         twin of ops/deblock.deblock_frame for P slices. Luma filters
         bs >= 1 edges; chroma only bs == 2 (intra) edges. Same int math;
         parity is tested against the host filter. part_b: per-8-cell
         partition-type broadcast (1 = 2NxN, 2 = Nx2N) — PU-internal
-        edges of rectangular CUs deblock too (§8.7.2.2 PU boundaries)."""
-        tb_cbf = _tb_cbf_cells(log2_map, cbf_cells)
-        bs_v = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 1, intra_cells,
+        edges of rectangular CUs deblock too (§8.7.2.2 PU boundaries).
+        tsplit_cells: per-8-cell one-level RQT split — TB edges and cbf
+        regions use the leaf TU size (all leaves >= 8, so the per-8-cell
+        grid stays exact)."""
+        tu_map = jnp.minimum(log2_map.astype(jnp.int32), 5)
+        if tsplit_cells is not None:
+            tu_map = tu_map - tsplit_cells.astype(jnp.int32)
+        tb_cbf = _tb_cbf_cells(tu_map, cbf_cells)
+        bs_v = _bs_dir(tu_map, mv_map, ref_map, tb_cbf, 1, intra_cells,
                        part_b)
         y = _deblock_luma_vert(rec_y, bs_v, qp)
-        bs_h = _bs_dir(log2_map, mv_map, ref_map, tb_cbf, 0, intra_cells,
+        bs_h = _bs_dir(tu_map, mv_map, ref_map, tb_cbf, 0, intra_cells,
                        part_b)
         y = _deblock_luma_vert(y.T, bs_h.T, qp).T
         if intra_cells is None:
@@ -1319,29 +1336,158 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                   + jnp.where(merged, tabs["mf1"] + midx_b, amvp_b))
         return mv_grid, ref_grid, mode_b, merged, midx_b
 
-    def class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u, pl_v,
-                   mv_grid, ref_grid, S, nbh, nbw, mv_cells=None,
-                   ref_cells=None):
-        """Code every S-block under mv_grid/ref_grid with TU = min(S, 32).
-        Returns composed planes + per-block (d, res_bits, cbf).
-        mv_cells/ref_cells (per-8-cell maps over the class region)
-        override the per-CU grids for rectangular-PU candidates — the
-        TU structure stays TU = CU (split_transform_flag 0)."""
-        qpc = chroma_qp(qp)
-        T = min(S, 32)
-        log2t = T.bit_length() - 1
-        Hp, Wp = nbh * S, nbw * S
-        fT = S // T  # TUs per CU side (luma)
+    def cand_sweep_all(tabs, qp, lam_me_f, oy, planes_y, specs):
+        """cand_sweep fused across the size classes: the expensive
+        whole-cover ops (MC gather + 8x8 Hadamard SATD) run ONCE on a
+        (C, Hp, Wp) batch instead of per class — same math, ~1/C the op
+        count of the sweep's hot path (the tunnel perf model's "hundreds
+        of small HLOs cost more than the math"). specs: list of
+        (S, nbh, nbw, mv_qpel, ref); specs[0]'s pixel cover must contain
+        every class's cover (the 16 class at CTU-aligned sizes does).
+        Returns cand_sweep's 5-tuple per spec."""
+        C = len(specs)
+        S0, nbh0, nbw0 = specs[0][0], specs[0][1], specs[0][2]
+        Hp, Wp = nbh0 * S0, nbw0 * S0
         oy_c = oy[:Hp, :Wp]
-        if mv_cells is not None:
-            mvq_pix = jnp.stack([up(mv_cells[..., 0], 8),
-                                 up(mv_cells[..., 1], 8)], -1)
-            refp = up(ref_cells, 8)
-        else:
-            mvq_pix = jnp.stack([up(mv_grid[..., 0], S),
-                                 up(mv_grid[..., 1], S)], -1)
-            refp = up(ref_grid, S)
-        pred_y = pred_luma(planes_y, mvq_pix, refp, Hp, Wp)
+        mvd_lut = jnp.asarray(tabs["mvd_lut"])
+        ref_lut = jnp.asarray(tabs["ref_bits"])
+        qstep = 2.0 ** ((qp + 6 * (bd - 8) - 4) / 6.0)
+
+        def to_pix(S, nbh_, nbw_, mv_g, ref_g):
+            h, w = nbh_ * S, nbw_ * S
+            mvp = jnp.stack([up(mv_g[..., 0], S), up(mv_g[..., 1], S)],
+                            -1)
+            refp = up(ref_g, S)
+            if h < Hp or w < Wp:
+                mvp = jnp.pad(mvp, ((0, Hp - h), (0, Wp - w), (0, 0)))
+                refp = jnp.pad(refp, ((0, Hp - h), (0, Wp - w)))
+            return mvp, refp
+
+        def batch_satd(grids):
+            """grids: per class (mv_g, ref_g) block grids -> per-class
+            DC-aware SATD maps (pred_satd_z twin, batched)."""
+            mvps = []
+            refps = []
+            for (S, nbh_, nbw_, _, _), (mv_g, ref_g) in zip(specs, grids):
+                mvp, refp = to_pix(S, nbh_, nbw_, mv_g, ref_g)
+                mvps.append(mvp)
+                refps.append(refp)
+            mvq_pix = jnp.stack(mvps)          # (C, Hp, Wp, 2)
+            ref_pix = jnp.stack(refps)         # (C, Hp, Wp)
+            ygrid = jnp.arange(Hp)[None, :, None]
+            xgrid = jnp.arange(Wp)[None, None, :]
+            fx = mvq_pix[..., 0] & 3
+            fy = mvq_pix[..., 1] & 3
+            ix = (mvq_pix[..., 0] >> 2) + xgrid + LOOK
+            iy = (mvq_pix[..., 1] >> 2) + ygrid + LOOK
+            idx = (((ref_pix * 16 + fy * 4 + fx) * HmL) + iy) * WmL + ix
+            p = jnp.take(planes_y.reshape(-1), idx).astype(jnp.int32)
+            r = oy_c[None] - p                  # (C, Hp, Wp)
+            m8 = satd8_plane(r.reshape(C * Hp, Wp)).reshape(
+                C, Hp // 8, Wp // 8)
+            outs = []
+            for ci, (S, nbh_, nbw_, _, _) in enumerate(specs):
+                h, w = nbh_ * S, nbw_ * S
+                rc = r[ci, :h, :w]
+                m8c = m8[ci, : h // 8, : w // 8]
+                if not zme:
+                    if S == 8:
+                        outs.append(m8c.astype(jnp.float32))
+                    else:
+                        f = S // 8
+                        outs.append(m8c.reshape(nbh_, f, nbw_, f).sum(
+                            (1, 3)).astype(jnp.float32))
+                    continue
+                dc8 = (jnp.abs(tile_sum(rc, 8)) + 2) >> 2
+                ac8 = (m8c - dc8).astype(jnp.float32)
+                dcc = lam_me_f * 12.0 + (S * S) * qstep / 4.0
+                if S == 8:
+                    outs.append(ac8 + jnp.minimum(
+                        dc8.astype(jnp.float32), dcc))
+                    continue
+                f = S // 8
+                ac = ac8.reshape(nbh_, f, nbw_, f).sum((1, 3))
+                dcsum = dc8.reshape(nbh_, f, nbw_, f).sum(
+                    (1, 3)).astype(jnp.float32)
+                cu_dc = ((jnp.abs(tile_sum(rc, S)) + 2) >> 2).astype(
+                    jnp.float32)
+                dcvar = jnp.maximum(dcsum - cu_dc, 0.0)
+                outs.append(ac + 0.5 * dcvar + jnp.minimum(cu_dc, dcc))
+            return outs
+
+        states = []
+        sat0s = batch_satd([(mv, ref) for (_, _, _, mv, ref) in specs])
+        for (S, nbh_, nbw_, mv, ref), s0 in zip(specs, sat0s):
+            states.append((mv, ref, s0, jnp.zeros((nbh_, nbw_), bool),
+                           jnp.zeros((nbh_, nbw_), jnp.float32)))
+
+        if _TUNE["sweep"]:
+            dmax = max(max(s[1], s[2]) for s in specs)
+            dists = [d for d in (1, 4, 16) if d < dmax] + [1]
+            mb0 = jnp.float32(tabs["midx"][0])
+            mb1 = jnp.float32(tabs["midx"][1])
+
+            def sweep_pair(carry, dist):
+                sts = list(carry)
+                for axis, mb in ((1, mb0), (0, mb1)):
+                    cands = []
+                    for (S, nbh_, nbw_, _, _), st in zip(specs, sts):
+                        mv_g, ref_g = st[0], st[1]
+                        cands.append((jnp.roll(mv_g, dist, axis=axis),
+                                      jnp.roll(ref_g, dist, axis=axis)))
+                    satcs = batch_satd(cands)
+                    new = []
+                    for (S, nbh_, nbw_, _, _), st, (mvc, refc), satc in \
+                            zip(specs, sts, cands, satcs):
+                        mv_g, ref_g, s0, mrg, mib = st
+                        if axis == 1:
+                            edge = jnp.arange(nbw_)[None] < dist
+                            edge = jnp.broadcast_to(edge, (nbh_, nbw_))
+                        else:
+                            edge = jnp.arange(nbh_)[:, None] < dist
+                            edge = jnp.broadcast_to(edge, (nbh_, nbw_))
+                        dmv = jnp.minimum(jnp.abs(mv_g - mvc), 4095)
+                        keep_b = (mvd_lut[dmv[..., 0]]
+                                  + mvd_lut[dmv[..., 1]]
+                                  + ref_lut[ref_g] + tabs["mf0"]
+                                  + tabs["mvp"])
+                        keep_b = jnp.where(mrg, tabs["mf1"] + mib, keep_b)
+                        adopt = (satc + lam_me_f * (tabs["mf1"] + mb)
+                                 <= s0 + lam_me_f * keep_b) & ~edge
+                        new.append((
+                            jnp.where(adopt[..., None], mvc, mv_g),
+                            jnp.where(adopt, refc, ref_g),
+                            jnp.where(adopt, satc, s0),
+                            mrg | adopt,
+                            jnp.where(adopt, mb, mib)))
+                    sts = new
+                return tuple(sts), None
+
+            carry, _ = jax.lax.scan(sweep_pair, tuple(states),
+                                    jnp.asarray(dists, jnp.int32))
+            states = list(carry)
+
+        outs = []
+        for (S, nbh_, nbw_, _, _), (mv_g, ref_g, sat0, merged, midx_b) \
+                in zip(specs, states):
+            left_mv = jnp.concatenate([mv_g[:, :1], mv_g[:, :-1]], 1)
+            top_mv = jnp.concatenate([mv_g[:1], mv_g[:-1]], 0)
+            d1 = jnp.minimum(jnp.abs(mv_g - left_mv), 4095)
+            d2 = jnp.minimum(jnp.abs(mv_g - top_mv), 4095)
+            mvd_b = jnp.minimum(
+                mvd_lut[d1[..., 0]] + mvd_lut[d1[..., 1]],
+                mvd_lut[d2[..., 0]] + mvd_lut[d2[..., 1]])
+            amvp_b = (tabs["mf0"] + ref_lut[ref_g] + tabs["mvp"] + mvd_b)
+            mode_b = (tabs["pred_inter"] + tabs["part2n"]
+                      + jnp.where(merged, tabs["mf1"] + midx_b, amvp_b))
+            outs.append((mv_g, ref_g, mode_b, merged, midx_b))
+        return outs
+
+    def _txq_luma(oy_c, pred_y, T, qp, lam, tabs, Hp, Wp):
+        """One luma transform/quant/recon pipeline at tile size T.
+        Returns (lvl, rec, d_tu, b_tu, cbf_tu) at the T grid, with the
+        per-TU cbf-zero drop applied."""
+        log2t = T.bit_length() - 1
         coef = fwd_tx(oy_c - pred_y, T)
         if use_rdoq:
             lvl = rdoq_plane(coef, qp, log2t, lam, tabs["est_y"][log2t])
@@ -1369,15 +1515,51 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         d_tu = jnp.where(drop, d_skip, d_coded)
         b_tu = jnp.where(drop, cbf_b[0], bits_tu + cbf_b[1])
         cbf_tu = jnp.where(drop, 0, nzb)
+        return lvl, rec, d_tu, b_tu, cbf_tu
+
+    def class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u, pl_v,
+                   mv_grid, ref_grid, S, nbh, nbw, mv_cells=None,
+                   ref_cells=None, tusplit=False):
+        """Code every S-block under mv_grid/ref_grid with TU = min(S, 32).
+        Returns composed planes + per-block (d, res_bits, cbf).
+        mv_cells/ref_cells (per-8-cell maps over the class region)
+        override the per-CU grids for rectangular-PU candidates.
+        tusplit: additionally evaluate one level of RQT split (TU = T/2,
+        §7.3.8.8; TEncSearch::xEstimateInterResidualQT semantics) and
+        keep the RD winner per T-tile; leaf TUs stay >= 8 so the
+        per-8-cell deblock boundary-strength grid remains exact."""
+        qpc = chroma_qp(qp)
+        T = min(S, 32)
+        log2t = T.bit_length() - 1
+        Hp, Wp = nbh * S, nbw * S
+        fT = S // T  # TUs per CU side (luma)
+        oy_c = oy[:Hp, :Wp]
+        if mv_cells is not None:
+            mvq_pix = jnp.stack([up(mv_cells[..., 0], 8),
+                                 up(mv_cells[..., 1], 8)], -1)
+            refp = up(ref_cells, 8)
+        else:
+            mvq_pix = jnp.stack([up(mv_grid[..., 0], S),
+                                 up(mv_grid[..., 1], S)], -1)
+            refp = up(ref_grid, S)
+        pred_y = pred_luma(planes_y, mvq_pix, refp, Hp, Wp)
+        lvl, rec, d_tu, b_tu, cbf_tu = _txq_luma(
+            oy_c, pred_y, T, qp, lam, tabs, Hp, Wp)
+
+        do_split = tusplit and T >= 16  # leaves stay >= 8
+        if do_split:
+            T2 = T // 2
+            lvl2, rec2, d_tu2, b_tu2, cbf_tu2 = _txq_luma(
+                oy_c, pred_y, T2, qp, lam, tabs, Hp, Wp)
+
+            def t_sum(x):  # T2 grid -> T grid
+                return x.reshape(x.shape[0] // 2, 2,
+                                 x.shape[1] // 2, 2).sum((1, 3))
 
         def cu_sum(x):  # per-TU grid -> per-CU grid
             if fT == 1:
                 return x
             return x.reshape(nbh, fT, nbw, fT).sum((1, 3))
-
-        d_cu = cu_sum(d_tu)
-        b_cu = cu_sum(b_tu)
-        cbf_cu = cu_sum(cbf_tu)
 
         # chroma (packed [U | V], TU size Tc per half). A 64 CU's forced
         # luma split to 4x32 TUs carries chroma down with it: leaf chroma
@@ -1404,33 +1586,90 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         # setUpLambda): equivalently chroma-only decisions use lam/wch
         wch = jnp.float32(2.0 ** ((qp - qpc) / 3.0))
         lam_c = lam / wch
-        coef_c = fwd_tx(ouv_c - pred_uv, Tc)
-        if use_rdoq:
-            lvl_c = rdoq_plane(coef_c, qpc, log2c, lam_c,
-                               tabs["est_c"][log2c])
-        else:
-            lvl_c = quant_plane(coef_c, qpc, log2c)
-        if use_sbh:
-            lvl_c = sbh_plane(lvl_c, ideal_plane(coef_c, qpc, log2c))
-        rsd_c = inv_tx(deq_plane(lvl_c, qpc, log2c), Tc)
-        rec_c = jnp.clip(pred_uv + rsd_c, 0, maxv)
-        nzc = tile_sum((lvl_c != 0).astype(jnp.int32), Tc)
-        rec_c = jnp.where(up(nzc > 0, Tc), rec_c, pred_uv)
-        dc_s = tile_sum((ouv_c - pred_uv) ** 2, Tc).astype(jnp.float32)
-        dc_c = tile_sum((ouv_c - rec_c) ** 2, Tc).astype(jnp.float32)
-        estc = tabs["est_c"][log2c]
-        bits_ctu = estc.tu_bits(
-            jnp, plane_tiles(lvl_c, Tc, Hpc, 2 * Wpc),
-            sbh=use_sbh).reshape(nzc.shape)
-        cbfc_b = tabs["cbf_c"]
-        drop_c = (dc_s + lam_c * cbfc_b[0]
-                  <= dc_c + lam_c * (bits_ctu + cbfc_b[1]))
-        dropp_c = up(drop_c, Tc)
-        lvl_c = jnp.where(dropp_c, 0, lvl_c)
-        rec_c = jnp.where(dropp_c, pred_uv, rec_c)
-        duv = jnp.where(drop_c, dc_s, dc_c)
-        buv = jnp.where(drop_c, cbfc_b[0], bits_ctu + cbfc_b[1])
-        nzk = jnp.where(drop_c, 0, nzc)
+
+        def _txq_chroma(Tc_):
+            log2c_ = Tc_.bit_length() - 1
+            coef_c = fwd_tx(ouv_c - pred_uv, Tc_)
+            if use_rdoq:
+                lvl_c = rdoq_plane(coef_c, qpc, log2c_, lam_c,
+                                   tabs["est_c"][log2c_])
+            else:
+                lvl_c = quant_plane(coef_c, qpc, log2c_)
+            if use_sbh:
+                lvl_c = sbh_plane(lvl_c, ideal_plane(coef_c, qpc, log2c_))
+            rsd_c = inv_tx(deq_plane(lvl_c, qpc, log2c_), Tc_)
+            rec_c = jnp.clip(pred_uv + rsd_c, 0, maxv)
+            nzc = tile_sum((lvl_c != 0).astype(jnp.int32), Tc_)
+            rec_c = jnp.where(up(nzc > 0, Tc_), rec_c, pred_uv)
+            dc_s = tile_sum((ouv_c - pred_uv) ** 2, Tc_).astype(jnp.float32)
+            dc_c = tile_sum((ouv_c - rec_c) ** 2, Tc_).astype(jnp.float32)
+            estc = tabs["est_c"][log2c_]
+            bits_ctu = estc.tu_bits(
+                jnp, plane_tiles(lvl_c, Tc_, Hpc, 2 * Wpc),
+                sbh=use_sbh).reshape(nzc.shape)
+            cbfc_b = tabs["cbf_c"]
+            drop_c = (dc_s + lam_c * cbfc_b[0]
+                      <= dc_c + lam_c * (bits_ctu + cbfc_b[1]))
+            dropp_c = up(drop_c, Tc_)
+            lvl_c = jnp.where(dropp_c, 0, lvl_c)
+            rec_c = jnp.where(dropp_c, pred_uv, rec_c)
+            duv = jnp.where(drop_c, dc_s, dc_c)
+            buv = jnp.where(drop_c, cbfc_b[0], bits_ctu + cbfc_b[1])
+            nzk = jnp.where(drop_c, 0, nzc)
+            return lvl_c, rec_c, duv, buv, nzk
+
+        lvl_c, rec_c, duv, buv, nzk = _txq_chroma(Tc)
+
+        split_tu = None
+        if do_split:
+            # one-level RQT: per T-tile compare TU=T (vs 4x TU=T/2 with
+            # chroma at Tc/2) by total weighted cost + the split-flag bit
+            # delta. The chroma Tc grid is 1:1 with the luma T grid: Tc
+            # == T//2 for every class (S <= 32: Tc = S/2; S == 64: T =
+            # 32, Tc = 16), so the per-T-tile choice maps directly.
+            assert Tc == T // 2
+            Tc2 = Tc // 2  # >= 4 (S >= 16 here)
+            lvl_c2, rec_c2, duv2, buv2, nzk2 = _txq_chroma(Tc2)
+
+            def csum(x):  # Tc2 chroma grid (packed) -> T-tile grid
+                ntw = x.shape[1] // 2
+                u_ = x[:, :ntw].reshape(Hpc // Tc, 2,
+                                        Wpc // Tc, 2).sum((1, 3))
+                v_ = x[:, ntw:].reshape(Hpc // Tc, 2,
+                                        Wpc // Tc, 2).sum((1, 3))
+                return u_ + v_
+
+            def c0sum(x):  # base Tc chroma grid (packed) -> T-tile grid
+                ntw = x.shape[1] // 2
+                return x[:, :ntw] + x[:, ntw:]
+
+            sdelta = tabs["tsplit"][log2t][1] - tabs["tsplit"][log2t][0]
+            cost_a = (d_tu + wch * c0sum(duv) + lam * (b_tu + c0sum(buv)))
+            cost_b = (t_sum(d_tu2) + wch * csum(duv2)
+                      + lam * (t_sum(b_tu2) + csum(buv2) + sdelta))
+            split_tu = cost_b < cost_a  # per T-tile
+            spp = up(split_tu, T)
+            lvl = jnp.where(spp, lvl2, lvl)
+            rec = jnp.where(spp, rec2, rec)
+            d_tu = jnp.where(split_tu, t_sum(d_tu2), d_tu)
+            b_tu = jnp.where(split_tu, t_sum(b_tu2) + sdelta, b_tu)
+            cbf_tu = jnp.where(split_tu, t_sum(cbf_tu2), cbf_tu)
+            spc = jnp.concatenate([up(split_tu, Tc)] * 2, axis=1)
+            lvl_c = jnp.where(spc, lvl_c2, lvl_c)
+            rec_c = jnp.where(spc, rec_c2, rec_c)
+            sel_cp = jnp.concatenate([split_tu] * 2, axis=1)
+
+            def csel(base, fine):  # pick per base-Tc tile
+                fu = fine[:, : fine.shape[1] // 2].reshape(
+                    Hpc // Tc, 2, Wpc // Tc, 2).sum((1, 3))
+                fv = fine[:, fine.shape[1] // 2 :].reshape(
+                    Hpc // Tc, 2, Wpc // Tc, 2).sum((1, 3))
+                fpk = jnp.concatenate([fu, fv], axis=1)
+                return jnp.where(sel_cp, fpk, base)
+
+            duv = csel(duv, duv2)
+            buv = csel(buv, buv2)
+            nzk = csel(nzk, nzk2)
 
         def cu_sum_c(x):  # per-chroma-TU grid (packed) -> per-CU grid
             ntw = x.shape[1] // 2
@@ -1440,11 +1679,14 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 v_ = v_.reshape(nbh, fTc, nbw, fTc).sum((1, 3))
             return u_ + v_
 
-        d_cu = d_cu + wch * cu_sum_c(duv)
-        b_cu = b_cu + cu_sum_c(buv)
-        cbf_cu = cbf_cu + cu_sum_c(nzk)
-        return dict(lvl=lvl, rec=rec, lvl_c=lvl_c, rec_c=rec_c,
-                    d=d_cu, bits=b_cu, cbf=cbf_cu > 0)
+        d_cu = cu_sum(d_tu) + wch * cu_sum_c(duv)
+        b_cu = cu_sum(b_tu) + cu_sum_c(buv)
+        cbf_cu = cu_sum(cbf_tu) + cu_sum_c(nzk)
+        out = dict(lvl=lvl, rec=rec, lvl_c=lvl_c, rec_c=rec_c,
+                   d=d_cu, bits=b_cu, cbf=cbf_cu > 0)
+        if split_tu is not None:
+            out["tsplit"] = split_tu  # per T-tile bool
+        return out
 
     # --- intra-in-P: dense 16x16 intra candidate class -------------------
     # The anchor's RD win in occlusion regions comes from intra CUs
@@ -1998,24 +2240,54 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 mvq32 = with_fme(mv32, ref32, 32, nh32, nw32)
 
         # --- per-class candidate sweep + residual coding ---------------
-        def run_class(mvq, refv, S, nbh, nbw):
-            mvg, refg, mode_b, merged, midx_b = cand_sweep(
-                tabs, qp, lam_me_f, oy, planes_y, mvq.reshape(nbh, nbw, 2),
-                refv.reshape(nbh, nbw), S, nbh, nbw)
+        # use_tusplit (build-time capture, see top of build): depth >= 1
+        # covers CU <= 32; the 64 CU's forced split to 32 already
+        # consumes one level, so its split needs depth >= 2
+
+        def run_class(mvq, refv, S, nbh, nbw, settled=None):
+            if settled is None:
+                settled = cand_sweep(
+                    tabs, qp, lam_me_f, oy, planes_y,
+                    mvq.reshape(nbh, nbw, 2), refv.reshape(nbh, nbw),
+                    S, nbh, nbw)
+            mvg, refg, mode_b, merged, midx_b = settled
             c = class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u, pl_v,
-                           mvg, refg, S, nbh, nbw)
+                           mvg, refg, S, nbh, nbw,
+                           tusplit=use_tusplit and 16 <= S and
+                           (S < 64 or sps.max_tu_depth_inter >= 2))
             cost, _ = cu_cost(tabs, lam, c, mode_b, merged, midx_b, S)
             c.update(mv=mvg, ref=refg, cost=cost)
             return c
 
-        c16 = run_class(mvq16, ref16, 16, nh16, nw16)
+        sw16 = sw8 = sw32 = None
+        if _TUNE.get("fuse_sweep", True):
+            specs = [(16, nh16, nw16, mvq16.reshape(nh16, nw16, 2),
+                      ref16.reshape(nh16, nw16))]
+            if _TUNE["enable8"]:
+                specs.append((8, nh8, nw8, mvq8.reshape(nh8, nw8, 2),
+                              ref8.reshape(nh8, nw8)))
+            if has32:
+                specs.append((32, nh32, nw32,
+                              mvq32.reshape(nh32, nw32, 2),
+                              ref32.reshape(nh32, nw32)))
+            settled_all = cand_sweep_all(tabs, qp, lam_me_f, oy,
+                                         planes_y, specs)
+            sw16 = settled_all[0]
+            pos = 1
+            if _TUNE["enable8"]:
+                sw8 = settled_all[pos]
+                pos += 1
+            if has32:
+                sw32 = settled_all[pos]
+
+        c16 = run_class(mvq16, ref16, 16, nh16, nw16, settled=sw16)
         if has32:
-            c32 = run_class(mvq32, ref32, 32, nh32, nw32)
+            c32 = run_class(mvq32, ref32, 32, nh32, nw32, settled=sw32)
 
         # --- bottom-up quadtree compare ---------------------------------
         # 16 vs 4x8 (split flag of the 16 on the subs side)
         if _TUNE["enable8"]:
-            c8 = run_class(mvq8, ref8, 8, nh8, nw8)
+            c8 = run_class(mvq8, ref8, 8, nh8, nw8, settled=sw8)
             cost8q = c8["cost"].reshape(nh16, 2, nw16, 2).sum((1, 3)) \
                 + lam * tabs["split"][1]
             use8 = cost8q < c16["cost"]
@@ -2153,6 +2425,12 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                               up(mvg[..., 1], S // 8)], -1)
 
         log2_map = jnp.where(cells(use8, 16), 3, 4).astype(jnp.int8)
+        # per-8-cell "this CU's TUs split one level" (bool); composed in
+        # lockstep with log2_map
+        tsp_cells = jnp.zeros((h8, w8), bool)
+        if use_tusplit:
+            tsp_cells = tsp_cells.at[: nh16 * 2, : nw16 * 2].set(
+                cells(c16["tsplit"], 16) & ~cells(use8, 16))
         if _TUNE["enable8"]:
             mv_map = jnp.where(cells(use8, 16)[..., None], c8["mv"],
                                up_mv(c16["mv"], 16))
@@ -2192,6 +2470,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             mv_map = jnp.where(mp2[..., None], mvp8, mv_map)
             ref_map = jnp.where(mp2, refp8, ref_map)
             log2_map = jnp.where(mp2, jnp.int8(4), log2_map)
+            if use_tusplit:
+                tsp_cells = tsp_cells.at[: nh16 * 2, : nw16 * 2].set(
+                    tsp_cells[: nh16 * 2, : nw16 * 2] & ~mp2)
             lvl_y = paste(lvl_y, cpart["lvl"], up(use_part, 16), Hp16,
                           Wp16)
             rec_y = paste(rec_y, cpart["rec"], up(use_part, 16), Hp16,
@@ -2217,6 +2498,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             log2_map = log2_map.at[: nh32 * 4, : nw32 * 4].set(
                 jnp.where(m32cell, jnp.int8(5),
                           log2_map[: nh32 * 4, : nw32 * 4]))
+            if use_tusplit:
+                tsp_cells = tsp_cells.at[: nh32 * 4, : nw32 * 4].set(
+                    jnp.where(m32cell, cells(c32["tsplit"], 32),
+                              tsp_cells[: nh32 * 4, : nw32 * 4]))
             mv_map = mv_map.at[: nh32 * 4, : nw32 * 4].set(
                 jnp.where(m32cell[..., None], up_mv(c32["mv"], 32),
                           mv_map[: nh32 * 4, : nw32 * 4]))
@@ -2241,6 +2526,14 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 log2_map = log2_map.at[: nh64 * 8, : nw64 * 8].set(
                     jnp.where(m64cell, jnp.int8(6),
                               log2_map[: nh64 * 8, : nw64 * 8]))
+                if use_tusplit:
+                    # c64["tsplit"] is per forced-32 TU tile (2x2 per
+                    # CU); absent when max_tu_depth_inter < 2
+                    t64 = (up(c64["tsplit"], 4) if "tsplit" in c64
+                           else jnp.zeros((nh64 * 8, nw64 * 8), bool))
+                    tsp_cells = tsp_cells.at[: nh64 * 8, : nw64 * 8].set(
+                        jnp.where(m64cell, t64,
+                                  tsp_cells[: nh64 * 8, : nw64 * 8]))
                 mv_map = mv_map.at[: nh64 * 8, : nw64 * 8].set(
                     jnp.where(m64cell[..., None], up_mv(c64["mv"], 64),
                               mv_map[: nh64 * 8, : nw64 * 8]))
@@ -2298,6 +2591,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             log2_map = log2_map.at[: nh16 * 2, : nw16 * 2].set(
                 jnp.where(kp_cell, jnp.int8(4),
                           log2_map[: nh16 * 2, : nw16 * 2]))
+            if use_tusplit:
+                tsp_cells = tsp_cells.at[: nh16 * 2, : nw16 * 2].set(
+                    tsp_cells[: nh16 * 2, : nw16 * 2] & ~kp_cell)
             mv_map = mv_map.at[: nh16 * 2, : nw16 * 2].set(
                 jnp.where(kp_cell[..., None], 0,
                           mv_map[: nh16 * 2, : nw16 * 2]))
@@ -2331,7 +2627,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             rec_y, rec_uv = deblock_device(
                 rec_y, rec_uv, log2_map, mv_map, ref_map, luma_cbf, qp,
                 intra_cells if icand is not None else None,
-                pb if part16_final is not None else None)
+                pb if part16_final is not None else None,
+                tsp_cells if use_tusplit else None)
         sao_params = None
         if use_sao:
             rec_y, rec_uv, sao_params = sao_device(oy, ouv, rec_y, rec_uv,
@@ -2364,7 +2661,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                   imode_map.astype(jnp.uint8).reshape(-1),
                   (part_cells.astype(jnp.uint8).reshape(-1)
                    if part_cells is not None
-                   else jnp.zeros(h8 * w8, jnp.uint8))]
+                   else jnp.zeros(h8 * w8, jnp.uint8)),
+                  tsp_cells.astype(jnp.uint8).reshape(-1)]
         if sao_params is not None:
             parts.append(u8(sao_params))
         parts += [u8(sad9_16.astype(jnp.int32)),
@@ -2466,6 +2764,7 @@ def _parse_frame_buf(cfg, buf: np.ndarray) -> dict:
         intra_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
         imode_map=take(n16, np.uint8, (nh16, nw16)).astype(np.int32),
         part_map=take(h8 * w8, np.uint8, (h8, w8)),
+        tsplit_map=take(h8 * w8, np.uint8, (h8, w8)).astype(np.int32),
     )
     if sps.sao_enabled:
         ctu = 1 << sps.log2_ctu
@@ -2525,6 +2824,14 @@ def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
     )
     if has_parts:
         fs.part_mode = part_map.astype(np.int32)
+    tsp = d.get("tsplit_map")
+    if tsp is not None and bool(tsp.any()):
+        # leaf TU log2 per 4-cell: min(CU, 32) minus the one-level RQT
+        # split chosen on device; drives split_transform_flag in the
+        # writers (syntax._enc_transform_tree_p / native transform_tree_p)
+        tu8 = np.minimum(d["log2_map"], 5) - tsp
+        fs.tu_log2 = np.repeat(np.repeat(tu8, 2, 0), 2, 1).astype(
+            fs.tu_log2.dtype)
     if has_intra:
         im = d["intra_map"] > 0
         fs.inter_dir = np.where(im, 0, fs.inter_dir)
@@ -2572,6 +2879,9 @@ def collect_grid_frame(cfg, buf: np.ndarray):
     if d.get("part_map") is not None and d["part_map"].any():
         raise RuntimeError("python-walk fallback cannot serialize "
                            "rectangular partitions (native walk v3 only)")
+    if d.get("tsplit_map") is not None and d["tsplit_map"].any():
+        raise RuntimeError("python-walk fallback cannot serialize "
+                           "TU splits (FrameSyntax tu_log2 path only)")
     lvl_y, rec_y = d["lvl_y"], d["rec_y"]
     lvl_u, lvl_v = d["lvl_uv"][:, :Wc], d["lvl_uv"][:, Wc:]
     rec_u, rec_v = d["rec_uv"][:, :Wc], d["rec_uv"][:, Wc:]

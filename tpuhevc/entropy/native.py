@@ -190,6 +190,14 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
                  and bool(np.any(part_mode)))
     if (has_intra_p or has_parts) and not has_v3:
         return None  # python slice coder handles these on old libs
+    # v4: explicit TU splits below the CU (fs.tu_log2 leaves < CU size)
+    tu8 = np.asarray(fs.tu_log2)[::2, ::2]
+    exp8 = np.minimum(np.asarray(fs.cu_log2), 5)
+    has_tsplit = (slice_type != 2
+                  and bool(((tu8 >= 2) & (tu8 < exp8)).any()))
+    if has_tsplit and (not hasattr(lib, "tpuhevc_encode_slice_data_v4")
+                       or bool((tu8 == 2).any())):
+        return None  # python writer handles (incl. 4x4 leaf chroma)
     if has_intra_p:
         # native intra-in-P covers square whole-CU intra only: no NxN
         # (luma_mode4 uniform per 8-cell), no transform-skip, TU = CU
@@ -219,7 +227,7 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
         ptrs.append(p)
     cap = fs.width * fs.height * 4 + 1024
     out = np.empty(cap, dtype=np.uint8)
-    if has_intra_p or has_parts:
+    if has_intra_p or has_parts or has_tsplit:
         nullp = ctypes.POINTER(ctypes.c_int32)()
         sao_p, sao_l, sao_c = nullp, 0, 0
         if fs.sao is not None:
@@ -248,14 +256,28 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
             keep.append(a)
         else:
             dir_p = nullp
-        n = lib.tpuhevc_encode_slice_data_v3(
-            *ptrs, sao_p, sao_l, sao_c, part_p, dir_p,
-            1 if sps.amp_enabled else 0,
-            fs.width, fs.height, sps.log2_ctu, sps.log2_min_cu,
-            sps.log2_min_tu, sps.log2_max_tu, sps.max_tu_depth_intra,
-            sps.max_tu_depth_inter, slice_type, max_merge,
-            slice_type_row, qp, 1 if pps.sign_data_hiding else 0, num_ref,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if has_tsplit:
+            a, want_p = ptr(tu8)
+            keep.append(a)
+            n = lib.tpuhevc_encode_slice_data_v4(
+                *ptrs, sao_p, sao_l, sao_c, part_p, dir_p,
+                1 if sps.amp_enabled else 0, want_p,
+                fs.width, fs.height, sps.log2_ctu, sps.log2_min_cu,
+                sps.log2_min_tu, sps.log2_max_tu, sps.max_tu_depth_intra,
+                sps.max_tu_depth_inter, slice_type, max_merge,
+                slice_type_row, qp, 1 if pps.sign_data_hiding else 0,
+                num_ref,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        else:
+            n = lib.tpuhevc_encode_slice_data_v3(
+                *ptrs, sao_p, sao_l, sao_c, part_p, dir_p,
+                1 if sps.amp_enabled else 0,
+                fs.width, fs.height, sps.log2_ctu, sps.log2_min_cu,
+                sps.log2_min_tu, sps.log2_max_tu, sps.max_tu_depth_intra,
+                sps.max_tu_depth_inter, slice_type, max_merge,
+                slice_type_row, qp, 1 if pps.sign_data_hiding else 0,
+                num_ref,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
         if n < 0:
             return None
         return out[:n].tobytes()

@@ -1293,7 +1293,10 @@ def _enc_transform_tree_p(enc, sc, x0, y0, log2, depth, parent_cb, parent_cr,
             1 if inter_split else 0):
         split = 0
     else:
-        split = 0  # encoder keeps TU = CU below implicit splits
+        # the grid path publishes its chosen leaf TU sizes in fs.tu_log2
+        # (-1 = unset -> TU = CU); split while the leaf is smaller
+        want = int(fs.tu_log2[y0 // 4, x0 // 4])
+        split = 1 if 2 <= want < log2 else 0
         explicit = True
     if explicit:
         enc.encode_bin(split,
