@@ -187,7 +187,9 @@ def gop_depth(poc_in_gop: int, gop_size: int) -> int:
     while i >= 1:
         for j in range(i, gop_size, step):
             if j == poc_in_gop:
-                return depth
+                # HM increments depth once more after the matching level
+                # (the i=0 break still falls through step>>=1; depth++)
+                return depth + 1
         step >>= 1
         depth += 1
         i >>= 1
