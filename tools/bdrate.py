@@ -114,7 +114,17 @@ def sweep(yuv: str, w: int, h: int, n: int, qps, fme: str = "nn",
     hm, ours = [], []
     for qp in qps:
         a = run_hm(yuv, w, h, n, qp)
-        b = run_ours(yuv, w, h, n, qp, fme=fme, backend=backend)
+        # the shared device tunnel drops connections occasionally;
+        # transient JaxRuntimeErrors are worth a few retries
+        for attempt in range(3):
+            try:
+                b = run_ours(yuv, w, h, n, qp, fme=fme, backend=backend)
+                break
+            except Exception as e:
+                if attempt == 2:
+                    raise
+                print(f"QP{qp} ours attempt {attempt}: "
+                      f"{type(e).__name__}: {e}", flush=True)
         hm.append(a)
         ours.append(b)
         if verbose:

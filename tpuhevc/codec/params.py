@@ -42,6 +42,11 @@ class SeqParams:
     strong_intra_smoothing: bool = True
     scaling_list_enabled: bool = False
     pcm_enabled: bool = False
+    # PCM (I_PCM raw-sample CUs, §7.3.2.2.1 / TypeDef PCM defaults)
+    pcm_bit_depth: int = 8          # luma == chroma PCM sample depth
+    pcm_log2_min: int = 3           # log2 min PCM CU size
+    pcm_log2_max: int = 5           # log2 max PCM CU size
+    pcm_loop_filter_disabled: bool = False
 
     vui_timing: bool = False    # minimal VUI: timing + frame_field_info
     time_scale: int = 50        # vui_time_scale (fps, num_units 1)

@@ -164,6 +164,31 @@ class CabacEncoder:
         if self.bits_left < 12:
             self._write_out()
 
+    def write_pcm(self, samples, nbits: int) -> None:
+        """I_PCM sample write (TEncBinCABAC::encodePCMAlignBits +
+        xWritePCMCode + resetBac, TEncSbac.cpp:1034-1068): caller has
+        already coded pcm_flag via encode_bin_trm(1). Flushes the
+        arithmetic codeword, writes a '1' bit + zero alignment, emits the
+        raw fixed-length samples byte-aligned, then restarts the engine."""
+        import numpy as np
+
+        self.finish()
+        val, n = self._pending
+        acc = (val << 1) | 1          # flush bits + the '1' marker bit
+        nb = n + 1
+        pad = (-nb) % 8               # pcm alignment zero bits
+        acc <<= pad
+        nb += pad
+        for shift in range(nb - 8, -1, -8):
+            self.out.append((acc >> shift) & 0xFF)
+        arr = np.asarray(samples, dtype=np.int64).ravel()
+        total = arr.size * nbits
+        assert total % 8 == 0, "PCM payload must be byte-aligned"
+        shifts = np.arange(nbits - 1, -1, -1)
+        bits = ((arr[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+        self.out.extend(np.packbits(bits.ravel()).tobytes())
+        self.start()
+
     def finish(self) -> None:
         """Flush the arithmetic coder (called after the final terminating
         bin; caller then writes the rbsp stop bit + alignment)."""
@@ -316,6 +341,25 @@ class CabacDecoder:
                 self.bits_needed = -8
                 self.value += self._byte()
         return 0
+
+    def read_pcm_samples(self, count: int, nbits: int):
+        """I_PCM raw-sample read (TDecSbac::parseIPCMInfo semantics,
+        TDecSbac.cpp:364-404): the reference reads samples directly from
+        the bitstream's current byte position, discarding the engine's
+        prefetched bits — the encoder's flush + alignment guarantees the
+        position is the sample start. Caller must call start() after."""
+        import numpy as np
+
+        total = count * nbits
+        assert total % 8 == 0, "PCM payload must be byte-aligned"
+        nbytes = total // 8
+        chunk = self.data[self.pos : self.pos + nbytes]
+        if len(chunk) < nbytes:
+            chunk = chunk + b"\x00" * (nbytes - len(chunk))
+        self.pos += nbytes
+        bits = np.unpackbits(np.frombuffer(chunk, np.uint8))
+        w = (1 << np.arange(nbits - 1, -1, -1)).astype(np.int64)
+        return bits.reshape(count, nbits).astype(np.int64) @ w
 
     def consumed_bytes(self) -> int:
         return self.pos

@@ -246,6 +246,12 @@ def write_sps(sps: SeqParams, rps_list: list[ShortTermRPS] | None = None) -> byt
     w.write_flag(sps.amp_enabled)
     w.write_flag(sps.sao_enabled)
     w.write_flag(sps.pcm_enabled)
+    if sps.pcm_enabled:
+        w.write(sps.pcm_bit_depth - 1, 4)
+        w.write(sps.pcm_bit_depth - 1, 4)
+        w.write_ue(sps.pcm_log2_min - 3)
+        w.write_ue(sps.pcm_log2_max - sps.pcm_log2_min)
+        w.write_flag(sps.pcm_loop_filter_disabled)
     rps_list = rps_list or []
     w.write_ue(len(rps_list))
     for i, rps in enumerate(rps_list):
@@ -316,7 +322,13 @@ def parse_sps(data: bytes) -> tuple[SeqParams, list[ShortTermRPS]]:
     sps.amp_enabled = bool(r.read_flag())
     sps.sao_enabled = bool(r.read_flag())
     sps.pcm_enabled = bool(r.read_flag())
-    assert not sps.pcm_enabled
+    if sps.pcm_enabled:
+        sps.pcm_bit_depth = r.read(4) + 1
+        cbd = r.read(4) + 1
+        assert cbd == sps.pcm_bit_depth  # we keep one PCM depth
+        sps.pcm_log2_min = 3 + r.read_ue()
+        sps.pcm_log2_max = sps.pcm_log2_min + r.read_ue()
+        sps.pcm_loop_filter_disabled = bool(r.read_flag())
     n_rps = r.read_ue()
     rps_list: list = []
     for i in range(n_rps):
