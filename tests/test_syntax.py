@@ -123,3 +123,47 @@ def test_roundtrip_tu_split_64():
     )
     fs.coeff_cb[0:16, 0:16] = 3
     _roundtrip(fs, sps, PicParams())
+
+
+def test_roundtrip_pcm():
+    """I_PCM CUs mixed with regular intra CUs: pcm_flag terminating bin,
+    one-shot CABAC flush + '1' + zero alignment, byte-aligned raw Y/Cb/Cr
+    samples, engine restart (TEncSbac::codeIPCMInfo / parseIPCMInfo)."""
+    rng = np.random.default_rng(11)
+    sps = SeqParams(width=64, height=64)
+    sps.pcm_enabled = True
+    fs = _random_frame(rng, 64, 64)
+    # overwrite two CUs with PCM (a 16 and whatever size sits at (0,0))
+    for x8, y8 in ((0, 0), (4, 4)):
+        log2 = int(fs.cu_log2[y8, x8])
+        if not (sps.pcm_log2_min <= log2 <= sps.pcm_log2_max):
+            log2 = 4
+            fs.cu_log2[y8 : y8 + 2, x8 : x8 + 2] = 4
+        s = 1 << log2
+        cs = s >> 1
+        fs.coeff_y[y8 * 8 : y8 * 8 + s, x8 * 8 : x8 * 8 + s] = 0
+        fs.coeff_cb[y8 * 4 : y8 * 4 + cs, x8 * 4 : x8 * 4 + cs] = 0
+        fs.coeff_cr[y8 * 4 : y8 * 4 + cs, x8 * 4 : x8 * 4 + cs] = 0
+        fs.pcm_blocks[(x8, y8)] = (
+            rng.integers(0, 256, (s, s)),
+            rng.integers(0, 256, (cs, cs)),
+            rng.integers(0, 256, (cs, cs)),
+        )
+    ctx_e = ContextSet(2, 32)
+    enc = CabacEncoder(ctx_e)
+    encode_slice_data(enc, fs, sps, PicParams())
+    enc.finish()
+    w = bitio.BitWriter()
+    w.write_bytes(bytes(enc.out))
+    val, nbits = enc.pending_bits
+    w.write(val, nbits)
+    w.rbsp_trailing_bits()
+    data = w.getvalue()
+
+    dec = CabacDecoder(data, ContextSet(2, 32))
+    got = decode_slice_data(dec, sps, PicParams(), 64, 64)
+    assert set(got.pcm_blocks) == set(fs.pcm_blocks)
+    for k, (gy, gu, gv) in got.pcm_blocks.items():
+        ey, eu, ev = fs.pcm_blocks[k]
+        assert (gy == ey).all() and (gu == eu).all() and (gv == ev).all()
+    assert (got.coeff_y == fs.coeff_y).all()

@@ -92,9 +92,27 @@ def reconstruct_frame_full(fs, sps, qp: int):
     for x8, y8 in _cu_roots(fs.cu_log2, order8):
         log2 = int(fs.cu_log2[y8, x8])
         x0, y0 = x8 * 8, y8 * 8
+        if _paste_pcm(fs, (y, u, v), x8, y8, log2):
+            continue
         cmode_actual = resolve(x8, y8)
         walk_tu(x0, y0, log2, cmode_actual)
     return y, u, v
+
+
+def _paste_pcm(fs, planes, x8, y8, log2) -> bool:
+    """I_PCM reconstruction: the decoded samples ARE the reconstruction
+    (§8.4.1 note; TDecCu::xReconPCM) — paste in decode order so later
+    CUs' intra references see them."""
+    pcm = fs.pcm_blocks.get((x8, y8)) if fs.pcm_blocks else None
+    if pcm is None:
+        return False
+    size = 1 << log2
+    x0, y0 = x8 * 8, y8 * 8
+    planes[0][y0 : y0 + size, x0 : x0 + size] = pcm[0]
+    cs = size >> 1
+    planes[1][y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs] = pcm[1]
+    planes[2][y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs] = pcm[2]
+    return True
 
 
 def _chroma_resolver(fs):
@@ -315,5 +333,7 @@ def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon, l1_recon=None,
 
         for x8, y8 in intra_roots:
             log2 = int(fs.cu_log2[y8, x8])
+            if _paste_pcm(fs, (rec_y, rec_u, rec_v), x8, y8, log2):
+                continue
             walk_tu_i(x8 * 8, y8 * 8, log2, resolve(x8, y8))
     return rec_y, rec_u, rec_v

@@ -66,6 +66,9 @@ class FrameSyntax:
     mv4_l1: np.ndarray = None      # B slices: L1 PU-granularity motion
     ref4_l1: np.ndarray = None
     dir4: np.ndarray = None        # inter_pred_idc per 4-cell (1/2/3)
+    # I_PCM CUs: (x8, y8) top-left cell -> (y, u, v) raw sample blocks
+    # already scaled to the output bit depth (sample << (bd - pcm_bd))
+    pcm_blocks: dict = field(default_factory=dict)
     full_features: bool = False
 
     def __post_init__(self):
@@ -462,6 +465,17 @@ def _enc_cu(enc, sc, x0, y0, log2):
     # I slice: no skip/pred_mode flags; part_mode only at min CU size
     if log2 == sps.log2_min_cu:
         enc.encode_bin(1, CTX_OFFSET["part_mode"])  # 2Nx2N
+    if (sps.pcm_enabled
+            and sps.pcm_log2_min <= log2 <= sps.pcm_log2_max):
+        pcm = fs.pcm_blocks.get((x0 // 8, y0 // 8))
+        enc.encode_bin_trm(1 if pcm is not None else 0)
+        if pcm is not None:
+            sh = sps.bit_depth - sps.pcm_bit_depth
+            enc.write_pcm(
+                np.concatenate([np.asarray(b).ravel() >> sh for b in pcm]),
+                sps.pcm_bit_depth)  # one align, then Y+Cb+Cr contiguous
+            sc.mark_cu(x0, y0, log2, DC_MODE, 4)
+            return
     # luma mode (single PU)
     cand = intra_mpm_list(sc.neighbor_mode(x0, y0, True),
                           sc.neighbor_mode(x0, y0, False))
@@ -643,6 +657,28 @@ def _dec_quadtree(dec, sc, x0, y0, log2, depth):
         _dec_cu_p(dec, sc, x0, y0, log2)
 
 
+def _dec_pcm_cu(dec, sc, x0, y0, log2):
+    """I_PCM CU parse: raw samples after the pcm_flag terminating bin
+    (§7.3.8.7; TDecSbac::parseIPCMInfo TDecSbac.cpp:364-404 — read
+    luma then Cb then Cr row-major from the byte-aligned stream
+    position, then restart the arithmetic engine). The CU's intra mode
+    stays DC for neighbor MPM purposes (TComDataCU's init default)."""
+    sps, fs = sc.sps, sc.fs
+    size = 1 << log2
+    nb = sps.pcm_bit_depth
+    sh = sps.bit_depth - nb
+    yb = dec.read_pcm_samples(size * size, nb).reshape(size, size) << sh
+    cs = size >> 1
+    ub = dec.read_pcm_samples(cs * cs, nb).reshape(cs, cs) << sh
+    vb = dec.read_pcm_samples(cs * cs, nb).reshape(cs, cs) << sh
+    dec.start()
+    fs.full_features = True
+    fs.pcm_blocks[(x0 // 8, y0 // 8)] = (yb, ub, vb)
+    sc.mark_cu(x0, y0, log2, DC_MODE, 4)
+    s4 = 1 << (log2 - 2)
+    fs.tu_log2[y0 // 4 : y0 // 4 + s4, x0 // 4 : x0 // 4 + s4] = log2
+
+
 def _dec_luma_mode(dec, sc, x0, y0, prev_flag):
     cand = intra_mpm_list(sc.neighbor_mode(x0, y0, True),
                           sc.neighbor_mode(x0, y0, False))
@@ -664,6 +700,11 @@ def _dec_cu(dec, sc, x0, y0, log2):
     if log2 == sps.log2_min_cu:
         part = dec.decode_bin(CTX_OFFSET["part_mode"])
         nxn = part == 0
+    if (not nxn and sps.pcm_enabled
+            and sps.pcm_log2_min <= log2 <= sps.pcm_log2_max
+            and dec.decode_bin_trm()):
+        _dec_pcm_cu(dec, sc, x0, y0, log2)
+        return
     if not nxn:
         mode = _dec_luma_mode(
             dec, sc, x0, y0,
