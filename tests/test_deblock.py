@@ -74,3 +74,37 @@ def test_deblock_smooths_block_edges():
     assert edge_grad(fy) < edge_grad(y)
     # block interiors (away from any 8-grid edge) untouched
     assert (fy[4, 4] == y[4, 4]) and (fy[20, 20] == y[20, 20])
+
+
+def test_pcm_mask_keeps_pcm_samples_unfiltered():
+    """pcm_loop_filter_disabled_flag=1: I_PCM CU samples bypass deblocking
+    (TComLoopFilter per-sample noFilter); samples far from the PCM CU are
+    unaffected by the masking."""
+    from tpuhevc.entropy.syntax import FrameSyntax
+    from tpuhevc.ops.deblock import deblock_frame, pcm_sample_mask
+
+    rng = np.random.default_rng(7)
+    w = h = 64
+    fs = FrameSyntax(w, h)
+    fs.cu_log2[:] = 4
+    fs.luma_mode[:] = 1  # DC intra everywhere -> BS=2 on CU edges
+    fs.pcm_blocks[(2, 2)] = None  # 16x16 PCM CU at (16,16)
+    # flat 16x16 blocks at distinct DC levels: smooth interiors + step
+    # edges are exactly what deblocking filters
+    def blocky(ph, pw, bs):
+        lv = rng.integers(40, 216, (ph // bs, pw // bs))
+        return np.repeat(np.repeat(lv, bs, 0), bs, 1).astype(np.int32)
+
+    planes = (blocky(h, w, 16), blocky(h // 2, w // 2, 8),
+              blocky(h // 2, w // 2, 8))
+    mask = pcm_sample_mask(fs)
+    assert mask[0][16:32, 16:32].all() and mask[0].sum() == 256
+    plain = deblock_frame(planes, fs, 32, True)
+    kept = deblock_frame(planes, fs, 32, True, pcm_mask=mask)
+    # PCM samples untouched
+    assert (kept[0][16:32, 16:32] == planes[0][16:32, 16:32]).all()
+    assert (kept[1][8:16, 8:16] == planes[1][8:16, 8:16]).all()
+    # deblocking did modify that region in the unmasked run
+    assert (plain[0][16:32, 16:32] != planes[0][16:32, 16:32]).any()
+    # samples >4px away from the PCM CU are identical in both runs
+    assert (kept[0][40:, 40:] == plain[0][40:, 40:]).all()

@@ -68,6 +68,7 @@ def test_decode_hm_ldp_gop4_tmvp(tmp_path):
     assert all(f.md5_ok for f in fr)
 
 
+@pytest.mark.oracle
 def test_decode_hm_ldp_12frames_partitions(tmp_path):
     """12-frame LD-P streams exercising AMP/2NxN partitions, TMVP, RQT,
     per-PU motion, cabac_init_flag table swaps and intra CUs in P slices."""
@@ -78,6 +79,7 @@ def test_decode_hm_ldp_12frames_partitions(tmp_path):
         assert all(f.md5_ok for f in fr), qp
 
 
+@pytest.mark.oracle
 def test_decode_hm_randomaccess(tmp_path):
     """17-frame RA streams (GOP8 hierarchical B, 4 temporal sub-layers,
     reordering, two-list TMVP with collocated_from_l0 switching,

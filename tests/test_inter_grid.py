@@ -36,6 +36,7 @@ def _cfg(w, h, **kw):
         qp=32, intra_period=-1, fme_mode="nn", inter_backend="jax", **kw)
 
 
+@pytest.mark.oracle
 def test_grid_scan_conformance():
     clip = _clip(128, 64, 10)
     enc, _ = encode_sequence(_Reader(clip), _cfg(128, 64), max_frames=10)
@@ -44,6 +45,7 @@ def test_grid_scan_conformance():
     assert all(f.md5_ok for f in frames)
 
 
+@pytest.mark.oracle
 def test_grid_scan_checksum_no_recon_fetch():
     clip = _clip(128, 64, 9)
     enc, _ = encode_sequence(
@@ -91,6 +93,7 @@ def test_intra_in_p_conformance():
     assert n_intra > 0, "expected intra CUs in the P slices"
 
 
+@pytest.mark.oracle
 def test_native_walk_matches_python():
     from tpuhevc.codec import inter_grid
     from tpuhevc.codec.inter_enc import assemble_frame_p
@@ -153,6 +156,7 @@ def test_checksum_matches_reference_formula():
     assert plane_checksum(p) == cks.to_bytes(4, "big")
 
 
+@pytest.mark.oracle
 def test_multiref_conformance():
     """4-reference LD-P: self-decode hash OK; early frames stay within the
     DPB fill level."""
@@ -185,6 +189,7 @@ def test_amvp_scaling_matches_walk():
             assert got == tuple(exp)
 
 
+@pytest.mark.oracle
 def test_grid_deblock_rdoq_sbh_conformance():
     """Anchor coding tools on the device path: deblocking + SAO (device
     filters must be bit-identical to the host/decoder filters or the

@@ -5,6 +5,7 @@ sample availability (TComPattern::fillReferenceSamples) at TB sizes
 beyond the v1 8x8 grid.
 """
 
+import pytest
 import numpy as np
 
 from tpuhevc.codec.decoder import decode_stream
@@ -72,6 +73,7 @@ def test_qt_uses_multiple_sizes_and_saves_bits():
     assert e_qt.results[0].psnr_y > e_88.results[0].psnr_y
 
 
+@pytest.mark.oracle
 def test_np_predictor_bank_matches_jnp():
     import jax.numpy as jnp
 

@@ -1,6 +1,7 @@
 """Mesh + sharded building blocks on the virtual 8-device CPU mesh:
 tile-sharded prescreen with halo exchange, DP NN-FME training step."""
 
+import pytest
 import numpy as np
 
 from tpuhevc.parallel.mesh import dp_shard, make_mesh, tile_prescreen
@@ -86,6 +87,7 @@ def test_segment_parallel_encoding():
     assert all(f.md5_ok for f in dec)
 
 
+@pytest.mark.oracle
 def test_segment_overlapped_encoding():
     """Overlap driver: each segment's device chunks dispatched before any
     collect blocks; stitched stream must decode with every hash OK."""

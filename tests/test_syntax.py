@@ -133,12 +133,19 @@ def test_roundtrip_pcm():
     sps = SeqParams(width=64, height=64)
     sps.pcm_enabled = True
     fs = _random_frame(rng, 64, 64)
-    # overwrite two CUs with PCM (a 16 and whatever size sits at (0,0))
-    for x8, y8 in ((0, 0), (4, 4)):
-        log2 = int(fs.cu_log2[y8, x8])
+    # overwrite the CUs covering two target cells with PCM; register each
+    # block at the actual CU root (the random frame may put the target
+    # cell inside a larger CU rooted elsewhere)
+    for tx8, ty8 in ((0, 0), (4, 4)):
+        log2 = int(fs.cu_log2[ty8, tx8])
+        cpc = 1 << (log2 - 3)  # 8-cells per CU side
+        x8, y8 = tx8 // cpc * cpc, ty8 // cpc * cpc  # CU root
         if not (sps.pcm_log2_min <= log2 <= sps.pcm_log2_max):
+            # re-carve the whole containing CU into 16x16 CUs, then PCM
+            # the aligned 16 that covers the target cell
+            fs.cu_log2[y8 : y8 + cpc, x8 : x8 + cpc] = 4
             log2 = 4
-            fs.cu_log2[y8 : y8 + 2, x8 : x8 + 2] = 4
+            x8, y8 = tx8 // 2 * 2, ty8 // 2 * 2
         s = 1 << log2
         cs = s >> 1
         fs.coeff_y[y8 * 8 : y8 * 8 + s, x8 * 8 : x8 * 8 + s] = 0

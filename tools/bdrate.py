@@ -47,7 +47,16 @@ def bd_rate(rate_a, psnr_a, rate_b, psnr_b) -> float:
 
 def run_hm(yuv: str, w: int, h: int, n: int, qp: int, fr: int = 50,
            cfg: str = REF_CFG) -> dict:
-    """One HM anchor encode; returns dict(kbps, y, u, v) from its summary."""
+    """One HM anchor encode; returns dict(kbps, y, u, v) from its summary.
+    Results are cached on disk (the anchor is fixed; re-measuring our
+    encoder during a round must not pay the HM encode again)."""
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", "results", "hm_cache")
+    key = f"{os.path.basename(yuv)}_{w}x{h}x{n}_qp{qp}_fr{fr}.json"
+    cpath = os.path.join(cache_dir, key)
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            return json.load(f)
     enc = os.path.join(HMREF, "TAppEncoder")
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "str.bin")
@@ -69,8 +78,12 @@ def run_hm(yuv: str, w: int, h: int, n: int, qp: int, fr: int = 50,
         for i, ln in enumerate(lines):
             if ln.strip().startswith("Total Frames"):
                 t = lines[i + 1].split()
-                return dict(kbps=float(t[2]), y=float(t[3]), u=float(t[4]),
-                            v=float(t[5]), bits=bits)
+                res = dict(kbps=float(t[2]), y=float(t[3]), u=float(t[4]),
+                           v=float(t[5]), bits=bits)
+                os.makedirs(cache_dir, exist_ok=True)
+                with open(cpath, "w") as f:
+                    json.dump(res, f)
+                return res
     raise RuntimeError("HM summary not found:\n" + text)
 
 

@@ -283,16 +283,30 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
 
                     reconstruct_intra_cus_inter_frame(fs, sps, hdr.qp,
                                                       (y, u, v))
+            # pcm_loop_filter_disabled_flag: PCM CU samples bypass both
+            # in-loop filters (TComLoopFilter noFilter / TComSAO skip)
+            pcm_keep = None
+            if sps.pcm_loop_filter_disabled and fs.pcm_blocks:
+                from ..ops.deblock import pcm_sample_mask
+
+                pcm_keep = pcm_sample_mask(fs)
             if not pps.deblocking_disabled:
                 from ..ops.deblock import deblock_frame
 
                 y, u, v = deblock_frame((y, u, v), fs, hdr.qp,
-                                        hdr.slice_type == I_SLICE)
+                                        hdr.slice_type == I_SLICE,
+                                        pcm_mask=pcm_keep)
             if fs.sao is not None:
                 from .sao_enc import apply_sao_picture
 
+                pre = (y, u, v)
                 y, u, v = apply_sao_picture((y, u, v), fs.sao,
                                             sps.ctu_size, sps.bit_depth)
+                if pcm_keep is not None:
+                    my, mc = pcm_keep
+                    y, u, v = (np.where(m, p0, p) for m, p0, p in
+                               ((my, pre[0], y), (mc, pre[1], u),
+                                (mc, pre[2], v)))
             pending = DecodedFrame(poc=hdr.poc, y=y, u=u, v=v)
             frames.append(pending)
     return frames  # decode order; callers sort by .poc for display order

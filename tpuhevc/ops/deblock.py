@@ -412,13 +412,31 @@ def _deblock_chroma_dir(plane, bs8, qp_c, vertical: bool):
     return out
 
 
-def deblock_frame(planes, fs, qp: int, is_intra_slice: bool):
+def pcm_sample_mask(fs):
+    """Boolean (luma, chroma) masks of I_PCM CU samples, for
+    pcm_loop_filter_disabled_flag handling (TComLoopFilter::xDeblockCU's
+    per-sample noFilter derivation). PCM CUs are >=8px aligned so the
+    chroma mask is a plain 2x decimation."""
+    my = np.zeros((fs.height, fs.width), bool)
+    for (x8, y8) in fs.pcm_blocks or ():
+        s = 1 << int(fs.cu_log2[y8, x8])
+        my[y8 * 8 : y8 * 8 + s, x8 * 8 : x8 * 8 + s] = True
+    return my, my[::2, ::2]
+
+
+def deblock_frame(planes, fs, qp: int, is_intra_slice: bool, pcm_mask=None):
     """(y, u, v) recon -> deblocked recon (both encoder and decoder call
     this after full-frame reconstruction; intra prediction already used the
     unfiltered samples, matching the normative decoding order). With
     fs.qp_ctu set (cu_qp_delta streams) edges filter at the per-cell
-    average QP."""
+    average QP. pcm_mask=(luma, chroma) keeps those samples unfiltered
+    (pcm_loop_filter_disabled_flag=1); they are restored between the
+    vertical and horizontal passes so neighbor filtering reads the
+    unfiltered PCM values, matching HM's write-mask semantics."""
     y, u, v = (np.asarray(p).astype(np.int32) for p in planes)
+    if pcm_mask is not None:
+        my, mc = pcm_mask
+        y0, u0, v0 = y.copy(), u.copy(), v.copy()
     if getattr(fs, "qp_ctu", None) is not None:
         h8, w8 = fs.height // 8, fs.width // 8
         f = -(-h8 // fs.qp_ctu.shape[0])  # CTU -> 8-cell granularity
@@ -433,9 +451,15 @@ def deblock_frame(planes, fs, qp: int, is_intra_slice: bool):
     y = _deblock_luma_dir(y, bs_v, qp, True)
     u = _deblock_chroma_dir(u, bs_v, qpc, True)
     v = _deblock_chroma_dir(v, bs_v, qpc, True)
+    if pcm_mask is not None:
+        y, u, v = (np.where(m, p0, p)
+                   for m, p0, p in ((my, y0, y), (mc, u0, u), (mc, v0, v)))
     bs_h = (boundary_strength_full(fs, 1) if full
             else boundary_strength(fs, is_intra_slice, 1))
     y = _deblock_luma_dir(y, bs_h, qp, False)
     u = _deblock_chroma_dir(u, bs_h, qpc, False)
     v = _deblock_chroma_dir(v, bs_h, qpc, False)
+    if pcm_mask is not None:
+        y, u, v = (np.where(m, p0, p)
+                   for m, p0, p in ((my, y0, y), (mc, u0, u), (mc, v0, v)))
     return y, u, v
