@@ -855,20 +855,20 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return jnp.where(tu_log2 == 3, any8,
                          jnp.where(tu_log2 == 4, any16, any32))
 
-    def _bs_dir(log2_map, mv_map, ref_map, tb_cbf, axis, intra=None,
-                part_b=None):
+    def _bs_dir(log2_map, mv_map, ref_map, tb_cbf, axis, intra=None):
         """(h8, w8) boundary strength for the edge at each cell's
         left (axis 1) / top (axis 0); P-slice rules (§8.7.2.4 with the
         deblock.boundary_strength semantics); intra cells force bs 2.
-        part_b adds the PU-internal edge of rectangular 16-CUs (the
-        half boundary is a PU edge though the TU spans the CU)."""
+        The cbf condition applies at TU edges only; the motion condition
+        applies at EVERY 8-aligned edge — motion is constant inside a
+        PU, so any 8-edge with a motion difference IS a PU (or CU)
+        boundary. This makes the derivation generic over every PU shape
+        (square, 2NxN/Nx2N at any CU size, AMP) with no partition map,
+        mirroring ops/deblock.boundary_strength_full."""
         tu_log2 = jnp.minimum(log2_map.astype(jnp.int32), 5)
         cs = (jnp.arange(w8)[None] if axis == 1
               else jnp.arange(h8)[:, None])
         edge = (cs % (1 << (tu_log2 - 3))) == 0
-        if part_b is not None:
-            want = 1 if axis == 0 else 2  # 2NxN: horiz edge; Nx2N: vert
-            edge = edge | ((part_b == want) & (cs % 2 == 1))
         if axis == 1:
             p_cbf = jnp.roll(tb_cbf, 1, 1)
             p_mv = jnp.roll(mv_map, 1, 1)
@@ -882,8 +882,11 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 (np.arange(h8) == 0)[:, None].repeat(w8, 1))
         mv_far = (jnp.abs(mv_map - p_mv) >= 4).any(-1) | (
             ref_map != p_ref)
-        bs = ((tb_cbf | p_cbf | mv_far) & edge & ~border).astype(jnp.int32)
+        bs = ((((tb_cbf | p_cbf) & edge) | mv_far)
+              & ~border).astype(jnp.int32)
         if intra is not None:
+            # TU edges are a superset of CU edges, so `edge` is exactly
+            # the spec's (CU edge | TU edge) condition for intra bs 2
             p_in = jnp.roll(intra, 1, 1 if axis == 1 else 0)
             bs = jnp.where((intra | p_in) & edge & ~border, 2, bs)
         return bs
@@ -1010,14 +1013,15 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return t.reshape(hc, wc)
 
     def deblock_device(rec_y, rec_uv, log2_map, mv_map, ref_map,
-                       cbf_cells, qp, intra_cells=None, part_b=None,
+                       cbf_cells, qp, intra_cells=None,
                        tsplit_cells=None):
         """Whole-frame deblock (vertical then horizontal edges), device
         twin of ops/deblock.deblock_frame for P slices. Luma filters
         bs >= 1 edges; chroma only bs == 2 (intra) edges. Same int math;
-        parity is tested against the host filter. part_b: per-8-cell
-        partition-type broadcast (1 = 2NxN, 2 = Nx2N) — PU-internal
-        edges of rectangular CUs deblock too (§8.7.2.2 PU boundaries).
+        parity is tested against the host filter. PU-internal edges of
+        rectangular/AMP CUs need no partition map: _bs_dir applies the
+        motion condition at every 8-aligned edge (§8.7.2.2 PU
+        boundaries fall out of the per-cell MV differences).
         tsplit_cells: per-8-cell one-level RQT split — TB edges and cbf
         regions use the leaf TU size (all leaves >= 8, so the per-8-cell
         grid stays exact)."""
@@ -1025,11 +1029,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         if tsplit_cells is not None:
             tu_map = tu_map - tsplit_cells.astype(jnp.int32)
         tb_cbf = _tb_cbf_cells(tu_map, cbf_cells)
-        bs_v = _bs_dir(tu_map, mv_map, ref_map, tb_cbf, 1, intra_cells,
-                       part_b)
+        bs_v = _bs_dir(tu_map, mv_map, ref_map, tb_cbf, 1, intra_cells)
         y = _deblock_luma_vert(rec_y, bs_v, qp)
-        bs_h = _bs_dir(tu_map, mv_map, ref_map, tb_cbf, 0, intra_cells,
-                       part_b)
+        bs_h = _bs_dir(tu_map, mv_map, ref_map, tb_cbf, 0, intra_cells)
         y = _deblock_luma_vert(y.T, bs_h.T, qp).T
         if intra_cells is None:
             return y, rec_uv
@@ -2296,50 +2298,56 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             use8 = jnp.zeros((nh16, nw16), bool)
             best16 = c16["cost"]
 
-        # --- rectangular PU trial at the 16 level (2NxN / Nx2N) ---------
-        # TEncCu::xCheckRDCostInter(SIZE_2NxN / SIZE_Nx2N) counterpart:
-        # per-half motion candidates come from the settled 8-class grid,
-        # the cheaper-SATD shape is coded exactly (one 16 TU, per-half
-        # MC) and competes in the quadtree compare. PU syntax is costed
-        # as AMVP (merge underestimated -> partitions only win when
-        # clearly better; the native walk emits real merges when they
-        # exist).
-        use_part = None
-        if use_parts:
-            Hp16, Wp16 = nh16 * 16, nw16 * 16
-            h8c, w8c = nh16 * 2, nw16 * 2
-            oy16 = oy[:Hp16, :Wp16]
-            mv8c = c8["mv"][:h8c, :w8c]
-            ref8c = c8["ref"][:h8c, :w8c]
+        # --- rectangular PU trials (2NxN / Nx2N) -------------------------
+        # TEncCu::xCheckRDCostInter(SIZE_2NxN / SIZE_Nx2N) counterpart at
+        # CU sizes 16 and 32: per-half motion candidates come from the
+        # settled child class (S/2) grid, the cheaper-SATD shape is coded
+        # exactly (per-half MC, TU = CU) and competes in the quadtree
+        # compare. PU syntax is costed as AMVP (merge underestimated ->
+        # partitions only win when clearly better; the native walk emits
+        # real merges when they exist).
+        def rect_trial(S, nbh_, nbw_, mv_c, ref_c, sq_mv):
+            """Rect-PU candidate at CU size S from child-class (mv, ref)
+            grids. Returns (cost, ptype(1=2NxN,2=Nx2N), per-8-cell mv,
+            per-8-cell ref, coded planes dict)."""
+            C = S // 2          # child CU size (the half-pick unit)
+            f = C // 8          # 8-cells per child side
+            HpS, WpS = nbh_ * S, nbw_ * S
+            hc, wc = nbh_ * 2, nbw_ * 2      # child-grid dims
+            oyS = oy[:HpS, :WpS]
+            mv_cg = mv_c[:hc, :wc]
+            ref_cg = ref_c[:hc, :wc]
 
             def half_pick(pair_axis):
-                """Per-half best MV of the two member 8-cells
-                (pair_axis 1: 16x8 halves of 2NxN; 0: 8x16 of Nx2N)."""
+                """Per-half best MV of the two member child cells
+                (pair_axis 1: Sx(S/2) halves of 2NxN; 0: Nx2N)."""
                 if pair_axis == 1:
-                    first = jnp.repeat(mv8c[:, 0::2], 2, 1)
-                    second = jnp.repeat(mv8c[:, 1::2], 2, 1)
-                    rfirst = jnp.repeat(ref8c[:, 0::2], 2, 1)
-                    rsecond = jnp.repeat(ref8c[:, 1::2], 2, 1)
+                    first = jnp.repeat(mv_cg[:, 0::2], 2, 1)
+                    second = jnp.repeat(mv_cg[:, 1::2], 2, 1)
+                    rfirst = jnp.repeat(ref_cg[:, 0::2], 2, 1)
+                    rsecond = jnp.repeat(ref_cg[:, 1::2], 2, 1)
                 else:
-                    first = jnp.repeat(mv8c[0::2], 2, 0)
-                    second = jnp.repeat(mv8c[1::2], 2, 0)
-                    rfirst = jnp.repeat(ref8c[0::2], 2, 0)
-                    rsecond = jnp.repeat(ref8c[1::2], 2, 0)
+                    first = jnp.repeat(mv_cg[0::2], 2, 0)
+                    second = jnp.repeat(mv_cg[1::2], 2, 0)
+                    rfirst = jnp.repeat(ref_cg[0::2], 2, 0)
+                    rsecond = jnp.repeat(ref_cg[1::2], 2, 0)
                 sat = []
                 for mvm, refm in ((first, rfirst), (second, rsecond)):
                     p = pred_luma(planes_y,
-                                  jnp.stack([up(mvm[..., 0], 8),
-                                             up(mvm[..., 1], 8)], -1),
-                                  up(refm, 8), Hp16, Wp16)
-                    sat.append(satd8_plane(oy16 - p))
-                sA, sB = sat
+                                  jnp.stack([up(mvm[..., 0], C),
+                                             up(mvm[..., 1], C)], -1),
+                                  up(refm, C), HpS, WpS)
+                    s8 = satd8_plane(oyS - p)
+                    sat.append(s8.reshape(hc, f, wc, f).sum((1, 3))
+                               if f > 1 else s8)
+                sA, sB = sat                       # per child cell
                 if pair_axis == 1:
-                    hA = sA[:, 0::2] + sA[:, 1::2]    # (h8c, nw16)
+                    hA = sA[:, 0::2] + sA[:, 1::2]    # (hc, nbw_)
                     hB = sB[:, 0::2] + sB[:, 1::2]
                     takeB = hB < hA
                     tB2 = jnp.repeat(takeB, 2, 1)
                 else:
-                    hA = sA[0::2] + sA[1::2]          # (nh16, w8c)
+                    hA = sA[0::2] + sA[1::2]          # (nbh_, wc)
                     hB = sB[0::2] + sB[1::2]
                     takeB = hB < hA
                     tB2 = jnp.repeat(takeB, 2, 0)
@@ -2348,26 +2356,33 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 sath = jnp.where(takeB, hB, hA)
                 return mvh, refh, sath
 
-            mv_h, ref_h, sat_h = half_pick(1)   # 2NxN cell maps
-            mv_v, ref_v, sat_v = half_pick(0)   # Nx2N cell maps
-            s2nxn = sat_h[0::2] + sat_h[1::2]   # per-CU SATD (nh16, nw16)
+            mv_h, ref_h, sat_h = half_pick(1)   # 2NxN child maps
+            mv_v, ref_v, sat_v = half_pick(0)   # Nx2N child maps
+            s2nxn = sat_h[0::2] + sat_h[1::2]   # per-CU SATD (nbh_, nbw_)
             snx2n = sat_v[:, 0::2] + sat_v[:, 1::2]
             pick_v = snx2n < s2nxn
-            ptype16 = jnp.where(pick_v, 2, 1)   # 1 = 2NxN, 2 = Nx2N
+            ptype = jnp.where(pick_v, 2, 1)     # 1 = 2NxN, 2 = Nx2N
             pv2 = jnp.repeat(jnp.repeat(pick_v, 2, 0), 2, 1)
-            mvp8 = jnp.where(pv2[..., None], mv_v, mv_h)
-            refp8 = jnp.where(pv2, ref_v, ref_h)
+            mvpc = jnp.where(pv2[..., None], mv_v, mv_h)
+            refpc = jnp.where(pv2, ref_v, ref_h)
+            # per-8-cell maps for class_code + composition
+            if f > 1:
+                mv_cells = jnp.stack([up(mvpc[..., 0], f),
+                                      up(mvpc[..., 1], f)], -1)
+                ref_cells = up(refpc, f)
+            else:
+                mv_cells, ref_cells = mvpc, refpc
             cpart = class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u,
-                               pl_v, None, None, 16, nh16, nw16,
-                               mv_cells=mvp8, ref_cells=refp8)
+                               pl_v, None, None, S, nbh_, nbw_,
+                               mv_cells=mv_cells, ref_cells=ref_cells)
             mvd_lut = jnp.asarray(tabs["mvd_lut"])
             ref_lut = jnp.asarray(tabs["ref_bits"])
-            c16mv2 = jnp.repeat(jnp.repeat(c16["mv"], 2, 0), 2, 1)
-            dmv = jnp.minimum(jnp.abs(mvp8 - c16mv2), 4095)
-            pu_b8 = (mvd_lut[dmv[..., 0]] + mvd_lut[dmv[..., 1]]
-                     + ref_lut[refp8] + tabs["mf0"] + tabs["mvp"])
-            # each PU covers two cells with identical bits -> 0.5x sum
-            pu_bits = 0.5 * pu_b8.reshape(nh16, 2, nw16, 2).sum((1, 3))
+            sqmv2 = jnp.repeat(jnp.repeat(sq_mv, 2, 0), 2, 1)
+            dmv = jnp.minimum(jnp.abs(mvpc - sqmv2), 4095)
+            pu_bc = (mvd_lut[dmv[..., 0]] + mvd_lut[dmv[..., 1]]
+                     + ref_lut[refpc] + tabs["mf0"] + tabs["mvp"])
+            # each PU covers two child cells with identical bits -> 0.5x
+            pu_bits = 0.5 * pu_bc.reshape(nbh_, 2, nbw_, 2).sum((1, 3))
             mode_bp = (tabs["pred_inter"] + pu_bits
                        + jnp.where(pick_v, jnp.float32(tabs["part_hv"][1]),
                                    jnp.float32(tabs["part_hv"][0])))
@@ -2376,7 +2391,13 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                      + jnp.where(cbf_p, tabs["root1"], tabs["root0"]))
             bits_p = (syn_p + jnp.where(cbf_p, cpart["bits"], 0.0)
                       + tabs["split"][0])
-            cost_p = cpart["d"] + lam * bits_p
+            return cpart["d"] + lam * bits_p, ptype, mv_cells, ref_cells, \
+                cpart
+
+        use_part = None
+        if use_parts:
+            cost_p, ptype16, mvp8, refp8, cpart = rect_trial(
+                16, nh16, nw16, c8["mv"], c8["ref"], c16["mv"])
             use_part = cost_p < best16
             best16 = jnp.minimum(best16, cost_p)
             use8 = use8 & ~use_part
@@ -2390,12 +2411,24 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             icost16 = intra16_cost(tabs, lam, ci16)
             icand = icost16 < best16
             best16 = jnp.minimum(best16, icost16)
-        use32 = use64 = None
+        use32 = use64 = use_part32 = None
         if has32:
             b16 = best16[: nh32 * 2, : nw32 * 2].reshape(
                 nh32, 2, nw32, 2).sum((1, 3)) + lam * tabs["split"][1]
-            use32 = c32["cost"] < b16
-            best32 = jnp.minimum(c32["cost"], b16)
+            cand32 = c32["cost"]
+            if use_parts:
+                # rect PUs at the 32 level, halves from the settled 16s
+                cost_p32, ptype32, mvp8_32, refp8_32, cpart32 = rect_trial(
+                    32, nh32, nw32, c16["mv"], c16["ref"], c32["mv"])
+                rect32_beats_sq = cost_p32 < cand32
+                cand32 = jnp.minimum(cand32, cost_p32)
+            use32any = cand32 < b16
+            if use_parts:
+                use_part32 = use32any & rect32_beats_sq
+                use32 = use32any & ~rect32_beats_sq
+            else:
+                use32 = use32any
+            best32 = jnp.minimum(cand32, b16)
             if has64 and _TUNE["enable64"]:
                 # 64 CU: adopt the min-cost child 32's (mv, ref); residual
                 # coded as 4x 32 TUs (forced RQT split at log2 64)
@@ -2466,6 +2499,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         # and intra pastes override them in turn (clearing part16_final)
         part16_final = None
         if use_parts:
+            Hp16, Wp16 = nh16 * 16, nw16 * 16
             mp2 = jnp.repeat(jnp.repeat(use_part, 2, 0), 2, 1)
             mv_map = jnp.where(mp2[..., None], mvp8, mv_map)
             ref_map = jnp.where(mp2, refp8, ref_map)
@@ -2484,6 +2518,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                               Wp16 // 2)
             part16_final = jnp.where(use_part, ptype16, 0)
 
+        part32_final = None
         if has32:
             H32, W32 = nh32 * 32, nw32 * 32
             m32p = up(use32, 32)
@@ -2508,9 +2543,35 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             ref_map = ref_map.at[: nh32 * 4, : nw32 * 4].set(
                 jnp.where(m32cell, cells(c32["ref"], 32),
                           ref_map[: nh32 * 4, : nw32 * 4]))
+            if use_part32 is not None:
+                # rect-PU winners at the 32 level (TU = CU, no split)
+                mp32 = up(use_part32, 32)
+                lvl_y = paste(lvl_y, cpart32["lvl"], mp32, H32, W32)
+                rec_y = paste(rec_y, cpart32["rec"], mp32, H32, W32)
+                mp32c = up(use_part32, 16)
+                lvl_uv = paste_uv(lvl_uv, cpart32["lvl_c"], mp32c,
+                                  H32 // 2, W32 // 2)
+                rec_uv = paste_uv(rec_uv, cpart32["rec_c"], mp32c,
+                                  H32 // 2, W32 // 2)
+                m32cp = up(use_part32, 4)
+                log2_map = log2_map.at[: nh32 * 4, : nw32 * 4].set(
+                    jnp.where(m32cp, jnp.int8(5),
+                              log2_map[: nh32 * 4, : nw32 * 4]))
+                if use_tusplit:
+                    tsp_cells = tsp_cells.at[: nh32 * 4, : nw32 * 4].set(
+                        tsp_cells[: nh32 * 4, : nw32 * 4] & ~m32cp)
+                mv_map = mv_map.at[: nh32 * 4, : nw32 * 4].set(
+                    jnp.where(m32cp[..., None], mvp8_32,
+                              mv_map[: nh32 * 4, : nw32 * 4]))
+                ref_map = ref_map.at[: nh32 * 4, : nw32 * 4].set(
+                    jnp.where(m32cp, refp8_32,
+                              ref_map[: nh32 * 4, : nw32 * 4]))
+                part32_final = jnp.where(use_part32, ptype32, 0)
             if part16_final is not None:
+                cover32 = use32 if use_part32 is None else \
+                    use32 | use_part32
                 part16_final = part16_final.at[: nh32 * 2, : nw32 * 2].set(
-                    jnp.where(jnp.repeat(jnp.repeat(use32, 2, 0), 2, 1),
+                    jnp.where(jnp.repeat(jnp.repeat(cover32, 2, 0), 2, 1),
                               0, part16_final[: nh32 * 2, : nw32 * 2]))
             if has64 and use64 is not None:
                 H64, W64 = nh64 * 64, nw64 * 64
@@ -2545,6 +2606,11 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                         : nh64 * 4, : nw64 * 4].set(jnp.where(
                             jnp.repeat(jnp.repeat(use64, 4, 0), 4, 1),
                             0, part16_final[: nh64 * 4, : nw64 * 4]))
+                if part32_final is not None:
+                    part32_final = part32_final.at[
+                        : nh64 * 2, : nw64 * 2].set(jnp.where(
+                            jnp.repeat(jnp.repeat(use64, 2, 0), 2, 1),
+                            0, part32_final[: nh64 * 2, : nw64 * 2]))
 
         # --- intra-16 exact reconstruction + composition -----------------
         intra_cells = jnp.zeros((h8, w8), bool)
@@ -2553,8 +2619,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             kept = intra_suppress(icand)
             if has32 and use32 is not None:
                 cov = jnp.zeros((nh16, nw16), bool)
+                cov32 = use32 if use_part32 is None else \
+                    use32 | use_part32
                 cov = cov.at[: nh32 * 2, : nw32 * 2].set(
-                    jnp.repeat(jnp.repeat(use32, 2, 0), 2, 1))
+                    jnp.repeat(jnp.repeat(cov32, 2, 0), 2, 1))
                 if has64 and use64 is not None:
                     cov = cov.at[: nh64 * 4, : nw64 * 4].set(
                         cov[: nh64 * 4, : nw64 * 4]
@@ -2612,14 +2680,23 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
 
         part_cells = None
         if part16_final is not None:
-            # per-8-cell partition broadcast (PU-edge deblock) + the
-            # origin-cell map the syntax walk consumes
+            # per-8-cell PU-origin partition map the syntax walk consumes
+            # (pcode at the CU's origin cell; 16- and 32-level regions are
+            # disjoint, so the two maps compose by nonzero-wins)
             pb = jnp.zeros((h8, w8), jnp.int32).at[
                 : nh16 * 2, : nw16 * 2].set(
                 jnp.repeat(jnp.repeat(part16_final, 2, 0), 2, 1))
             orig = jnp.asarray((np.arange(h8)[:, None] % 2 == 0)
                                & (np.arange(w8)[None] % 2 == 0))
             part_cells = jnp.where(orig, pb, 0)
+            if part32_final is not None:
+                pb32 = jnp.zeros((h8, w8), jnp.int32).at[
+                    : nh32 * 4, : nw32 * 4].set(
+                    jnp.repeat(jnp.repeat(part32_final, 4, 0), 4, 1))
+                orig32 = jnp.asarray((np.arange(h8)[:, None] % 4 == 0)
+                                     & (np.arange(w8)[None] % 4 == 0))
+                pc32 = jnp.where(orig32, pb32, 0)
+                part_cells = jnp.where(pc32 > 0, pc32, part_cells)
 
         if use_deblock:
             # luma-TB cbf only for the BS condition (§8.7.2.4)
@@ -2627,7 +2704,6 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             rec_y, rec_uv = deblock_device(
                 rec_y, rec_uv, log2_map, mv_map, ref_map, luma_cbf, qp,
                 intra_cells if icand is not None else None,
-                pb if part16_final is not None else None,
                 tsp_cells if use_tusplit else None)
         sao_params = None
         if use_sao:
