@@ -136,7 +136,7 @@ def test_native_walk_matches_python():
         oy = _pad_to(y, H, W)
         ou = _pad_to(u, H // 2, W // 2)
         ov = _pad_to(v, H // 2, W // 2)
-        cu, lm, cm = intra_qt.decide_intra_qt(oy, ou, ov, cfg, qp)
+        cu, lm, cm = intra_qt.decide_intra_qt(oy, ou, ov, cfg, qp)[:3]
         lam_fp = int(round(i_frame_lambda(cfg, qp) * 256))
 
         def run(native):

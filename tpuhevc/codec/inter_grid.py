@@ -1517,7 +1517,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         d_tu = jnp.where(drop, d_skip, d_coded)
         b_tu = jnp.where(drop, cbf_b[0], bits_tu + cbf_b[1])
         cbf_tu = jnp.where(drop, 0, nzb)
-        return lvl, rec, d_tu, b_tu, cbf_tu
+        return lvl, rec, d_tu, b_tu, cbf_tu, d_skip
 
     def class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u, pl_v,
                    mv_grid, ref_grid, S, nbh, nbw, mv_cells=None,
@@ -1545,13 +1545,13 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                                  up(mv_grid[..., 1], S)], -1)
             refp = up(ref_grid, S)
         pred_y = pred_luma(planes_y, mvq_pix, refp, Hp, Wp)
-        lvl, rec, d_tu, b_tu, cbf_tu = _txq_luma(
+        lvl, rec, d_tu, b_tu, cbf_tu, d0_tu = _txq_luma(
             oy_c, pred_y, T, qp, lam, tabs, Hp, Wp)
 
         do_split = tusplit and T >= 16  # leaves stay >= 8
         if do_split:
             T2 = T // 2
-            lvl2, rec2, d_tu2, b_tu2, cbf_tu2 = _txq_luma(
+            lvl2, rec2, d_tu2, b_tu2, cbf_tu2, _ = _txq_luma(
                 oy_c, pred_y, T2, qp, lam, tabs, Hp, Wp)
 
             def t_sum(x):  # T2 grid -> T grid
@@ -1618,9 +1618,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             duv = jnp.where(drop_c, dc_s, dc_c)
             buv = jnp.where(drop_c, cbfc_b[0], bits_ctu + cbfc_b[1])
             nzk = jnp.where(drop_c, 0, nzc)
-            return lvl_c, rec_c, duv, buv, nzk
+            return lvl_c, rec_c, duv, buv, nzk, dc_s
 
-        lvl_c, rec_c, duv, buv, nzk = _txq_chroma(Tc)
+        lvl_c, rec_c, duv, buv, nzk, dc0 = _txq_chroma(Tc)
 
         split_tu = None
         if do_split:
@@ -1631,7 +1631,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             # 32, Tc = 16), so the per-T-tile choice maps directly.
             assert Tc == T // 2
             Tc2 = Tc // 2  # >= 4 (S >= 16 here)
-            lvl_c2, rec_c2, duv2, buv2, nzk2 = _txq_chroma(Tc2)
+            lvl_c2, rec_c2, duv2, buv2, nzk2, _ = _txq_chroma(Tc2)
 
             def csum(x):  # Tc2 chroma grid (packed) -> T-tile grid
                 ntw = x.shape[1] // 2
@@ -1684,8 +1684,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         d_cu = cu_sum(d_tu) + wch * cu_sum_c(duv)
         b_cu = cu_sum(b_tu) + cu_sum_c(buv)
         cbf_cu = cu_sum(cbf_tu) + cu_sum_c(nzk)
+        d0_cu = cu_sum(d0_tu) + wch * cu_sum_c(dc0)
         out = dict(lvl=lvl, rec=rec, lvl_c=lvl_c, rec_c=rec_c,
-                   d=d_cu, bits=b_cu, cbf=cbf_cu > 0)
+                   d=d_cu, bits=b_cu, cbf=cbf_cu > 0, d0=d0_cu,
+                   pred=pred_y, pred_c=pred_uv)
         if split_tu is not None:
             out["tsplit"] = split_tu  # per T-tile bool
         return out
@@ -2258,6 +2260,27 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                            tusplit=use_tusplit and 16 <= S and
                            (S < 64 or sps.max_tu_depth_inter >= 2))
             cost, _ = cu_cost(tabs, lam, c, mode_b, merged, midx_b, S)
+            # explicit SKIP trial (xCheckRDCostMerge2Nx2N's no-residual
+            # candidate, TEncCu.cpp:455): for merged CUs compare the
+            # coded result against merge + zero residual outright — the
+            # per-TU drops above can't see the CU-level syntax saving
+            skip_syn = tabs["skip1"] + midx_b
+            if S > 8:
+                skip_syn = skip_syn + tabs["split"][0]
+            cost_skip = c["d0"] + lam * skip_syn
+            force = merged & (cost_skip < cost)
+            cost = jnp.where(force, cost_skip, cost)
+            fp = up(force, S)
+            c["lvl"] = jnp.where(fp, 0, c["lvl"])
+            c["rec"] = jnp.where(fp, c["pred"], c["rec"])
+            fc = jnp.concatenate([up(force, S // 2)] * 2, axis=1)
+            c["lvl_c"] = jnp.where(fc, 0, c["lvl_c"])
+            c["rec_c"] = jnp.where(fc, c["pred_c"], c["rec_c"])
+            c["cbf"] = c["cbf"] & ~force
+            if "tsplit" in c:
+                ft = force.repeat(S // min(S, 32), 0).repeat(
+                    S // min(S, 32), 1)
+                c["tsplit"] = c["tsplit"] & ~ft
             c.update(mv=mvg, ref=refg, cost=cost)
             return c
 

@@ -193,6 +193,10 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
     # v4: explicit TU splits below the CU (fs.tu_log2 leaves < CU size)
     tu8 = np.asarray(fs.tu_log2)[::2, ::2]
     exp8 = np.minimum(np.asarray(fs.cu_log2), 5)
+    if slice_type == 2 and (
+            bool(np.asarray(fs.nxn).any())
+            or bool(((tu8 >= 2) & (tu8 < exp8)).any())):
+        return None  # I-slice NxN PUs / TU splits: python writer
     has_tsplit = (slice_type != 2
                   and bool(((tu8 >= 2) & (tu8 < exp8)).any()))
     if has_tsplit and (not hasattr(lib, "tpuhevc_encode_slice_data_v4")

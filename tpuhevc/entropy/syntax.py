@@ -69,6 +69,11 @@ class FrameSyntax:
     # I_PCM CUs: (x8, y8) top-left cell -> (y, u, v) raw sample blocks
     # already scaled to the output bit depth (sample << (bd - pcm_bd))
     pcm_blocks: dict = field(default_factory=dict)
+    # encoder-side intra NxN partitions: 1 at the root cell of a min-CU
+    # whose four PU modes live in luma_mode4 (part_mode == PART_NxN,
+    # TEncCu.cpp:644-650 counterpart). The TU tree of any intra CU is
+    # driven by tu_log2 (leaf TB log2 per 4-cell; -1 = TU = CU).
+    nxn: np.ndarray = None
     full_features: bool = False
 
     def __post_init__(self):
@@ -76,6 +81,8 @@ class FrameSyntax:
         h4, w4 = self.height // 4, self.width // 4
         if self.tu_log2 is None:
             self.tu_log2 = np.full((h4, w4), -1, dtype=np.int8)
+        if self.nxn is None:
+            self.nxn = np.zeros((h8, w8), dtype=np.int8)
         if self.luma_mode4 is None:
             self.luma_mode4 = np.full((h4, w4), DC_MODE, dtype=np.int8)
         if self.ts_y is None:
@@ -457,15 +464,28 @@ def _enc_quadtree(enc, sc, x0, y0, log2, depth):
         _enc_cu_p(enc, sc, x0, y0, log2)
 
 
+def _enc_luma_mode_payload(enc, cand, mode):
+    """mpm_idx / rem_intra_luma_pred_mode EP bins (flag already coded)."""
+    if mode in cand:
+        idx = cand.index(mode)
+        enc.encode_bin_ep(0 if idx == 0 else 1)
+        if idx:
+            enc.encode_bin_ep(idx - 1)
+    else:
+        rem = mode - sum(1 for c in cand if c < mode)
+        enc.encode_bins_ep(rem, 5)
+
+
 def _enc_cu(enc, sc, x0, y0, log2):
     fs, sps, pps = sc.fs, sc.sps, sc.pps
     y8, x8 = y0 // 8, x0 // 8
     mode = int(fs.luma_mode[y8, x8])
     cmode = int(fs.chroma_mode[y8, x8])
+    nxn = bool(fs.nxn[y8, x8]) and log2 == sps.log2_min_cu
     # I slice: no skip/pred_mode flags; part_mode only at min CU size
     if log2 == sps.log2_min_cu:
-        enc.encode_bin(1, CTX_OFFSET["part_mode"])  # 2Nx2N
-    if (sps.pcm_enabled
+        enc.encode_bin(0 if nxn else 1, CTX_OFFSET["part_mode"])
+    if (not nxn and sps.pcm_enabled
             and sps.pcm_log2_min <= log2 <= sps.pcm_log2_max):
         pcm = fs.pcm_blocks.get((x0 // 8, y0 // 8))
         enc.encode_bin_trm(1 if pcm is not None else 0)
@@ -476,19 +496,42 @@ def _enc_cu(enc, sc, x0, y0, log2):
                 sps.pcm_bit_depth)  # one align, then Y+Cb+Cr contiguous
             sc.mark_cu(x0, y0, log2, DC_MODE, 4)
             return
+    if nxn:
+        # 4 luma PUs: prev flags first, then idx/rem per PU (§7.3.8.5,
+        # mirror of _dec_cu). Candidate lists depend on earlier PUs'
+        # modes, so resolve sequentially while collecting the flags.
+        half = 1 << (log2 - 1)
+        offs = [(0, 0), (half, 0), (0, half), (half, half)]
+        modes = [int(fs.luma_mode4[(y0 + dy) // 4, (x0 + dx) // 4])
+                 for dx, dy in offs]
+        cands = []
+        for (dx, dy), m in zip(offs, modes):
+            cands.append(intra_mpm_list(
+                sc.neighbor_mode(x0 + dx, y0 + dy, True),
+                sc.neighbor_mode(x0 + dx, y0 + dy, False)))
+            sc.mark_pu4(x0 + dx, y0 + dy, half, m)
+        for m, cand in zip(modes, cands):
+            enc.encode_bin(1 if m in cand else 0,
+                           CTX_OFFSET["prev_intra_luma_pred_flag"])
+        for m, cand in zip(modes, cands):
+            _enc_luma_mode_payload(enc, cand, m)
+        if cmode == 4:
+            enc.encode_bin(0, CTX_OFFSET["intra_chroma_pred_mode"])
+        else:
+            enc.encode_bin(1, CTX_OFFSET["intra_chroma_pred_mode"])
+            enc.encode_bins_ep(cmode, 2)
+        sc.mark_cu(x0, y0, log2, modes[0], cmode)
+        for (dx, dy), m in zip(offs, modes):
+            sc.mark_pu4(x0 + dx, y0 + dy, half, m)
+        _enc_transform_tree(enc, sc, x0, y0, log2, 0, modes[0], cmode,
+                            True, True, intra_split=True, pu_modes=modes)
+        return
     # luma mode (single PU)
     cand = intra_mpm_list(sc.neighbor_mode(x0, y0, True),
                           sc.neighbor_mode(x0, y0, False))
-    if mode in cand:
-        idx = cand.index(mode)
-        enc.encode_bin(1, CTX_OFFSET["prev_intra_luma_pred_flag"])
-        enc.encode_bin_ep(0 if idx == 0 else 1)
-        if idx:
-            enc.encode_bin_ep(idx - 1)
-    else:
-        enc.encode_bin(0, CTX_OFFSET["prev_intra_luma_pred_flag"])
-        rem = mode - sum(1 for c in cand if c < mode)
-        enc.encode_bins_ep(rem, 5)
+    enc.encode_bin(1 if mode in cand else 0,
+                   CTX_OFFSET["prev_intra_luma_pred_flag"])
+    _enc_luma_mode_payload(enc, cand, mode)
     # chroma mode
     if cmode == 4:
         enc.encode_bin(0, CTX_OFFSET["intra_chroma_pred_mode"])
@@ -510,15 +553,27 @@ def _tu_cbfs(sc, x0, y0, log2):
 
 
 def _enc_transform_tree(enc, sc, x0, y0, log2, depth, mode, cmode,
-                        parent_cb, parent_cr):
+                        parent_cb, parent_cr, intra_split=False,
+                        pu_modes=None, cu_x0=None, cu_y0=None):
+    """§7.3.8.8 transform_tree, intra. Split decisions come from
+    fs.tu_log2 (leaf TB log2 per 4-cell; -1/log2 = TU = this node) —
+    exact mirror of _dec_transform_tree including IntraSplit and the
+    chroma-at-8x8-parent rule."""
     sps = sc.sps
-    split = log2 > sps.log2_max_tu  # implicit only (encoder keeps TU = CU)
-    explicit = (
-        log2 <= sps.log2_max_tu and log2 > sps.log2_min_tu
-        and depth < sps.max_tu_depth_intra
-    )
-    if explicit:
-        enc.encode_bin(1 if split else 0,
+    fs = sc.fs
+    if cu_x0 is None:
+        cu_x0, cu_y0 = x0, y0
+    max_depth = sps.max_tu_depth_intra + (1 if intra_split else 0)
+    want = int(fs.tu_log2[y0 // 4, x0 // 4])
+    if intra_split and depth == 0:
+        split = 1  # inferred (§7.4.9.8)
+    elif log2 > sps.log2_max_tu:
+        split = 1  # implicit
+    elif log2 <= sps.log2_min_tu or depth >= max_depth:
+        split = 0
+    else:
+        split = 1 if (0 <= want < log2) else 0
+        enc.encode_bin(split,
                        CTX_OFFSET["split_transform_flag"] + (5 - log2))
     cbf_y, cbf_cb, cbf_cr = _tu_cbfs(sc, x0, y0, log2)
     if log2 > 2:
@@ -526,23 +581,59 @@ def _enc_transform_tree(enc, sc, x0, y0, log2, depth, mode, cmode,
             enc.encode_bin(1 if cbf_cb else 0, CTX_OFFSET["qt_cbf"] + 5 + depth)
         if parent_cr:
             enc.encode_bin(1 if cbf_cr else 0, CTX_OFFSET["qt_cbf"] + 5 + depth)
+    else:
+        cbf_cb, cbf_cr = parent_cb, parent_cr
     if split:
         half = 1 << (log2 - 1)
         for sy in (0, half):
             for sx in (0, half):
+                sub_mode = mode
+                if pu_modes is not None and depth == 0:
+                    sub_mode = pu_modes[(1 if sy else 0) * 2
+                                        + (1 if sx else 0)]
                 _enc_transform_tree(enc, sc, x0 + sx, y0 + sy, log2 - 1,
-                                    depth + 1, mode, cmode, cbf_cb, cbf_cr)
+                                    depth + 1, sub_mode, cmode, cbf_cb,
+                                    cbf_cr, intra_split, pu_modes,
+                                    cu_x0, cu_y0)
+        if log2 == 3 and (cbf_cb or cbf_cr):
+            # chroma residual of the split 8x8 node lives at this level
+            _enc_chroma_tu(enc, sc, x0, y0, 2, mode, cmode, cbf_cb,
+                           cbf_cr, cu_x0, cu_y0)
         return
     # leaf TU: intra always codes cbf_luma (no rqt_root_cbf in intra)
     enc.encode_bin(1 if cbf_y else 0,
                    CTX_OFFSET["qt_cbf"] + (1 if depth == 0 else 0))
     _enc_transform_unit(enc, sc, x0, y0, log2, depth, mode, cmode,
-                        cbf_y, cbf_cb, cbf_cr)
+                        cbf_y, cbf_cb, cbf_cr, cu_x0, cu_y0)
+
+
+def _enc_chroma_tu(enc, sc, x0, y0, clog2, mode, cmode, cbf_cb, cbf_cr,
+                   cu_x0, cu_y0):
+    """Chroma residual blocks for a TU node (luma coords x0,y0); mirror
+    of _dec_chroma_tu (without transform-skip: the encoder never emits
+    it)."""
+    fs, pps = sc.fs, sc.pps
+    cs = 1 << clog2
+    cx, cy2 = x0 // 2, y0 // 2
+    if cbf_cb or cbf_cr:
+        _enc_dqp_if_pending(enc, sc)
+    # DM chroma of an NxN CU follows PU0's mode (§8.4.3)
+    lm = int(fs.luma_mode4[cu_y0 // 4, cu_x0 // 4])
+    actual_cmode = sc.chroma_actual_mode(cmode, lm)
+    cscan = intra_scan_idx(actual_cmode, clog2, False)
+    if cbf_cb:
+        encode_residual(enc, fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs],
+                        clog2, False, cscan, pps.sign_data_hiding)
+    if cbf_cr:
+        encode_residual(enc, fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs],
+                        clog2, False, cscan, pps.sign_data_hiding)
 
 
 def _enc_transform_unit(enc, sc, x0, y0, log2, depth, mode, cmode,
-                        cbf_y, cbf_cb, cbf_cr):
+                        cbf_y, cbf_cb, cbf_cr, cu_x0=None, cu_y0=None):
     fs, pps = sc.fs, sc.pps
+    if cu_x0 is None:
+        cu_x0, cu_y0 = x0, y0
     s = 1 << log2
     if not (cbf_y or cbf_cb or cbf_cr):
         return
@@ -551,20 +642,11 @@ def _enc_transform_unit(enc, sc, x0, y0, log2, depth, mode, cmode,
         scan = intra_scan_idx(mode, log2, True)
         blk = fs.coeff_y[y0 : y0 + s, x0 : x0 + s]
         encode_residual(enc, blk, log2, True, scan, pps.sign_data_hiding)
-    # chroma (4:2:0): TBs at log2-1, but never below 4x4; 4x4 luma TUs carry
-    # chroma at the parent 8x8 level (not reachable with TU=CU>=8 encoder)
+    # chroma (4:2:0): TBs at log2-1, but never below 4x4; 4x4 luma TUs
+    # carry chroma at the parent 8x8 level (_enc_transform_tree)
     if log2 > 2:
-        clog2 = log2 - 1
-        cs = 1 << clog2
-        cx, cy2 = x0 // 2, y0 // 2
-        actual_cmode = sc.chroma_actual_mode(cmode, mode)
-        cscan = intra_scan_idx(actual_cmode, clog2, False)
-        if cbf_cb:
-            encode_residual(enc, fs.coeff_cb[cy2 : cy2 + cs, cx : cx + cs],
-                            clog2, False, cscan, pps.sign_data_hiding)
-        if cbf_cr:
-            encode_residual(enc, fs.coeff_cr[cy2 : cy2 + cs, cx : cx + cs],
-                            clog2, False, cscan, pps.sign_data_hiding)
+        _enc_chroma_tu(enc, sc, x0, y0, log2 - 1, mode, cmode, cbf_cb,
+                       cbf_cr, cu_x0, cu_y0)
 
 
 # --- decoding --------------------------------------------------------------
