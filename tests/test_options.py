@@ -119,6 +119,10 @@ def test_nondefault_unsupported_raises():
     from tpuhevc.config.options import build_config
 
     with pytest.raises(NotImplementedError):
-        build_config({"ScalingList": "1"})
-    with pytest.raises(NotImplementedError):
-        build_config({"PCMEnabledFlag": "1"})
+        build_config({"ScalingList": "2"})  # explicit lists unsupported
+    cfg, _ = build_config({"ScalingList": "1"})  # default lists bind
+    assert cfg.sps.scaling_list_enabled
+    # PCMEnabledFlag binds since round 4 (encoder-side PCM candidate)
+    cfg, _ = build_config({"PCMEnabledFlag": "1", "PCMLog2MaxSize": "5",
+                           "PCMLog2MinSize": "3"})
+    assert cfg.sps.pcm_enabled and cfg.sps.pcm_log2_max == 5

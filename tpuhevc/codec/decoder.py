@@ -68,6 +68,12 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
         if nal_type <= 31:  # VCL
             assert sps is not None and pps is not None
             hdr, off = headers.parse_slice_header(rbsp, nal_type, sps, pps, sps_rps)
+            if hdr.entry_points:
+                # entry-point offsets count EBSP bytes (§7.4.7.1);
+                # convert to the unescaped payload this decoder slices
+                _, removed = bitio.ebsp_to_rbsp_map(nal[2:])
+                hdr.entry_points = bitio.ebsp_entry_sizes_to_rbsp(
+                    hdr.entry_points, off, removed)
             # PicOrderCntVal (§8.3.1): MSB continuation from the previous
             # temporal-id-0 picture; IDR resets to 0
             if bitio.is_idr(hdr.nal_type):
@@ -146,6 +152,53 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                     col_from_l0=hdr.collocated_from_l0,
                     check_ldc=check_ldc, mvd_l1_zero=hdr.mvd_l1_zero,
                     slice_qp=hdr.qp)
+            elif pps.tiles_enabled and hdr.entry_points:
+                # HM-style single slice spanning multiple tiles: one
+                # CABAC substream per tile, delimited by the slice
+                # header's entry points; each substream restarts the
+                # contexts (§9.3.1) and ends with end_of_subset_one_bit,
+                # which decode_slice_data's per-CTU trm read consumes.
+                from .tiles import tile_layout
+
+                _, _, tspans = tile_layout(sps, pps)
+                addr0 = 0 if hdr.first_slice else hdr.segment_address
+                t0 = next(i for i, sp in enumerate(tspans)
+                          if sp[0] == addr0)
+                data = rbsp[off:]
+                bounds = []
+                p = 0
+                for sz in hdr.entry_points:
+                    bounds.append((p, p + sz))
+                    p += sz
+                bounds.append((p, len(data)))
+                fs = None if hdr.first_slice else part_fs
+                done = 0
+                for (b0, b1), span in zip(bounds, tspans[t0:]):
+                    dec_t = CabacDecoder(data[b0:b1],
+                                         ContextSet(init_row, hdr.qp))
+                    fs = decode_slice_data(
+                        dec_t, sps, pps, sps.coded_width,
+                        sps.coded_height, hdr.slice_type, max_merge,
+                        sao_luma=hdr.sao_luma, sao_chroma=hdr.sao_chroma,
+                        num_ref=num_ref, ref_deltas=deltas,
+                        num_ref_l1=num_ref_l1, l1_deltas=l1_deltas,
+                        col=col, col_b=col_b,
+                        col_from_l0=hdr.collocated_from_l0,
+                        check_ldc=check_ldc,
+                        mvd_l1_zero=hdr.mvd_l1_zero, slice_qp=hdr.qp,
+                        fs=fs, ctu_addrs=span, subset_end=True)
+                    done += getattr(fs, "consumed_ctus", len(span))
+                fs.consumed_ctus = done
+                if hdr.first_slice:
+                    part_fs, part_done = fs, 0
+                part_done += done
+                if part_done < sps.num_ctus:
+                    continue  # later slices cover the remaining tiles
+                from .tiles import block_order_for
+
+                fs.tile_order8 = block_order_for(sps, pps)
+                fs.tile_order4 = block_order_for(sps, pps, cell_log2=2)
+                part_fs, part_done = None, 0
             else:
                 # slice segment's CTU span in coding order (tile scan
                 # with tiles); the segment ends at end_of_slice_segment
@@ -226,6 +279,9 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
                 cols_b[hdr.poc] = ColMotionB(fs, l0_abs, l1_abs, hdr.poc)
                 fs.l0_pocs = l0_abs  # for two-list deblock BS
                 fs.l1_pocs = l1_abs
+            if sps.scaling_list_enabled:
+                # default-list dequant lives in the full recon paths
+                fs.full_features = True
             if hdr.slice_type == I_SLICE:
                 if fs.full_features:
                     from .recon_full import reconstruct_frame_full
@@ -295,7 +351,8 @@ def decode_stream(data: bytes, with_hash_check: bool = True) -> list[DecodedFram
 
                 y, u, v = deblock_frame((y, u, v), fs, hdr.qp,
                                         hdr.slice_type == I_SLICE,
-                                        pcm_mask=pcm_keep)
+                                        pcm_mask=pcm_keep,
+                                        bd=sps.bit_depth)
             if fs.sao is not None:
                 from .sao_enc import apply_sao_picture
 

@@ -40,6 +40,10 @@ class Encoder:
 
     def __init__(self, cfg: EncoderConfig, frame_encoder=None):
         self.cfg = cfg
+        if cfg.sps.scaling_list_enabled and cfg.intra_period != 1:
+            raise NotImplementedError(
+                "scaling lists: all-intra encodes only (decode supports "
+                "inter streams)")
         cfg.pps.init_qp = cfg.qp
         cfg.pps.deblocking_disabled = not cfg.deblocking
         if cfg.adaptive_qp:
@@ -177,7 +181,8 @@ class Encoder:
             from ..ops.deblock import deblock_frame
 
             ry, ru, rv = deblock_frame((ry, ru, rv), fs, fqp,
-                                       stype == I_SLICE)
+                                       stype == I_SLICE,
+                                       bd=sps.bit_depth)
         if sps.sao_enabled and ry is not None and fs.sao is None:
             from .recon import _pad_to
             from .sao_enc import apply_sao_picture, decide_sao_params
@@ -260,7 +265,10 @@ class Encoder:
                 fs, sps, pps, init_row, fqp, stype, max_merge,
                 num_ref=n_ref_slice, ref_deltas=l0d,
                 num_ref_l1=n_ref_l1, l1_deltas=l1d, slice_qp=fqp)
-            hdr.entry_points = [len(s) for s in subs[:-1]]
+            # entry points count EBSP bytes (§7.4.7.1): account for the
+            # emulation-prevention bytes make_nal will insert
+            hdr.entry_points = bitio.rbsp_entry_sizes_to_ebsp(
+                subs[:-1])
             w = headers.write_slice_header(
                 hdr, sps, pps, num_sps_rps=len(getattr(self, "_sps_rps", [])))
             for s in subs:

@@ -41,13 +41,21 @@ _PROBES: dict = {}  # stage closures of the last build (profiling hooks)
 _TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True, zme=True,
              parts=True, fuse_sweep=False,  # fuse_sweep: flip on once the
              # equality A/B (tools/tune_grid) confirms it on this machine
-             tusplit=True)  # one-level inter RQT (TU = CU/2 candidates)
+             tusplit=True,  # one-level inter RQT (TU = CU/2 candidates)
+             anchor_seed=False,  # ME rate anchored at the temporal seed
+             # (measured RD-negative on the natural clip: +5% bits for
+             # +0.16 dB at QP37 — kept as a knob, off by default)
+             # merge adoption bit-weight boost: the sweep compares SATD
+             # + lambda_me * syntax bits, but HM's final arbiter is full
+             # RD where at high QP the syntax savings dominate; > 1
+             # makes the sweep adopt like the full-RD comparison does
+             merge_bias=1.0)
 
 
 def supports(cfg) -> bool:
     sps = cfg.sps
     return (sps.coded_width % 16 == 0 and sps.coded_height % 16 == 0
-            and sps.bit_depth == 8)
+            and sps.bit_depth == 8 and not sps.scaling_list_enabled)
 
 
 def _mvd_bits_np(v):
@@ -500,7 +508,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return cx.astype(jnp.int32), cy.astype(jnp.int32)
 
     def _refine_grid(ry, cur, bx, by, ccx, ccy, S, qp, lam_me,
-                     quads=False, ry_y0=0):
+                     quads=False, ry_y0=0, anchor=None):
         """7x7 SAD grid at full-pel centers (ccx, ccy) per block, as 49
         STATIC slices of one gathered window (nb, S+6, S+6) — no inner
         gather, XLA lowers the shifts to strided reads. Returns
@@ -543,9 +551,18 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             sel = _zc(sad, sumq.sum(-1), _dcc(qp, S * S, lam_me))
         mvx = ccx[:, None] + jnp.asarray(rdxs)[None]
         mvy = ccy[:, None] + jnp.asarray(rdys)[None]
-        babs = (2 * jnp.ceil(jnp.log2(2.0 * jnp.abs(mvx * 4) + 1))
+        # MV rate anchored at the per-block predictor proxy (temporal
+        # seed when available) rather than |mv| itself — HM's search
+        # pays bits vs the AMVP predictor (getCostOfVectorWithPredictor),
+        # which keeps the field coherent where motion is shared
+        if anchor is not None:
+            rx = mvx - anchor[0][:, None]
+            ry_ = mvy - anchor[1][:, None]
+        else:
+            rx, ry_ = mvx, mvy
+        babs = (2 * jnp.ceil(jnp.log2(2.0 * jnp.abs(rx * 4) + 1))
                 .astype(jnp.int32)
-                + 2 * jnp.ceil(jnp.log2(2.0 * jnp.abs(mvy * 4) + 1))
+                + 2 * jnp.ceil(jnp.log2(2.0 * jnp.abs(ry_ * 4) + 1))
                 .astype(jnp.int32) + 2)
         inner = jnp.asarray((np.abs(rdxs) <= 2) & (np.abs(rdys) <= 2))
         cost = sel + ((babs * lam_me) >> 8)
@@ -609,30 +626,37 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             nbh, S, nbw, S).transpose(0, 2, 1, 3).reshape(nb, S, S)
         cur = cur.astype(jnp.int16)
         q = want_quads
+        anchor = None
+        if extra_c is not None and _TUNE.get("anchor_seed", True):
+            anchor = (extra_c[0].reshape(-1), extra_c[1].reshape(-1))
         grids = [_refine_grid(ry, cur, bx, by, ccx, ccy, S, qp, lam_me,
-                              quads=q, ry_y0=ry_y0)]
+                              quads=q, ry_y0=ry_y0, anchor=anchor)]
         if with_zero:
             zero = jnp.zeros_like(ccx)
             grids.append(_refine_grid(ry, cur, bx, by, zero, zero, S, qp,
-                                      lam_me, quads=q, ry_y0=ry_y0))
+                                      lam_me, quads=q, ry_y0=ry_y0,
+                                      anchor=anchor))
         if global_c is not None:
             ggx = jnp.broadcast_to(global_c[0] * 2, ccx.shape)
             ggy = jnp.broadcast_to(global_c[1] * 2, ccy.shape)
             grids.append(_refine_grid(ry, cur, bx, by, ggx, ggy, S, qp,
-                                      lam_me, quads=q, ry_y0=ry_y0))
+                                      lam_me, quads=q, ry_y0=ry_y0,
+                                      anchor=anchor))
         if extra_c is not None:
             # temporal seed: the co-located previous-frame MV (a TMVP-
             # style start candidate; TZ's predictor set analog)
             grids.append(_refine_grid(ry, cur, bx, by,
                                       extra_c[0].reshape(-1),
                                       extra_c[1].reshape(-1), S, qp,
-                                      lam_me, quads=q, ry_y0=ry_y0))
+                                      lam_me, quads=q, ry_y0=ry_y0,
+                                      anchor=anchor))
         if extra_c2 is not None:
             # long-range prestage winner (SearchRange up to 64)
             grids.append(_refine_grid(ry, cur, bx, by,
                                       extra_c2[0].reshape(-1),
                                       extra_c2[1].reshape(-1), S, qp,
-                                      lam_me, quads=q, ry_y0=ry_y0))
+                                      lam_me, quads=q, ry_y0=ry_y0,
+                                      anchor=anchor))
         main = _pick_grids(grids)
         if not want_quads:
             return main
@@ -1314,8 +1338,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                               + ref_lut[ref_g] + tabs["mf0"]
                               + tabs["mvp"])
                     keep_b = jnp.where(mrg, tabs["mf1"] + mib, keep_b)
-                    adopt = (satc + lam_me_f * (tabs["mf1"] + mb)
-                             <= s0 + lam_me_f * keep_b) & ~edge
+                    lam_b = lam_me_f * _TUNE["merge_bias"]
+                    adopt = (satc + lam_b * (tabs["mf1"] + mb)
+                             <= s0 + lam_b * keep_b) & ~edge
                     mv_g = jnp.where(adopt[..., None], mvc, mv_g)
                     ref_g = jnp.where(adopt, refc, ref_g)
                     s0 = jnp.where(adopt, satc, s0)
@@ -1454,8 +1479,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                                   + ref_lut[ref_g] + tabs["mf0"]
                                   + tabs["mvp"])
                         keep_b = jnp.where(mrg, tabs["mf1"] + mib, keep_b)
-                        adopt = (satc + lam_me_f * (tabs["mf1"] + mb)
-                                 <= s0 + lam_me_f * keep_b) & ~edge
+                        lam_b = lam_me_f * _TUNE["merge_bias"]
+                        adopt = (satc + lam_b * (tabs["mf1"] + mb)
+                                 <= s0 + lam_b * keep_b) & ~edge
                         new.append((
                             jnp.where(adopt[..., None], mvc, mv_g),
                             jnp.where(adopt, refc, ref_g),
@@ -2255,20 +2281,39 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                     mvq.reshape(nbh, nbw, 2), refv.reshape(nbh, nbw),
                     S, nbh, nbw)
             mvg, refg, mode_b, merged, midx_b = settled
+            # a block whose OWN settled (mv, ref) equals its left/top
+            # neighbor's is mergeable at walk time even though the sweep
+            # never adopted (both found the same motion independently) —
+            # align the decision costs with what the walk will emit
+            eqL = jnp.concatenate(
+                [jnp.zeros((nbh, 1), bool),
+                 (mvg[:, 1:] == mvg[:, :-1]).all(-1)
+                 & (refg[:, 1:] == refg[:, :-1])], axis=1)
+            eqT = jnp.concatenate(
+                [jnp.zeros((1, nbw), bool),
+                 (mvg[1:] == mvg[:-1]).all(-1)
+                 & (refg[1:] == refg[:-1])], axis=0)
+            mergeable = merged | eqL | eqT
+            midx_b = jnp.where(merged, midx_b,
+                               jnp.float32(tabs["midx"][0]))
+            merge_mode_b = (tabs["pred_inter"] + tabs["part2n"]
+                            + tabs["mf1"] + midx_b)
+            mode_b = jnp.where(mergeable,
+                               jnp.minimum(mode_b, merge_mode_b), mode_b)
             c = class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u, pl_v,
                            mvg, refg, S, nbh, nbw,
                            tusplit=use_tusplit and 16 <= S and
                            (S < 64 or sps.max_tu_depth_inter >= 2))
-            cost, _ = cu_cost(tabs, lam, c, mode_b, merged, midx_b, S)
+            cost, _ = cu_cost(tabs, lam, c, mode_b, mergeable, midx_b, S)
             # explicit SKIP trial (xCheckRDCostMerge2Nx2N's no-residual
-            # candidate, TEncCu.cpp:455): for merged CUs compare the
+            # candidate, TEncCu.cpp:455): for mergeable CUs compare the
             # coded result against merge + zero residual outright — the
             # per-TU drops above can't see the CU-level syntax saving
             skip_syn = tabs["skip1"] + midx_b
             if S > 8:
                 skip_syn = skip_syn + tabs["split"][0]
             cost_skip = c["d0"] + lam * skip_syn
-            force = merged & (cost_skip < cost)
+            force = mergeable & (cost_skip < cost)
             cost = jnp.where(force, cost_skip, cost)
             fp = up(force, S)
             c["lvl"] = jnp.where(fp, 0, c["lvl"])
@@ -2957,6 +3002,7 @@ def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
             ny, nx, type_y=d["sao_ty"], aux_y=d["sao_ay"],
             off_y=d["sao_oy"], type_c=d["sao_tc"], aux_cb=d["sao_acb"],
             off_cb=d["sao_ocb"], aux_cr=d["sao_acr"], off_cr=d["sao_ocr"])
+        fs.sao = _sao_thrift(fs.sao)
     if "rec_y" in d:
         rec = (d["rec_y"].astype(np.int32),
                np.ascontiguousarray(d["rec_uv"][:, :Wc]).astype(np.int32),
@@ -2964,6 +3010,46 @@ def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
         return fs, rec
     hashes = [int(np.uint32(c)).to_bytes(4, "big") for c in d["cks"]]
     return fs, None, dict(hashes=hashes, hash_type=2, sse=d["sse"])
+
+
+def _sao_thrift(pp):
+    """Bit-only SAO cleanup on the device decisions (apply unchanged):
+    merge-left/up when a neighbor's effective params are identical
+    (HM's dominant merge case: long OFF runs at high QP cost one flag
+    per CTU instead of re-coded types), and slice-level disable of a
+    component whose every CTU is OFF (sao_luma/chroma_flag = 0,
+    TEncSampleAdaptiveOffset's picture-level decision)."""
+    from .sao_enc import SAO_OFF
+
+    same_y = np.zeros((pp.ny, pp.nx, 2), bool)
+    same_c = np.zeros((pp.ny, pp.nx, 2), bool)
+
+    def eq(a, y, x, sy, sx):
+        return bool(np.array_equal(a[y, x], a[sy, sx]))
+
+    for y in range(pp.ny):
+        for x in range(pp.nx):
+            for k, (sy, sx) in enumerate(((y, x - 1), (y - 1, x))):
+                if sx < 0 or sy < 0:
+                    continue
+                same_y[y, x, k] = (eq(pp.type_y, y, x, sy, sx)
+                                   and eq(pp.aux_y, y, x, sy, sx)
+                                   and eq(pp.off_y, y, x, sy, sx))
+                same_c[y, x, k] = (eq(pp.type_c, y, x, sy, sx)
+                                   and eq(pp.aux_cb, y, x, sy, sx)
+                                   and eq(pp.off_cb, y, x, sy, sx)
+                                   and eq(pp.aux_cr, y, x, sy, sx)
+                                   and eq(pp.off_cr, y, x, sy, sx))
+            both = same_y[y, x] & same_c[y, x]
+            if both[0]:
+                pp.merge[y, x] = 1
+            elif both[1]:
+                pp.merge[y, x] = 2
+    pp.luma_on = bool((pp.type_y != SAO_OFF).any())
+    pp.chroma_on = bool((pp.type_c != SAO_OFF).any())
+    if not pp.luma_on and not pp.chroma_on:
+        return None  # slice flags 0: no per-CTU SAO syntax at all
+    return pp
 
 
 def collect_grid_frame(cfg, buf: np.ndarray):

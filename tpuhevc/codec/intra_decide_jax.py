@@ -39,7 +39,8 @@ def _hadamard4():
 
 
 @functools.lru_cache(maxsize=16)
-def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True):
+def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True,
+           nxn_on=True):
     import jax
     import jax.numpy as jnp
 
@@ -241,8 +242,10 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True):
         preds_of = {}
         org_of = {}
         # 4x4 PU class for the NxN trial (+ the 8-CU TU-split children)
-        topk4, rdd4, rdb4, preds4, org4 = luma_rd(oy, 4, h // 4, w // 4, 8)
-        preds_of[4], org_of[4] = preds4, org4
+        if nxn_on or tusplit_on:
+            topk4, rdd4, rdb4, preds4, org4 = luma_rd(
+                oy, 4, h // 4, w // 4, 8)
+            preds_of[4], org_of[4] = preds4, org4
         nxn_modes = None
         use_nxn = None
         for S in (8, 16, 32):
@@ -273,6 +276,7 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True):
             cost = dL + cbest + lam * (bL + 2 * ccbf_b + 1.0)
             if S == 8:
                 cost = cost + lam * part_b
+            if S == 8 and nxn_on:
                 # NxN trial: 4 PUs pick from the 4x4 top-8; MPM chain
                 # through the CU's own PUs, outside neighbors from the
                 # 8-level winner map
@@ -372,6 +376,9 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True):
             cm8 = jnp.where(k32, up4(cmode_by[32]), cm8).astype(jnp.int8)
             tsp8 = jnp.where(k32, up4(tsp_by[32]), tsp8)
         # NxN winners at surviving min-size CUs
+        if use_nxn is None:
+            use_nxn = jnp.zeros((h8, w8), bool)
+            nxn_modes = [lm8] * 4
         nxn = (cu_log2 == 3) & use_nxn
         lm4 = jnp.repeat(jnp.repeat(lm8, 2, 0), 2, 1).astype(jnp.int8)
         pm0 = jnp.where(nxn, nxn_modes[0].astype(jnp.int8), lm8)
@@ -398,9 +405,13 @@ def decide_intra_qt_jax(oy, ou, ov, cfg, qp: int):
     sps = cfg.sps
     h, w = oy.shape
     lam = i_frame_lambda(cfg, qp)
+    use_nxn = cfg.intra_nxn
+    if use_nxn is None:
+        use_nxn = cfg.intra_period == 1
     fn = _build(h, w, qp, sps.bit_depth, bool(cfg.rdoq),
                 bool(sps.strong_intra_smoothing), int(round(lam * 256)),
-                tusplit_on=sps.max_tu_depth_intra >= 1)
+                tusplit_on=use_nxn and sps.max_tu_depth_intra >= 1,
+                nxn_on=use_nxn)
     cu_log2, lm8, cm8, nxn, lm4, tsp8 = fn(oy, ou, ov)
     return (np.asarray(cu_log2), np.asarray(lm8), np.asarray(cm8),
             np.asarray(nxn), np.asarray(lm4), np.asarray(tsp8))

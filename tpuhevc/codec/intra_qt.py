@@ -451,22 +451,26 @@ def _cu_roots(cu_log2: np.ndarray, order: BlockOrder):
 
 
 def _code_tb(plane, coeff_pl, orig_pl, x0, y0, size, mode, order, qp,
-             is_luma, bd, strong, sdh, rdoq, lam_fp, cell_px, encode):
+             is_luma, bd, strong, sdh, rdoq, lam_fp, cell_px, encode,
+             sl=False):
     """Shared per-TB walk step: predict from recon refs; encoder mode
     (encode=True) quantizes orig-pred into coeff_pl, decoder mode reads
-    coeff_pl; both reconstruct identically."""
+    coeff_pl; both reconstruct identically. sl: default scaling lists
+    (quant/dequant per-position m; the RDOQ proxy stays flat-list so
+    plain quant is used instead)."""
     top, left = gather_refs_qt(plane, x0, y0, size, order, bd, cell_px)
     pred = predict_block_np(top, left, mode, size, is_luma, bd, strong)
     log2 = size.bit_length() - 1
     is_dst = is_luma and size == 4  # 4x4 intra luma: DST-VII (§8.6.4.1)
+    m = tx.default_scaling_matrix(log2, True) if sl else None
     if encode:
         oblk = orig_pl[y0 : y0 + size, x0 : x0 + size].astype(np.int32)
         c = tx.forward_transform_np((oblk - pred)[None], bd, is_dst)[0]
-        if rdoq:
+        if rdoq and m is None:
             lvl = tx.rdoq_np(c[None], qp, log2, bd, lam_fp,
                              is_intra_slice=True)[0]
         else:
-            lvl = tx.quantize_np(c[None], qp, log2, bd, True)[0]
+            lvl = tx.quantize_np(c[None], qp, log2, bd, True, m=m)[0]
         if sdh:
             from ..entropy.residual import apply_sign_bit_hiding
 
@@ -477,7 +481,7 @@ def _code_tb(plane, coeff_pl, orig_pl, x0, y0, size, mode, order, qp,
     else:
         lvl = coeff_pl[y0 : y0 + size, x0 : x0 + size]
     if lvl.any():
-        d = tx.dequantize_np(lvl[None], qp, log2, bd)[0]
+        d = tx.dequantize_np(lvl[None], qp, log2, bd, m=m)[0]
         r = tx.inverse_transform_np(d[None], bd, is_dst)[0]
         rec = np.clip(pred + r, 0, (1 << bd) - 1)
     else:
@@ -491,9 +495,12 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
              or BlockOrder(fs.width, fs.height, sps.log2_ctu))
     from .native_intra import intra_walk_native
 
-    # general features (NxN PUs / TU splits) take the generalized walk;
-    # the native fast path covers the TU = CU, 2Nx2N subset
-    general = bool(fs.nxn.any()) or bool(
+    # general features (NxN PUs / TU splits / the PCM candidate) take
+    # the generalized walk; the native fast path covers the TU = CU,
+    # 2Nx2N subset
+    pcm_on = bool(encode and sps.pcm_enabled)
+    sl = bool(getattr(sps, "scaling_list_enabled", False))
+    general = pcm_on or sl or bool(fs.nxn.any()) or bool(
         (fs.tu_log2 >= 0).any() and _has_real_tusplit(fs))
     if not general and intra_walk_native(
             fs, sps, qp, planes, origs if encode else None,
@@ -535,7 +542,7 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
         if not split:
             _code_tb(y, fs.coeff_y, oy, x0, y0, s, mode, order, qp,
                      True, bd, sps.strong_intra_smoothing, sdh, rdoq,
-                     lam_fp, 8, encode)
+                     lam_fp, 8, encode, sl)
             if measure:
                 lv = fs.coeff_y[y0 : y0 + s, x0 : x0 + s]
                 bits += float(_est(log2, True).tu_bits(np, lv[None])[0]) \
@@ -544,7 +551,7 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
             for pl, opl, cf in ((u, ou, fs.coeff_cb), (v, ov, fs.coeff_cr)):
                 _code_tb(pl, cf, opl, x8 * 4, y8 * 4, cs, cmode, order,
                          qpc, False, bd, False, sdh, rdoq, lam_fp, 4,
-                         encode)
+                         encode, sl)
                 if measure:
                     lv = cf[y8 * 4 : y8 * 4 + cs, x8 * 4 : x8 * 4 + cs]
                     if lv.any():
@@ -561,7 +568,7 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
             lorder, lcell = (order4, 4) if half == 4 else (order, 8)
             _code_tb(y, fs.coeff_y, oy, x0 + dx, y0 + dy, half, m,
                      lorder, qp, True, bd, sps.strong_intra_smoothing,
-                     sdh, rdoq, lam_fp, lcell, encode)
+                     sdh, rdoq, lam_fp, lcell, encode, sl)
             if measure:
                 lv = fs.coeff_y[y0 + dy : y0 + dy + half,
                                 x0 + dx : x0 + dx + half]
@@ -575,7 +582,7 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
             for pl, opl, cf in ((u, ou, fs.coeff_cb), (v, ov, fs.coeff_cr)):
                 _code_tb(pl, cf, opl, x8 * 4, y8 * 4, 4, amode, order,
                          qpc, False, bd, False, sdh, rdoq, lam_fp, 4,
-                         encode)
+                         encode, sl)
                 if measure:
                     lv = cf[y8 * 4 : y8 * 4 + 4, x8 * 4 : x8 * 4 + 4]
                     if lv.any():
@@ -589,7 +596,7 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
                     _code_tb(pl, cf, opl, x0 // 2 + dx // 2,
                              y0 // 2 + dy // 2, chalf, amode, order, qpc,
                              False, bd, False, sdh, rdoq, lam_fp, 4,
-                             encode)
+                             encode, sl)
                     if measure:
                         cy0, cx0 = y0 // 2 + dy // 2, x0 // 2 + dx // 2
                         lv = cf[cy0 : cy0 + chalf, cx0 : cx0 + chalf]
@@ -599,6 +606,45 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
                                 .tu_bits(np, lv[None])[0])
         return bits
 
+    def try_pcm(x8, y8, log2, cost_coded):
+        """PCM candidate (TEncCu::xCheckIntraPCM, TEncCu.cpp:1410): raw
+        samples beat the coded CU when lambda * raw bits < its RD cost.
+        Returns True when PCM was taken (planes/maps updated)."""
+        if not (pcm_on and sps.pcm_log2_min <= log2 <= sps.pcm_log2_max):
+            return False
+        s = 1 << log2
+        x0, y0 = x8 * 8, y8 * 8
+        cs = s // 2
+        pbd = sps.pcm_bit_depth
+        sh = bd - pbd
+        raw_bits = pbd * (s * s + 2 * cs * cs) + 8.0  # + flag/align
+        oy_b = oy[y0 : y0 + s, x0 : x0 + s].astype(np.int32)
+        ou_b = ou[y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs] \
+            .astype(np.int32)
+        ov_b = ov[y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs] \
+            .astype(np.int32)
+        ry_ = (oy_b >> sh) << sh
+        ru_ = (ou_b >> sh) << sh
+        rv_ = (ov_b >> sh) << sh
+        d = (float(((oy_b - ry_).astype(np.float64) ** 2).sum())
+             + wch * (float(((ou_b - ru_).astype(np.float64) ** 2).sum())
+                      + float(((ov_b - rv_).astype(np.float64) ** 2)
+                              .sum())))
+        if d + lam_arb * raw_bits >= cost_coded:
+            return False
+        y[y0 : y0 + s, x0 : x0 + s] = ry_
+        u[y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs] = ru_
+        v[y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs] = rv_
+        fs.coeff_y[y0 : y0 + s, x0 : x0 + s] = 0
+        fs.coeff_cb[y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs] = 0
+        fs.coeff_cr[y0 // 2 : y0 // 2 + cs, x0 // 2 : x0 // 2 + cs] = 0
+        fs.pcm_blocks[(x8, y8)] = (ry_, ru_, rv_)
+        s4 = s // 4
+        fs.tu_log2[y0 // 4 : y0 // 4 + s4, x0 // 4 : x0 // 4 + s4] = -1
+        if log2 == sps.log2_min_cu:
+            fs.nxn[y8, x8] = 0
+        return True
+
     for x8, y8 in _cu_roots(fs.cu_log2, order):
         log2 = int(fs.cu_log2[y8, x8])
         s = 1 << log2
@@ -607,7 +653,22 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
         want = int(fs.tu_log2[y8 * 2, x8 * 2])
         split = nxn or (0 <= want < log2)
         if not (encode and split):
-            code_cu(x8, y8, log2, split)
+            if pcm_on and encode:
+                cs2 = s // 2
+                yx = np.s_[y0 : y0 + s, x0 : x0 + s]
+                cyx = np.s_[y0 // 2 : y0 // 2 + cs2,
+                            x0 // 2 : x0 // 2 + cs2]
+                b_c = code_cu(x8, y8, log2, split, measure=True)
+                dy_ = float(((y[yx] - oy[yx]).astype(np.float64)
+                             ** 2).sum())
+                du_ = float(((u[cyx] - ou[cyx]).astype(np.float64)
+                             ** 2).sum())
+                dv_ = float(((v[cyx] - ov[cyx]).astype(np.float64)
+                             ** 2).sum())
+                try_pcm(x8, y8, log2,
+                        dy_ + wch * (du_ + dv_) + lam_arb * b_c)
+            else:
+                code_cu(x8, y8, log2, split)
             continue
         # closed-loop arbitration: the open-loop pass flagged a split
         # variant (NxN / one-level RQT); code BOTH against the real
@@ -652,6 +713,7 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
                 fs.nxn[y8, x8] = 0
                 fs.luma_mode4[y4 : y4 + s4, x4 : x4 + s4] = \
                     fs.luma_mode[y8, x8]
+        try_pcm(x8, y8, log2, min(cost_a, cost_b))
 
 
 def _has_real_tusplit(fs) -> bool:
@@ -680,6 +742,13 @@ def encode_frame_intra_qt(orig_y, orig_u, orig_v, cfg: EncoderConfig):
     else:
         cu_log2, lm8, cm8, nxn, lm4, tsp8 = decide_intra_qt(
             oy, ou, ov, cfg, qp)
+    use_nxn = cfg.intra_nxn
+    if use_nxn is None:
+        use_nxn = cfg.intra_period == 1  # auto (see params.intra_nxn)
+    if not use_nxn:
+        nxn = np.zeros_like(np.asarray(nxn))
+        tsp8 = np.zeros_like(np.asarray(tsp8))
+        lm4 = np.repeat(np.repeat(np.asarray(lm8), 2, 0), 2, 1)
 
     fs = FrameSyntax(w, h)
     if cfg.pps.tiles_enabled or cfg.slice_ctus > 0:

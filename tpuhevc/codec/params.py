@@ -151,6 +151,11 @@ class EncoderConfig:
                                  # pipelines quantize with (set by RC)
     intra_in_inter: bool = False # intra 8x8 fallback CUs in P frames
     intra_qt: bool = True        # quadtree intra CUs 8/16/32 (vs fixed 8x8)
+    # NxN 4x4 PUs + one-level intra RQT in the I-frame decision. None =
+    # auto: on for all-intra encodes, off for the LD-P scan's single
+    # IDR (the general coding walk with closed-loop arbitration is
+    # host-side; the 2Nx2N TU=CU subset rides the native fast path)
+    intra_nxn: bool | None = None
     slice_ctus: int = 0          # >0: fixed-CTU-count slices (HM SliceMode
                                  # 1 / SliceArgument); 0 = one slice/pic
     decoding_refresh_type: int = 0   # 0 off, 1 CRA, 2 IDR (HM DRT)

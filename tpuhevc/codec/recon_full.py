@@ -25,13 +25,13 @@ def _inv_ts(d: np.ndarray, bd: int) -> np.ndarray:
 
 
 def _recon_tb(plane, coeff_pl, x0, y0, size, mode, order, qp, is_luma,
-              bd, strong, cell_px, is_dst, ts):
+              bd, strong, cell_px, is_dst, ts, m=None):
     top, left = gather_refs_qt(plane, x0, y0, size, order, bd, cell_px)
     pred = predict_block_np(top, left, mode, size, is_luma, bd, strong)
     blk = coeff_pl[y0 : y0 + size, x0 : x0 + size]
     if blk.any():
         log2 = size.bit_length() - 1
-        d = tx.dequantize_np(blk[None], qp, log2, bd)[0]
+        d = tx.dequantize_np(blk[None], qp, log2, bd, m=m)[0]
         if ts:
             r = _inv_ts(d, bd)
         else:
@@ -54,6 +54,10 @@ def reconstruct_frame_full(fs, sps, qp: int):
     order8 = (getattr(fs, "tile_order8", None)
               or BlockOrder(w, h, sps.log2_ctu))  # chroma 4-sample cells
     qpc = chroma_qp(qp)
+    sl_on = getattr(sps, "scaling_list_enabled", False)
+
+    def m_of(log2, intra):
+        return (tx.default_scaling_matrix(log2, intra) if sl_on else None)
 
     from .intra_qt import _cu_roots
 
@@ -64,7 +68,7 @@ def reconstruct_frame_full(fs, sps, qp: int):
         ts = log2 == 2 and bool(fs.ts_y[y0 // 4, x0 // 4])
         _recon_tb(y, fs.coeff_y, x0, y0, 1 << log2, mode, order4, qp,
                   True, bd, sps.strong_intra_smoothing, 4,
-                  is_dst=(log2 == 2), ts=ts)
+                  is_dst=(log2 == 2), ts=ts, m=m_of(log2, True))
 
     def chroma_tb(x0, y0, clog2, cmode_actual):
         cs = 1 << clog2
@@ -73,7 +77,8 @@ def reconstruct_frame_full(fs, sps, qp: int):
                             (v, fs.coeff_cr, fs.ts_cr)):
             ts = clog2 == 2 and bool(tsm[cy // 4, cx // 4])
             _recon_tb(pl, cf, cx, cy, cs, cmode_actual, order8, qpc,
-                      False, bd, False, 4, is_dst=False, ts=ts)
+                      False, bd, False, 4, is_dst=False, ts=ts,
+                      m=m_of(clog2, True))
 
     def walk_tu(x0, y0, log2, cmode_actual):
         leaf = int(fs.tu_log2[y0 // 4, x0 // 4])
@@ -246,12 +251,15 @@ def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon, l1_recon=None,
                         out[by : by + sz, bx : bx + sz] = p[i]
 
     # residual per TU leaf (inter CUs; DCT, diag scan, optional TS)
+    sl_on = getattr(sps, "scaling_list_enabled", False)
+
     def add_resi(plane, coeff_pl, x0, y0, size, cqp, tsf):
         blk = coeff_pl[y0 : y0 + size, x0 : x0 + size]
         if not blk.any():
             return
         log2 = size.bit_length() - 1
-        d = tx.dequantize_np(blk[None], cqp, log2, bd)[0]
+        m = tx.default_scaling_matrix(log2, False) if sl_on else None
+        d = tx.dequantize_np(blk[None], cqp, log2, bd, m=m)[0]
         if tsf:
             r_ = _inv_ts(d, bd)
         else:
@@ -306,7 +314,9 @@ def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon, l1_recon=None,
             ts = log2 == 2 and bool(fs.ts_y[y0 // 4, x0 // 4])
             _recon_tb(rec_y, fs.coeff_y, x0, y0, 1 << log2, mode, order4,
                       qp, True, bd, sps.strong_intra_smoothing, 4,
-                      is_dst=(log2 == 2), ts=ts)
+                      is_dst=(log2 == 2), ts=ts,
+                      m=(tx.default_scaling_matrix(log2, True)
+                         if sl_on else None))
 
         def chroma_tb(x0, y0, clog2, cmode_actual):
             cs = 1 << clog2
@@ -315,7 +325,9 @@ def reconstruct_frame_p_full(fs, sps, qp: int, ref_recon, l1_recon=None,
                                 (rec_v, fs.coeff_cr, fs.ts_cr)):
                 ts = clog2 == 2 and bool(tsm[cy // 4, cx // 4])
                 _recon_tb(pl, cf, cx, cy, cs, cmode_actual, order8, qpc,
-                          False, bd, False, 4, is_dst=False, ts=ts)
+                          False, bd, False, 4, is_dst=False, ts=ts,
+                          m=(tx.default_scaling_matrix(clog2, True)
+                             if sl_on else None))
 
         def walk_tu_i(x0, y0, log2, cmode_actual):
             leaf = int(fs.tu_log2[y0 // 4, x0 // 4])

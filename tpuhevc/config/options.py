@@ -127,8 +127,6 @@ def _b(v: str) -> bool:
 # a feature this encoder does not implement (silently ignoring it would
 # change conformance or the coded toolset). Value = the accepted string.
 _DEFAULT_ONLY = {
-    "PCMEnabledFlag": "0",
-    "ScalingList": "0",
     "TransquantBypassEnableFlag": "0",
     "CUTransquantBypassFlagForce": "0",
     "SAOLcuBoundary": "0",
@@ -146,8 +144,7 @@ _ACCEPTED_NOOP = {
     "TransformSkipFast", "RDOQTS", "KeepHierarchicalBit",
     "RCForceIntraQP", "RCLCUSeparateModel", "ScalingListFile",
     "LoopFilterOffsetInPPS",
-    "PCMLog2MaxSize", "PCMLog2MinSize", "PCMInputBitDepthFlag",
-    "PCMFilterDisableFlag", "SliceCbQpOffsetIntraOrPeriodic",
+    "PCMInputBitDepthFlag", "SliceCbQpOffsetIntraOrPeriodic",
     "SliceCrQpOffsetIntraOrPeriodic", "Tier",
 }
 
@@ -173,6 +170,20 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
                 sps.profile_idc = 2  # Main10
         elif k == "FrameRate":
             cfg.frame_rate = int(float(v))
+        elif k == "ScalingList":
+            sl = int(v)
+            if sl > 1:
+                raise NotImplementedError(
+                    "only default scaling lists (ScalingList 0/1)")
+            sps.scaling_list_enabled = sl == 1
+        elif k == "PCMEnabledFlag":
+            sps.pcm_enabled = _b(v)
+        elif k == "PCMLog2MaxSize":
+            sps.pcm_log2_max = int(v)
+        elif k == "PCMLog2MinSize":
+            sps.pcm_log2_min = int(v)
+        elif k == "PCMFilterDisableFlag":
+            sps.pcm_loop_filter_disabled = _b(v)
         elif k == "FramesToBeEncoded":
             cfg.frames = int(v)
         elif k == "QP":

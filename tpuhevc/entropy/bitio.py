@@ -203,13 +203,24 @@ def rbsp_to_ebsp(rbsp: bytes) -> bytes:
 
 def ebsp_to_rbsp(ebsp: bytes) -> bytes:
     """Strip emulation prevention bytes."""
+    return ebsp_to_rbsp_map(ebsp)[0]
+
+
+def ebsp_to_rbsp_map(ebsp: bytes) -> tuple[bytes, list[int]]:
+    """Strip emulation prevention bytes; also return the RBSP positions
+    where an escape byte was removed (the escape sits immediately before
+    the byte that lands at each returned position). Entry-point offsets
+    in slice headers count EBSP bytes (§7.4.7.1 + TDecTop's adjustment
+    after emulation removal), so substream splitting needs this map."""
     out = bytearray()
+    removed: list[int] = []
     zeros = 0
     i = 0
     n = len(ebsp)
     while i < n:
         b = ebsp[i]
         if zeros >= 2 and b == 3 and i + 1 <= n:
+            removed.append(len(out))
             zeros = 0
             i += 1
             if i >= n:
@@ -218,7 +229,48 @@ def ebsp_to_rbsp(ebsp: bytes) -> bytes:
         out.append(b)
         zeros = zeros + 1 if b == 0 else 0
         i += 1
-    return bytes(out)
+    return bytes(out), removed
+
+
+def ebsp_entry_sizes_to_rbsp(sizes, data_start: int, removed) -> list:
+    """Convert slice-header entry-point sizes (EBSP byte counts) into
+    RBSP byte counts, given the RBSP offset where the slice data starts
+    and the removed-escape map from ebsp_to_rbsp_map."""
+    import bisect
+
+    out = []
+    pos = data_start
+    for e in sizes:
+        r = e
+        while True:
+            c = (bisect.bisect_right(removed, pos + r)
+                 - bisect.bisect_right(removed, pos))
+            if r - (e - c) == 0:
+                break
+            r = e - c
+        out.append(r)
+        pos += r
+    return out
+
+
+def rbsp_entry_sizes_to_ebsp(subs, lead: bytes = b"\x01") -> list[int]:
+    """EBSP byte count of each RBSP substream, accounting for the
+    emulation-prevention bytes rbsp_to_ebsp WILL insert (zero-run state
+    carries across substream boundaries; `lead` = the bytes immediately
+    preceding the first substream)."""
+    zeros = 0
+    for b in lead[-2:]:
+        zeros = zeros + 1 if b == 0 else 0
+    out = []
+    for s in subs:
+        n = len(s)
+        for b in s:
+            if zeros >= 2 and b <= 3:
+                n += 1
+                zeros = 0
+            zeros = zeros + 1 if b == 0 else 0
+        out.append(n)
+    return out
 
 
 def nal_header(nal_type: int, temporal_id: int = 0, layer_id: int = 0) -> bytes:

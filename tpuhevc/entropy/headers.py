@@ -243,6 +243,9 @@ def write_sps(sps: SeqParams, rps_list: list[ShortTermRPS] | None = None) -> byt
     w.write_ue(sps.max_tu_depth_inter)
     w.write_ue(sps.max_tu_depth_intra)
     w.write_flag(sps.scaling_list_enabled)
+    if sps.scaling_list_enabled:
+        # default scaling lists (§7.4.5): no explicit scaling_list_data
+        w.write_flag(0)
     w.write_flag(sps.amp_enabled)
     w.write_flag(sps.sao_enabled)
     w.write_flag(sps.pcm_enabled)
@@ -318,7 +321,10 @@ def parse_sps(data: bytes) -> tuple[SeqParams, list[ShortTermRPS]]:
     sps.max_tu_depth_inter = r.read_ue()
     sps.max_tu_depth_intra = r.read_ue()
     sps.scaling_list_enabled = bool(r.read_flag())
-    assert not sps.scaling_list_enabled
+    if sps.scaling_list_enabled:
+        # only the DEFAULT scaling lists are supported (no explicit
+        # scaling_list_data; HM's ScalingList=1 writes none either)
+        assert r.read_flag() == 0, "explicit scaling_list_data"
     sps.amp_enabled = bool(r.read_flag())
     sps.sao_enabled = bool(r.read_flag())
     sps.pcm_enabled = bool(r.read_flag())

@@ -297,6 +297,7 @@ def encode_slice_data(enc: CabacEncoder, fs: FrameSyntax, sps: SeqParams,
     if ctu_addrs is None:
         ctu_addrs = range(sc.hctu * sc.wctu)
     ctu_addrs = list(ctu_addrs)
+    span_set = frozenset(ctu_addrs)
     for k, rs in enumerate(ctu_addrs):
         cy, cx = divmod(rs, sc.wctu)
         if use_dqp:
@@ -305,7 +306,12 @@ def encode_slice_data(enc: CabacEncoder, fs: FrameSyntax, sps: SeqParams,
                         if getattr(fs, "qp_ctu", None) is not None
                         else slice_qp)
         if fs.sao is not None:
-            _enc_sao_ctu(enc, fs.sao, cx, cy)
+            # sao_merge flags only when the neighbor CTU is inside this
+            # slice segment + tile (§7.3.8.3; span = the segment, which
+            # never crosses a tile here)
+            _enc_sao_ctu(enc, fs.sao, cx, cy,
+                         cx > 0 and (rs - 1) in span_set,
+                         cy > 0 and (rs - sc.wctu) in span_set)
         _enc_quadtree(enc, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
                       sc.log2_ctu, 0)
         enc.encode_bin_trm(1 if k == len(ctu_addrs) - 1 else 0)
@@ -366,14 +372,39 @@ def _enc_sao_comp(enc, t, aux, off4, code_type, is_luma):
         enc.encode_bins_ep(int(t), 2)
 
 
-def _enc_sao_ctu(enc, pp, cx, cy):
-    if cx > 0:
-        enc.encode_bin(1 if pp.merge[cy, cx] == 1 else 0,
+def _enc_sao_ctu(enc, pp, cx, cy, left_ok, up_ok):
+    merge = int(pp.merge[cy, cx])
+    if (merge == 1 and not left_ok) or (merge == 2 and not up_ok):
+        # merge source outside the slice segment/tile: code the
+        # resolved params explicitly instead (the apply is unchanged)
+        merge = 0
+        rp = getattr(pp, "_resolved", None)
+        if rp is None:
+            rp = pp.resolve()
+            pp._resolved = rp
+        if left_ok:
+            enc.encode_bin(0, enc.ctx.idx("sao_merge_flag"))
+        if up_ok:
+            enc.encode_bin(0, enc.ctx.idx("sao_merge_flag"))
+        if pp.luma_on:
+            _enc_sao_comp(enc, int(rp["type_y"][cy, cx]),
+                          int(rp["aux_y"][cy, cx]),
+                          rp["off_y"][cy, cx], True, True)
+        if pp.chroma_on:
+            tc = int(rp["type_c"][cy, cx])
+            _enc_sao_comp(enc, tc, int(rp["aux_cb"][cy, cx]),
+                          rp["off_cb"][cy, cx], True, False)
+            if tc >= 0:
+                _enc_sao_comp(enc, tc, int(rp["aux_cr"][cy, cx]),
+                              rp["off_cr"][cy, cx], False, False)
+        return
+    if left_ok:
+        enc.encode_bin(1 if merge == 1 else 0,
                        enc.ctx.idx("sao_merge_flag"))
-    if cy > 0 and pp.merge[cy, cx] != 1:
-        enc.encode_bin(1 if pp.merge[cy, cx] == 2 else 0,
+    if up_ok and merge != 1:
+        enc.encode_bin(1 if merge == 2 else 0,
                        enc.ctx.idx("sao_merge_flag"))
-    if pp.merge[cy, cx] != 0:
+    if merge != 0:
         return
     if pp.luma_on:
         _enc_sao_comp(enc, int(pp.type_y[cy, cx]), int(pp.aux_y[cy, cx]),
@@ -415,11 +446,11 @@ def _dec_sao_comp(dec, known_type):
     return t, aux, off
 
 
-def _dec_sao_ctu(dec, pp, cx, cy):
+def _dec_sao_ctu(dec, pp, cx, cy, left_ok, up_ok):
     merge = 0
-    if cx > 0 and dec.decode_bin(dec.ctx.idx("sao_merge_flag")):
+    if left_ok and dec.decode_bin(dec.ctx.idx("sao_merge_flag")):
         merge = 1
-    if merge == 0 and cy > 0 and dec.decode_bin(dec.ctx.idx("sao_merge_flag")):
+    if merge == 0 and up_ok and dec.decode_bin(dec.ctx.idx("sao_merge_flag")):
         merge = 2
     pp.merge[cy, cx] = merge
     if merge:
@@ -661,7 +692,8 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
                       mvd_l1_zero: bool = False,
                       cur_poc: int = 0, slice_qp: int = 26,
                       fs: FrameSyntax = None, ctu_addrs=None,
-                      cell_order=None) -> FrameSyntax:
+                      cell_order=None, subset_end: bool = False
+                      ) -> FrameSyntax:
     """fs/ctu_addrs/cell_order: multi-segment pictures decode each
     slice NAL into the shared picture FrameSyntax over its own CTU
     span (tiles: one segment per tile, coding order inside)."""
@@ -694,12 +726,16 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
     if ctu_addrs is None:
         ctu_addrs = range(sc.hctu * sc.wctu)
     ctu_addrs = list(ctu_addrs)
+    span_set = frozenset(ctu_addrs)
     for k, rs in enumerate(ctu_addrs):
         cy, cx = divmod(rs, sc.wctu)
         if use_dqp:
             sc.dqp_pending = True
         if fs.sao is not None:
-            _dec_sao_ctu(dec, fs.sao, cx, cy)
+            # merge flags gated by slice segment/tile (§7.3.8.3)
+            _dec_sao_ctu(dec, fs.sao, cx, cy,
+                         cx > 0 and (rs - 1) in span_set,
+                         cy > 0 and (rs - sc.wctu) in span_set)
         _dec_quadtree(dec, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
                       sc.log2_ctu, 0)
         if use_dqp:
@@ -709,7 +745,11 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
         if end:  # end_of_slice_segment_flag terminates the segment
             fs.consumed_ctus = k + 1
             return fs
-        assert k != len(ctu_addrs) - 1, "missing end_of_slice flag"
+        if k == len(ctu_addrs) - 1:
+            # a tile substream inside a larger slice ends with
+            # end_of_slice_segment_flag 0 + end_of_subset_one_bit
+            # (§7.3.8.1); plain slice segments must have flagged end
+            assert subset_end, "missing end_of_slice flag"
     fs.consumed_ctus = len(ctu_addrs)
     return fs
 
@@ -1859,7 +1899,7 @@ def encode_slice_data_wpp(fs: FrameSyntax, sps: SeqParams, pps: PicParams,
                             if getattr(fs, "qp_ctu", None) is not None
                             else slice_qp)
             if fs.sao is not None:
-                _enc_sao_ctu(cab, fs.sao, cx, cy)
+                _enc_sao_ctu(cab, fs.sao, cx, cy, cx > 0, cy > 0)
             _enc_quadtree(cab, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
                           sc.log2_ctu, 0)
             if cx == sync_x:
@@ -1931,7 +1971,7 @@ def decode_slice_data_wpp(payload: bytes, entry_points: list[int],
             if use_dqp:
                 sc.dqp_pending = True
             if fs.sao is not None:
-                _dec_sao_ctu(dec, fs.sao, cx, cy)
+                _dec_sao_ctu(dec, fs.sao, cx, cy, cx > 0, cy > 0)
             _dec_quadtree(dec, sc, cx << sc.log2_ctu, cy << sc.log2_ctu,
                           sc.log2_ctu, 0)
             if use_dqp:

@@ -225,7 +225,7 @@ def boundary_strength_full(fs, axis: int) -> np.ndarray:
     return bs.reshape(h8, w4).reshape(h8, w8, 2).astype(np.int32)
 
 
-def _filter_luma_lines(p, q, tc, beta, mask):
+def _filter_luma_lines(p, q, tc, beta, mask, maxv=255):
     """Filter across one edge for a batch of 4-line segments.
     p, q: (N, 4, 4) samples, p[:, :, 0] nearest the edge reversed so
     p[:, line, i] = p_i; q[:, line, i] = q_i. Returns filtered (p, q)."""
@@ -273,16 +273,16 @@ def _filter_luma_lines(p, q, tc, beta, mask):
     delta = (9 * (q[:, :, 0] - p[:, :, 0]) - 3 * (q[:, :, 1] - p[:, :, 1]) + 8) >> 4
     w_on = weak[:, None] & (np.abs(delta) < 10 * tc_)
     dlt = np.clip(delta, -tc_, tc_)
-    wp0 = np.clip(p[:, :, 0] + dlt, 0, 255)
-    wq0 = np.clip(q[:, :, 0] - dlt, 0, 255)
+    wp0 = np.clip(p[:, :, 0] + dlt, 0, maxv)
+    wq0 = np.clip(q[:, :, 0] - dlt, 0, maxv)
     side_thr = (beta + (beta >> 1)) >> 3
     dep = (dp0 + dp3 < side_thr)[:, None]
     deq = (dq0 + dq3 < side_thr)[:, None]
     tc2 = tc_ >> 1
     dp_ = np.clip((((p[:, :, 2] + p[:, :, 0] + 1) >> 1) - p[:, :, 1] + dlt) >> 1, -tc2, tc2)
     dq_ = np.clip((((q[:, :, 2] + q[:, :, 0] + 1) >> 1) - q[:, :, 1] - dlt) >> 1, -tc2, tc2)
-    wp1 = np.clip(p[:, :, 1] + dp_, 0, 255)
-    wq1 = np.clip(q[:, :, 1] + dq_, 0, 255)
+    wp1 = np.clip(p[:, :, 1] + dp_, 0, maxv)
+    wq1 = np.clip(q[:, :, 1] + dq_, 0, maxv)
 
     s_on = strong[:, None]
     out_p = p.copy()
@@ -296,7 +296,7 @@ def _filter_luma_lines(p, q, tc, beta, mask):
     return out_p, out_q
 
 
-def _deblock_luma_dir(plane, bs8, qp, vertical: bool):
+def _deblock_luma_dir(plane, bs8, qp, vertical: bool, bd: int = 8):
     """One direction over the whole plane. bs8: (h8, w8) per-cell edge
     BS, or (h8, w8, 2) with per-4-sample-segment BS (partitioned
     streams). qp: scalar, or an (h8, w8) per-cell QpY map (cu_qp_delta
@@ -343,11 +343,13 @@ def _deblock_luma_dir(plane, bs8, qp, vertical: bool):
                 qp_seg[k2] = (qq + qpp + 1) >> 1
                 k2 += 1
     qidx_b = np.clip(qp_seg, 0, 51)
-    beta = BETA_TABLE[qidx_b].astype(np.int32)
+    # beta' / tc' scale with bit depth (§8.7.2.5.3)
+    beta = BETA_TABLE[qidx_b].astype(np.int32) << (bd - 8)
     qidx_t = np.clip(qp_seg + 2 * (bs - 1), 0, 53)
-    tc = TC_TABLE[qidx_t].astype(np.int32)
+    tc = TC_TABLE[qidx_t].astype(np.int32) << (bd - 8)
     mask = bs > 0  # per-segment BS can be 0 in partitioned streams
-    fp, fq = _filter_luma_lines(p, q, tc, beta, mask)
+    fp, fq = _filter_luma_lines(p, q, tc, beta, mask,
+                                maxv=(1 << bd) - 1)
     out = plane.copy()
     for k2, (y, x) in enumerate(coords):
         if vertical:
@@ -359,7 +361,7 @@ def _deblock_luma_dir(plane, bs8, qp, vertical: bool):
     return out
 
 
-def _deblock_chroma_dir(plane, bs8, qp_c, vertical: bool):
+def _deblock_chroma_dir(plane, bs8, qp_c, vertical: bool, bd: int = 8):
     """Chroma: BS==2 edges only, on the 8-chroma-sample grid (every other
     luma cell edge for 4:2:0), 2-tap delta filter (§8.7.2.5.5). With a
     per-segment (h8, w8, 2) BS the even luma segment's value applies
@@ -371,14 +373,15 @@ def _deblock_chroma_dir(plane, bs8, qp_c, vertical: bool):
     per_cell = not np.isscalar(qp_c)
     if not per_cell:
         qidx = np.clip(qp_c + 2, 0, 53)
-        tc = int(TC_TABLE[qidx])
+        tc = int(TC_TABLE[qidx]) << (bd - 8)
         if tc == 0:
             return out
     for y8, x8 in zip(*np.nonzero(bs8 == 2)):
         if per_cell:
             qq = int(qp_c[y8, x8])
             qpp = int(qp_c[y8, x8 - 1] if vertical else qp_c[y8 - 1, x8])
-            tc = int(TC_TABLE[np.clip(((qq + qpp + 1) >> 1) + 2, 0, 53)])
+            tc = int(TC_TABLE[np.clip(((qq + qpp + 1) >> 1) + 2,
+                                      0, 53)]) << (bd - 8)
             if tc == 0:
                 continue
         # chroma edge exists where the luma edge lies on the 16-luma grid
@@ -401,8 +404,8 @@ def _deblock_chroma_dir(plane, bs8, qp_c, vertical: bool):
             p0 = out[cy - 1, cx : cx + 4]
             p1 = out[cy - 2, cx : cx + 4]
         delta = np.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tc, tc)
-        np0 = np.clip(p0 + delta, 0, 255)
-        nq0 = np.clip(q0 - delta, 0, 255)
+        np0 = np.clip(p0 + delta, 0, (1 << bd) - 1)
+        nq0 = np.clip(q0 - delta, 0, (1 << bd) - 1)
         if vertical:
             out[cy : cy + 4, cx - 1] = np0
             out[cy : cy + 4, cx] = nq0
@@ -424,7 +427,8 @@ def pcm_sample_mask(fs):
     return my, my[::2, ::2]
 
 
-def deblock_frame(planes, fs, qp: int, is_intra_slice: bool, pcm_mask=None):
+def deblock_frame(planes, fs, qp: int, is_intra_slice: bool, pcm_mask=None,
+                  bd: int = 8):
     """(y, u, v) recon -> deblocked recon (both encoder and decoder call
     this after full-frame reconstruction; intra prediction already used the
     unfiltered samples, matching the normative decoding order). With
@@ -448,17 +452,17 @@ def deblock_frame(planes, fs, qp: int, is_intra_slice: bool, pcm_mask=None):
             and fs.mv4 is not None)
     bs_v = (boundary_strength_full(fs, 0) if full
             else boundary_strength(fs, is_intra_slice, 0))
-    y = _deblock_luma_dir(y, bs_v, qp, True)
-    u = _deblock_chroma_dir(u, bs_v, qpc, True)
-    v = _deblock_chroma_dir(v, bs_v, qpc, True)
+    y = _deblock_luma_dir(y, bs_v, qp, True, bd)
+    u = _deblock_chroma_dir(u, bs_v, qpc, True, bd)
+    v = _deblock_chroma_dir(v, bs_v, qpc, True, bd)
     if pcm_mask is not None:
         y, u, v = (np.where(m, p0, p)
                    for m, p0, p in ((my, y0, y), (mc, u0, u), (mc, v0, v)))
     bs_h = (boundary_strength_full(fs, 1) if full
             else boundary_strength(fs, is_intra_slice, 1))
-    y = _deblock_luma_dir(y, bs_h, qp, False)
-    u = _deblock_chroma_dir(u, bs_h, qpc, False)
-    v = _deblock_chroma_dir(v, bs_h, qpc, False)
+    y = _deblock_luma_dir(y, bs_h, qp, False, bd)
+    u = _deblock_chroma_dir(u, bs_h, qpc, False, bd)
+    v = _deblock_chroma_dir(v, bs_h, qpc, False, bd)
     if pcm_mask is not None:
         y, u, v = (np.where(m, p0, p)
                    for m, p0, p in ((my, y0, y), (mc, u0, u), (mc, v0, v)))

@@ -56,30 +56,81 @@ def inverse_transform_np(coeff: np.ndarray, bit_depth: int = 8, is_dst: bool = F
 
 def quantize_np(
     coeff: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8,
-    is_intra_slice: bool = True,
+    is_intra_slice: bool = True, m: np.ndarray | None = None,
 ) -> np.ndarray:
     """HM's scalar quantizer with its rounding offsets (non-normative side).
-    qp is the display-range QP; Qp' = qp + QpBdOffset is applied here."""
+    qp is the display-range QP; Qp' = qp + QpBdOffset is applied here.
+    m: (S, S) scaling-list factors (TComTrQuant::xSetScalingListEnc:
+    quantcoeff = (quantScales << 4) / m; flat m = 16 reduces exactly)."""
     qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     qbits = 14 + per + tshift
     add = (171 if is_intra_slice else 85) << (qbits - 9)
-    scale = int(QUANT_SCALES[rem])
     c = coeff.astype(np.int64)
-    level = (np.abs(c) * scale + add) >> qbits
+    if m is None:
+        scale = int(QUANT_SCALES[rem])
+        level = (np.abs(c) * scale + add) >> qbits
+    else:
+        qc = (int(QUANT_SCALES[rem]) << 4) // m.astype(np.int64)
+        level = (np.abs(c) * qc + add) >> qbits
     return np.clip(np.sign(c) * level, -32768, 32767).astype(np.int32)
 
 
-def dequantize_np(level: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8) -> np.ndarray:
-    """Normative scaling process (§8.6.3), flat scaling list (m=16).
-    qp is the display-range QP; Qp' = qp + QpBdOffset is applied here."""
+def dequantize_np(level: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8,
+                  m: np.ndarray | None = None) -> np.ndarray:
+    """Normative scaling process (§8.6.3). m: (S, S) scaling-list factors
+    (None = flat 16). qp is the display-range QP; Qp' = qp + QpBdOffset
+    is applied here."""
     qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     bdshift = bit_depth + log2_size - 5
-    scale = (16 * int(INV_QUANT_SCALES[rem])) << per
-    d = (level.astype(np.int64) * scale + (1 << (bdshift - 1))) >> bdshift
+    if m is None:
+        scale = (16 * int(INV_QUANT_SCALES[rem])) << per
+        d = (level.astype(np.int64) * scale
+             + (1 << (bdshift - 1))) >> bdshift
+    else:
+        scale = (m.astype(np.int64) * int(INV_QUANT_SCALES[rem])) << per
+        d = (level.astype(np.int64) * scale
+             + (1 << (bdshift - 1))) >> bdshift
     return np.clip(d, -32768, 32767).astype(np.int32)
+
+
+# --- scaling lists (§7.4.5 Table 7-5/7-6; TComScalingList defaults) ---------
+
+_SL_8x8_INTRA = np.array([
+    16, 16, 16, 16, 17, 18, 21, 24,
+    16, 16, 16, 16, 17, 19, 22, 25,
+    16, 16, 17, 18, 20, 22, 25, 29,
+    16, 16, 18, 21, 24, 27, 31, 36,
+    17, 17, 20, 24, 30, 35, 41, 47,
+    18, 19, 22, 27, 35, 44, 54, 65,
+    21, 22, 25, 31, 41, 54, 70, 88,
+    24, 25, 29, 36, 47, 65, 88, 115], np.int32).reshape(8, 8)
+
+_SL_8x8_INTER = np.array([
+    16, 16, 16, 16, 17, 18, 20, 24,
+    16, 16, 16, 17, 18, 20, 24, 25,
+    16, 16, 17, 18, 20, 24, 25, 28,
+    16, 17, 18, 20, 24, 25, 28, 33,
+    17, 18, 20, 24, 25, 28, 33, 41,
+    18, 20, 24, 25, 28, 33, 41, 54,
+    20, 24, 25, 28, 33, 41, 54, 71,
+    24, 25, 28, 33, 41, 54, 71, 91], np.int32).reshape(8, 8)
+
+
+def default_scaling_matrix(log2_size: int, is_intra: bool) -> np.ndarray:
+    """Default scaling-list factors m (S, S) (§7.4.5: 4x4 flat 16; 8x8
+    from Table 7-6; 16/32 by 2x/4x nearest upsampling with the DC
+    coefficient replaced by the default scaling_list_dc = 16)."""
+    if log2_size == 2:
+        return np.full((4, 4), 16, np.int32)
+    base = _SL_8x8_INTRA if is_intra else _SL_8x8_INTER
+    f = 1 << (log2_size - 3)
+    m = np.repeat(np.repeat(base, f, 0), f, 1)
+    if f > 1:
+        m[0, 0] = 16  # scaling_list_dc_coef default
+    return m
 
 
 # --- JAX batched variants --------------------------------------------------
