@@ -150,3 +150,42 @@ def test_stripe_refine_bit_exact():
     assert np.array_equal(np.asarray(mv_s), np.asarray(mv_1))
     assert np.array_equal(np.asarray(sad9_s), np.asarray(sad9_1))
     assert np.array_equal(np.asarray(cost_s), np.asarray(cost_1))
+
+
+def test_sharded_frame_step_bit_exact():
+    """The FULL grid-encoder frame step (anchor-shaped: multi-ref ME,
+    merge sweeps, residual class coding, deblock, recon) jitted with the
+    picture state row-stripe-sharded over the 8-device mesh must equal
+    the replicated single-device run bit-exactly — GSPMD inserts the
+    halo collectives; the math is unchanged."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuhevc.codec.params import EncoderConfig, SeqParams
+    from tpuhevc.parallel.mesh import make_mesh, sharded_frame_step
+
+    W, H = 128, 128
+    cfg = EncoderConfig(
+        sps=SeqParams(width=W, height=H, max_tu_depth_intra=0),
+        qp=32, intra_period=-1, fme_mode="none", inter_backend="jax",
+        num_ref_frames=2, search_range=16, deblocking=True)
+    mesh = make_mesh(8)
+    sharded, single, meta = sharded_frame_step(cfg, {32: None}, mesh)
+
+    R, Hc, Wc = meta["R"], meta["Hc"], meta["Wc"]
+    rng = np.random.default_rng(3)
+    oy = rng.integers(0, 256, (H, W), dtype=np.uint8)
+    ry = jnp.asarray(np.broadcast_to(
+        np.roll(oy, (3, -2), (0, 1)).astype(np.int32), (R, H, W)))
+    ruv = jnp.asarray(rng.integers(0, 256, (R, Hc, 2 * Wc)), jnp.int32)
+    n16 = (H // 16) * (W // 16)
+    seed = jnp.zeros((n16, 2), jnp.int32)
+    fu8 = jnp.asarray(np.concatenate([
+        oy.ravel(),
+        rng.integers(0, 256, (H * W // 4,), dtype=np.uint8),
+        rng.integers(0, 256, (H * W // 4,), dtype=np.uint8)]))
+    na = jnp.int32(R)
+    out_s = sharded(ry, ruv, seed, fu8, na)
+    out_1 = single(ry, ruv, seed, fu8, na)
+    for a, b in zip(out_s, out_1):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -42,6 +42,48 @@ def test_rate_control_hits_target():
     assert achieved[600_000] > achieved[200_000] * 2
 
 
+def test_rate_control_anchor_gop():
+    """RC under the anchor coding structure (multi-ref LD-P GOP, not the
+    old IPPP fallback): GOP-level bit allocation (TEncRCGOP counterpart)
+    must still hit the target while the slice headers carry the anchor's
+    multi-ref RPS."""
+    clip = _clip(128, 64, 21)
+
+    class R:
+        def read_frame(self, i):
+            return clip[i] if i < len(clip) else None
+
+    target = 400_000
+    cfg = EncoderConfig(
+        sps=SeqParams(width=128, height=64, max_tu_depth_intra=0),
+        qp=32, intra_period=-1, fme_mode="none", inter_backend="np",
+        gop_qp_offsets=(5, 4, 5, 1), num_ref_frames=2,
+        target_bitrate=target, frame_rate=30)
+    enc, _ = encode_sequence(R(), cfg, max_frames=21)
+    bs = enc.bitstream()
+    frames = decode_stream(bs)
+    assert len(frames) == 21 and all(f.md5_ok for f in frames)
+    achieved = sum(r.bits for r in enc.results) * 30 / 21
+    assert 0.85 * target < achieved < 1.15 * target, achieved
+    # the structure must really be multi-ref (anchor GOP), not IPPP
+    from tpuhevc.entropy import bitio, headers
+    sps = pps = None
+    sps_rps = []
+    n_refs = []
+    for nal in bitio.read_annexb(bs):
+        t = (nal[0] >> 1) & 0x3F
+        rb = bitio.ebsp_to_rbsp(nal[2:])
+        if t == bitio.NAL_SPS:
+            sps, sps_rps = headers.parse_sps(rb)
+        elif t == bitio.NAL_PPS:
+            pps = headers.parse_pps(rb)
+        elif t <= 31:
+            hdr, _ = headers.parse_slice_header(rb, t, sps, pps, sps_rps)
+            if hdr.slice_type != 2:  # not I
+                n_refs.append(hdr.num_ref_idx_l0)
+    assert max(n_refs) == 2, n_refs
+
+
 def test_rate_model_update_direction():
     from tpuhevc.codec.ratectrl import RateControl
 

@@ -33,9 +33,10 @@ def merge(outdir: str, tag: str, dest: str) -> dict | None:
 
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "results"
-    for tag, dest, name in (("nat", "bdrate_r03_natural.json",
+    rnd = os.environ.get("RD_ROUND", "r04")
+    for tag, dest, name in ((f"nat", f"bdrate_{rnd}_natural.json",
                              "natural 416x240x32"),
-                            ("syn", "bdrate_r03_ldp_nn.json",
+                            (f"syn", f"bdrate_{rnd}_ldp_nn.json",
                              "synthetic 192x128x12")):
         r = merge(outdir, tag, dest)
         if r:

@@ -82,6 +82,8 @@ class Encoder:
 
     def frame_qp(self, poc: int) -> int:
         cfg = self.cfg
+        if getattr(self, "_rc_qp", None) is not None:
+            return self._rc_qp  # rate control owns the picture QP
         if self._slice_type(poc) == I_SLICE or not cfg.gop_qp_offsets:
             return cfg.qp
         off = cfg.gop_qp_offsets[(poc - 1) % len(cfg.gop_qp_offsets)]
@@ -159,9 +161,9 @@ class Encoder:
             from .params import p_frame_lambda
 
             G = max(1, len(cfg.gop_qp_offsets))
-            cfg_f = dataclasses.replace(
-                cfg, qp=fqp,
-                frame_lambda=p_frame_lambda(cfg, (poc - 1) % G, fqp))
+            lam_f = (getattr(self, "_rc_lambda", None)
+                     or p_frame_lambda(cfg, (poc - 1) % G, fqp))
+            cfg_f = dataclasses.replace(cfg, qp=fqp, frame_lambda=lam_f)
             if (cfg.adaptive_qp and cfg.ctu_qp_map is None
                     and cfg.inter_backend == "np"):
                 from .preanalysis import adaptive_qp_map
@@ -193,7 +195,9 @@ class Encoder:
                    _pad_to(np.asarray(v), h_ // 2, w_ // 2))
             from .params import i_frame_lambda, p_frame_lambda
 
-            if stype == I_SLICE:
+            if getattr(self, "_rc_lambda", None):
+                lam_f = self._rc_lambda
+            elif stype == I_SLICE:
                 lam_f = i_frame_lambda(cfg, fqp)
             else:
                 G = max(1, len(cfg.gop_qp_offsets))
@@ -504,10 +508,13 @@ def _grid_supports(cfg) -> bool:
 def _rate_controlled(enc, cfg, frames, finish):
     """Picture-level R-lambda rate control (RateControl=1): QP per frame
     from the model, model updated with actual bits (TEncRateCtrl
-    counterpart; SURVEY.md §2.2). With cfg.rc_ctu (LCULevelRC) the
-    picture target is further distributed over CTUs by activity and the
-    per-CTU QPs ride cu_qp_delta."""
-    from ..entropy.headers import ShortTermRPS
+    counterpart; SURVEY.md §2.2). Rides the regular coding structure —
+    the anchor's multi-ref LD-P GOP included — via the encoder's
+    _rc_qp/_rc_lambda overrides instead of forcing IPPP, matching
+    TEncGOP.cpp:1821-1831 (RC supplies QP+lambda, the GOP machinery
+    supplies structure). With cfg.rc_ctu (LCULevelRC) the picture target
+    is further distributed over CTUs by activity and the per-CTU QPs
+    ride cu_qp_delta."""
     from .params import I_SLICE
     from .ratectrl import CtuAlloc, RateControl
 
@@ -522,25 +529,21 @@ def _rate_controlled(enc, cfg, frames, finish):
     for i, fr in enumerate(frames):
         stype = enc._slice_type(i)
         qp, lam, target = rc.pick(i, stype == I_SLICE)
-        if stype == I_SLICE:
-            si = None
-            enc.cfg = dataclasses.replace(cfg, qp=qp)
-            finish(i, fr)
-            enc.cfg = cfg
-        else:
-            si = dict(stype=P_SLICE, qp=qp, rps=ShortTermRPS([-1], [1]),
-                      num_ref_l0=1, l0_deltas=[1])
-            if alloc is not None:
+        enc._rc_qp, enc._rc_lambda = qp, lam
+        try:
+            if alloc is not None and stype != I_SLICE:
                 level = rc._pending[0]
                 a, b = rc._model(level)
                 m = alloc.qp_map(target, qp,
                                  a, b, alloc.weights(fr[0],
                                                      frames[i - 1][0]))
                 enc.cfg = dataclasses.replace(cfg, ctu_qp_map=m)
-                finish(i, fr, None, si)
+                finish(i, fr)
                 enc.cfg = cfg
             else:
-                finish(i, fr, None, si)
+                finish(i, fr)
+        finally:
+            enc._rc_qp = enc._rc_lambda = None
         rc.update(enc.results[-1].bits)
 
 

@@ -12,18 +12,25 @@ updates after each picture (updateAfterPicture):
 QP from lambda: QP = 4.2005 ln(lambda) + 13.7122 (TEncRateCtrl's
 xEstPicQP), clipped to +-3 of the same-level previous picture and [0, 51].
 
-Bit allocation: remaining-bits smoothing over a sliding window plus
-per-level weights inside the GOP (the low-delay allocation shape).
+Bit allocation is GOP-structured like the reference's TEncRCSeq →
+TEncRCGOP → TEncRCPic hierarchy: each GOP draws its budget from the
+sequence bits-left smoothed over the influence window
+(TEncRateCtrl.cpp:672 xEstGOPTargetBits, g_RCSmoothWindowSize = 40),
+and each picture takes a weighted share of what remains of its GOP
+(TEncRateCtrl.cpp:928 xEstPicTargetBits, low-delay weight row).
 """
 
 from __future__ import annotations
 
 import math
 
+SMOOTH_WINDOW = 40  # g_RCSmoothWindowSize
+
 
 class RateControl:
     # low-delay GOP4 per-position weights (key frame heavier), normalized
     LD_WEIGHTS = (3.0, 2.0, 3.0, 6.0)
+    INTRA_WEIGHT = 12.0  # IDR share when it lands inside a GOP
 
     def __init__(self, target_bps: float, frame_rate: float, width: int,
                  height: int, gop_size: int = 4, total_frames: int = 0):
@@ -33,11 +40,36 @@ class RateControl:
         self.total_frames = total_frames
         self.spent = 0.0
         self.coded = 0
+        # GOP-level budget (TEncRCGOP): refreshed every gop_size pictures
+        self.gop_budget = 0.0
+        self.gop_weights: list = []
         # per-level model state: level 0 = intra, 1.. = gop positions
         self.alpha = {}
         self.beta = {}
         self.last_lambda = {}
         self.last_qp = {}
+
+    def _begin_gop(self, n_pics: int, leads_intra: bool) -> None:
+        """TEncRCGOP::xEstGOPTargetBits: this GOP's budget = sequence
+        bits-left spread over min(smooth window, frames left), floored
+        at 200 bits/picture."""
+        if self.total_frames:
+            frames_left = max(1, self.total_frames - self.coded)
+            bits_left = self.total_frames * self.avg_bits - self.spent
+        else:  # open-ended run: window the leftover like before
+            frames_left = SMOOTH_WINDOW
+            bits_left = (SMOOTH_WINDOW * self.avg_bits
+                         + (self.coded * self.avg_bits - self.spent))
+        infl = min(SMOOTH_WINDOW, frames_left)
+        self.gop_budget = max(bits_left * n_pics / infl, 200.0 * n_pics)
+        self.gop_weights = []
+        for k in range(n_pics):
+            if leads_intra and k == 0:
+                self.gop_weights.append(self.INTRA_WEIGHT)
+            else:
+                pos = (k - 1) % self.gop_size if leads_intra else k
+                self.gop_weights.append(
+                    self.LD_WEIGHTS[pos % len(self.LD_WEIGHTS)])
 
     def _model(self, level):
         return (self.alpha.get(level, 6.7542 if level == 0 else 3.2003),
@@ -49,22 +81,17 @@ class RateControl:
         return 1 + (poc - 1) % self.gop_size
 
     def frame_target(self, poc: int, is_intra: bool) -> float:
-        """Target bits for this picture (sliding-window leftover
-        smoothing + LD level weights)."""
-        # leftover redistribution: pay back over the remaining frames
-        # (bounded by a 16-frame window for open-ended runs)
-        leftover = self.coded * self.avg_bits - self.spent
-        win = 16
-        if self.total_frames:
-            win = max(1, min(16, self.total_frames - self.coded))
-        base = self.avg_bits + leftover / win
-        if is_intra:
-            return max(base * 3.0, 100.0)  # intra weight
-        pos = (poc - 1) % self.gop_size
-        w = self.LD_WEIGHTS[pos % len(self.LD_WEIGHTS)]
-        wsum = sum(self.LD_WEIGHTS[i % len(self.LD_WEIGHTS)]
-                   for i in range(self.gop_size))
-        return max(base * self.gop_size * w / wsum, 100.0)
+        """Target bits for this picture: its weighted share of what
+        remains of the current GOP budget (TEncRCPic::xEstPicTargetBits);
+        GOP budgets come from the sequence leftover (xEstGOPTargetBits)."""
+        if not self.gop_weights:
+            n = self.gop_size
+            if self.total_frames:
+                n = min(n, max(1, self.total_frames - self.coded))
+            self._begin_gop(n, leads_intra=is_intra)
+        w = self.gop_weights[0]
+        t = self.gop_budget * w / sum(self.gop_weights)
+        return max(t, 100.0)
 
     def pick(self, poc: int, is_intra: bool) -> tuple[int, float, float]:
         """(qp, lambda, target_bits) for the next picture."""
@@ -104,6 +131,11 @@ class RateControl:
                                         + 13.7122))
         self.spent += actual_bits
         self.coded += 1
+        # consume this picture's slot of the GOP budget (TEncRCGOP
+        # updateAfterPicture: the rest of the GOP shares what's left)
+        if self.gop_weights:
+            self.gop_weights.pop(0)
+            self.gop_budget = max(self.gop_budget - actual_bits, 0.0)
 
 
 class CtuAlloc:

@@ -103,6 +103,51 @@ def tile_prescreen(mesh, height: int, width: int, bit_depth: int = 8):
     return jax.jit(fn)
 
 
+def sharded_frame_step(cfg, nn_by_qp, mesh):
+    """The COMPLETE grid-encoder frame step — multi-ref ME, merge jump-
+    flood sweeps, intra prescreen, residual class coding, deblock/SAO,
+    reconstruction — jitted with the picture state row-stripe-sharded
+    over the mesh. XLA's SPMD partitioner (GSPMD) turns every cross-
+    stripe reach (the sweep's jnp.roll, deblock taps, ME window gathers)
+    into halo collectives automatically, so the sharded step computes
+    the SAME function as the single-device one: bit-exact by
+    construction, asserted in tests/test_parallel.py. This is the
+    anchor-cfg encoder's per-frame analysis scaled across chips the
+    idiomatic pjit way (vs the reference's host-thread frame
+    parallelism, SURVEY.md §2.5).
+
+    Returns (sharded_fn, single_fn, meta); both map
+      (ry_stack (R,H,W) i32, ruv_stack (R,Hc,2Wc) i32,
+       seed16 (n16,2) i32, fu8 (H*W*3//2,) u8, navail i32)
+      -> (new_ry, new_ruv, seed16', packed u8).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..codec import inter_grid
+
+    inter_grid.build_ldp_grid_scan(cfg, nn_by_qp, 1)
+    step = inter_grid._PROBES["frame_step"]
+    meta = inter_grid._PROBES["meta"]
+
+    (axis,) = mesh.axis_names
+    stripe = NamedSharding(mesh, P(None, axis, None))
+    repl = NamedSharding(mesh, P())
+
+    def one(ry_stack, ruv_stack, seed16, fu8, navail):
+        (ry2, ruv2, seed2), packed = step(
+            (ry_stack, ruv_stack, seed16), fu8, navail, 0)
+        return ry2, ruv2, seed2, packed
+
+    sharded = jax.jit(one,
+                      in_shardings=(stripe, stripe, repl, repl, repl),
+                      out_shardings=(stripe, stripe, repl, repl))
+    single = jax.jit(one,
+                     in_shardings=(repl, repl, repl, repl, repl),
+                     out_shardings=(repl, repl, repl, repl))
+    return sharded, single, meta
+
+
 def stripe_refine(cfg, nn_by_qp, mesh):
     """CTU-row-stripe sharding of the v3 grid path's full-pel ME refine —
     the dominant per-frame analysis stage of the bench path
