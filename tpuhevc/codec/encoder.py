@@ -155,7 +155,10 @@ class Encoder:
             else:
                 fs, (ry, ru, rv) = precomputed
         elif stype == I_SLICE:
-            fs, (ry, ru, rv) = self._frame_encoder(y, u, v, cfg)
+            # rate control may override the picture QP (frame_qp), so the
+            # analysis must run at fqp, not the base cfg QP
+            cfg_i = dataclasses.replace(cfg, qp=fqp) if fqp != cfg.qp else cfg
+            fs, (ry, ru, rv) = self._frame_encoder(y, u, v, cfg_i)
         else:
             from .inter_enc import encode_frame_p
             from .params import p_frame_lambda
@@ -175,8 +178,15 @@ class Encoder:
                 (y, u, v), self.dpb_recon, cfg_f, self._nn_for_qp(fqp),
                 backend=cfg.inter_backend)
             if cfg_f.ctu_qp_map is not None:
-                # CTU-level RC: signal the map via cu_qp_delta
-                fs.qp_ctu = np.asarray(cfg_f.ctu_qp_map, np.int32)
+                # CTU-level RC: signal the map via cu_qp_delta. CTUs
+                # with no coded residual can't carry the delta — resolve
+                # to the QPs the stream will actually convey so deblock
+                # matches the decoder (effective_qp_ctu docstring).
+                from ..entropy.syntax import effective_qp_ctu
+
+                fs.qp_ctu = effective_qp_ctu(
+                    fs, np.asarray(cfg_f.ctu_qp_map, np.int32), fqp,
+                    sps.ctu_size, wpp=pps.entropy_coding_sync)
 
         if (cfg.deblocking and ry is not None
                 and not getattr(fs, "prefiltered", False)):

@@ -740,9 +740,16 @@ def assemble_frame_p(cfg: EncoderConfig, per_cu: dict, num_ref: int = 1,
                     ((x0 + dx, y0 + dy) for dy in range(0, size, 8)
                      for dx in range(0, size, 8)),
                     key=lambda p_: order.order[p_[1] // 8, p_[0] // 8])
+                # cu_qp_delta: the CU dequants at its CTU's QpY, so the
+                # intra fallback must quantize there too (the decoder and
+                # HM both reconstruct at the signaled per-CTU QP)
+                qmap = getattr(cfg, "ctu_qp_map", None)
+                qp_cu = (int(np.asarray(qmap)[y0 >> sps.log2_ctu,
+                                              x0 >> sps.log2_ctu])
+                         if qmap is not None else cfg.qp)
                 for sx, sy in sub:  # decode order over the 8-cells
                     sse_intra += encode_intra_cu8(
-                        fs, sps, cfg.qp, (rec_y, rec_u, rec_v), orig,
+                        fs, sps, qp_cu, (rec_y, rec_u, rec_v), orig,
                         sx // 8, sy // 8, order, lam_intra)
                 bits_intra = int(
                     _bits_est_np(fs.coeff_y[y0 : y0 + size,

@@ -202,12 +202,17 @@ def reconstruct_intra_cus_inter_frame(fs, sps, qp: int, planes) -> None:
     bd = sps.bit_depth
     order = (getattr(fs, "tile_order8", None)
              or BlockOrder(w, h, sps.log2_ctu))
-    qpc = chroma_qp(qp)
+    qp_ctu = getattr(fs, "qp_ctu", None)
+    qp_base, qpc = qp, chroma_qp(qp)
     y, u, v = planes
     resolve = _chroma_mode_resolver(fs)
     for x8, y8 in _decode_order_cells(w // 8, h // 8, order):
         if int(fs.inter_dir[y8, x8]) != 0:
             continue
+        if qp_ctu is not None:  # cu_qp_delta: dequant at the CTU's QpY
+            qp = int(qp_ctu[(y8 * 8) >> sps.log2_ctu,
+                            (x8 * 8) >> sps.log2_ctu])
+            qpc = chroma_qp(qp)
         mode = int(fs.luma_mode[y8, x8])
         _recon_block(y, fs.coeff_y, x8 * 8, y8 * 8, 8, mode, (x8, y8),
                      order, qp, True, bd, sps.strong_intra_smoothing, False)

@@ -273,6 +273,64 @@ class _SliceCoder:
 
 # --- encoding --------------------------------------------------------------
 
+def effective_qp_ctu(fs: FrameSyntax, requested: np.ndarray, slice_qp: int,
+                     ctu: int, wpp: bool = False) -> np.ndarray:
+    """Resolve a per-CTU QP request map into the QPs the stream will
+    actually carry. cu_qp_delta is only coded at the first
+    residual-bearing TU of the quantization group (§7.3.8.10): CUs
+    parsed before that point keep CuQpDeltaVal = 0 (QpY = prediction),
+    the delta-bearing CU and everything after it in the QG carry the
+    delta, and a QG with no coded coefficients at all inherits qPY_PREV
+    (§8.6.1). Returns the per-CTU effective map (what fs.qp_ctu's
+    decoder write-back will hold) and stores the per-8-cell per-CU QpY
+    split in fs.qp8 — the map deblocking must use. With wpp, qPY_PREV
+    resets to the slice QP at each CTB row."""
+    hctu, wctu = requested.shape
+    h8, w8 = fs.height // 8, fs.width // 8
+    s8ctu = ctu // 8
+    log2_ctu = ctu.bit_length() - 1
+    eff = np.empty_like(requested)
+    qp8 = np.empty((h8, w8), np.int32)
+    cu_log2 = fs.cu_log2
+
+    def leaves(x8, y8, log2):
+        """CU leaves inside the cell block, z-order (decode order);
+        implicit split at the coded-picture boundary."""
+        if x8 >= w8 or y8 >= h8:
+            return
+        s8 = 1 << (log2 - 3)
+        if (x8 + s8 <= w8 and y8 + s8 <= h8
+                and int(cu_log2[y8, x8]) == log2):
+            yield x8, y8, s8
+            return
+        half = s8 >> 1
+        for dy in (0, half):
+            for dx in (0, half):
+                yield from leaves(x8 + dx, y8 + dy, log2 - 1)
+
+    last = slice_qp
+    for cy in range(hctu):
+        if wpp:
+            last = slice_qp
+        for cx in range(wctu):
+            req = int(requested[cy, cx])
+            fired = False
+            for x8, y8, s8 in leaves(cx * s8ctu, cy * s8ctu, log2_ctu):
+                y0, x0, s = y8 * 8, x8 * 8, s8 * 8
+                if not fired and (
+                        fs.coeff_y[y0:y0 + s, x0:x0 + s].any()
+                        or fs.coeff_cb[y0 // 2:(y0 + s) // 2,
+                                       x0 // 2:(x0 + s) // 2].any()
+                        or fs.coeff_cr[y0 // 2:(y0 + s) // 2,
+                                       x0 // 2:(x0 + s) // 2].any()):
+                    fired = True
+                    last = req
+                qp8[y8:y8 + s8, x8:x8 + s8] = last
+            eff[cy, cx] = req if fired else last
+    fs.qp8 = qp8
+    return eff
+
+
 def encode_slice_data(enc: CabacEncoder, fs: FrameSyntax, sps: SeqParams,
                       pps: PicParams, slice_type: int = I_SLICE,
                       max_merge: int = 5, num_ref: int = 1,
@@ -723,6 +781,9 @@ def decode_slice_data(dec: CabacDecoder, sps: SeqParams, pps: PicParams,
         sc.slice_qp = sc.last_qp = slice_qp
         if getattr(fs, "qp_ctu", None) is None:
             fs.qp_ctu = np.full((sc.hctu, sc.wctu), slice_qp, np.int32)
+        if getattr(fs, "qp8", None) is None:
+            fs.qp8 = np.full((fs.height // 8, fs.width // 8), slice_qp,
+                             np.int32)
     if ctu_addrs is None:
         ctu_addrs = range(sc.hctu * sc.wctu)
     ctu_addrs = list(ctu_addrs)
@@ -777,6 +838,14 @@ def _dec_quadtree(dec, sc, x0, y0, log2, depth):
         _dec_cu_b(dec, sc, x0, y0, log2)
     else:
         _dec_cu_p(dec, sc, x0, y0, log2)
+    if getattr(sc.fs, "qp8", None) is not None:
+        # per-CU QpY for deblocking: CUs parsed before the QG's
+        # cu_qp_delta keep CuQpDeltaVal = 0 (QpY = prediction), CUs from
+        # the delta-bearing one onward carry it — sc.last_qp tracks
+        # exactly that (§8.6.1; HM setQPSubParts at parseDeltaQP)
+        s8 = max(1, size >> 3)
+        sc.fs.qp8[y0 >> 3 : (y0 >> 3) + s8,
+                  x0 >> 3 : (x0 >> 3) + s8] = sc.last_qp
 
 
 def _dec_pcm_cu(dec, sc, x0, y0, log2):
@@ -1952,6 +2021,8 @@ def decode_slice_data_wpp(payload: bytes, entry_points: list[int],
         assert pps.diff_cu_qp_delta_depth == 0, "QG = CTU only"
         sc.slice_qp = sc.last_qp = slice_qp
         fs.qp_ctu = np.full((sc.hctu, sc.wctu), slice_qp, np.int32)
+        fs.qp8 = np.full((fs.height // 8, fs.width // 8), slice_qp,
+                         np.int32)
     # split substreams by entry points
     offs = [0]
     for e in entry_points:

@@ -441,10 +441,13 @@ def deblock_frame(planes, fs, qp: int, is_intra_slice: bool, pcm_mask=None,
     if pcm_mask is not None:
         my, mc = pcm_mask
         y0, u0, v0 = y.copy(), u.copy(), v.copy()
-    if getattr(fs, "qp_ctu", None) is not None:
+    qpmap = getattr(fs, "qp8", None)  # per-CU QpY (exact §8.6.1 split)
+    if qpmap is None:
+        qpmap = getattr(fs, "qp_ctu", None)
+    if qpmap is not None:
         h8, w8 = fs.height // 8, fs.width // 8
-        f = -(-h8 // fs.qp_ctu.shape[0])  # CTU -> 8-cell granularity
-        qp = np.repeat(np.repeat(fs.qp_ctu, f, 0), f, 1)[:h8, :w8]
+        f = -(-h8 // qpmap.shape[0])  # map -> 8-cell granularity
+        qp = np.repeat(np.repeat(qpmap, f, 0), f, 1)[:h8, :w8]
         qpc = np.vectorize(chroma_qp)(qp).astype(np.int32)
     else:
         qpc = chroma_qp(qp)
