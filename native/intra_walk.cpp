@@ -46,6 +46,12 @@ inline bool filterFlag(int mode, int log2) {
 struct Ctx {
   int W, H, bd, qp, qpc, sdh, rdoq, strong;
   int64_t lam_fp;
+  // estBitsSbac-style RDOQ tables (v2; null = Golomb-proxy fallback).
+  // Entry (log2-2)*2 + isLuma at rdoq_off: [sig0 S*S][sig1 S*S]
+  // [g1_0 g1_1 g10_0 g10_1 g2_0 g2_1 g20_0 g20_1 csbf0 csbf1].
+  const double *rdoq_tb = nullptr;
+  const int64_t *rdoq_off = nullptr;
+  double lam_scale_c = 1.0;
   const int64_t *order8, *smin8;
   int w8, h8;
   int32_t *rec_y, *rec_u, *rec_v;
@@ -318,7 +324,7 @@ const int kInvQuantScales[6] = {40, 45, 51, 57, 64, 72};
 const int MAX_TR_DYNAMIC_RANGE = 15;
 
 void quantTB(const Ctx &c, const int32_t *coef, int s, int qp, bool rdoq,
-             int32_t *lvl, double *ideal) {
+             int32_t *lvl, double *ideal, bool isLuma = true) {
   int log2 = 0;
   while ((1 << log2) < s) log2++;
   int qpe = qp + 6 * (c.bd - 8);
@@ -334,6 +340,102 @@ void quantTB(const Ctx &c, const int32_t *coef, int s, int qp, bool rdoq,
       int64_t l = (std::abs(int64_t(coef[i])) * scale + add) >> qbits;
       l = coef[i] < 0 ? -l : l;
       lvl[i] = int32_t(std::clamp<int64_t>(l, -32768, 32767));
+    }
+    return;
+  }
+  if (c.rdoq_tb) {
+    // table-cost RDOQ — double twin of ops/transforms.rdoq_est_xp
+    // (TComTrQuant::xGetCodedLevel semantics with frozen-context
+    // fractional-bit tables; see the Python docstring for provenance)
+    const double *tb = c.rdoq_tb + c.rdoq_off[(log2 - 2) * 2 + (isLuma ? 1 : 0)];
+    const double *s0 = tb, *s1 = tb + s * s;
+    const double *sc2 = tb + 2 * s * s;
+    const double g1_0 = sc2[0], g1_1 = sc2[1], g10_0 = sc2[2], g10_1 = sc2[3];
+    const double g2_0 = sc2[4], g2_1 = sc2[5], g20_0 = sc2[6], g20_1 = sc2[7];
+    const double csbf0 = sc2[8], csbf1 = sc2[9];
+    double lam = double(c.lam_fp) / 256.0 * (isLuma ? 1.0 : c.lam_scale_c);
+    double q = double(int64_t(1) << qbits);
+    double errDen = double(scale) * double(int64_t(1) << tshift);
+    int cgw = s > 4 ? s / 4 : 1;
+    std::vector<double> acv(s * s), lmaxv(s * s), best(s * s);
+    for (int i = 0; i < s * s; i++) {
+      acv[i] = std::abs(double(coef[i])) * scale;
+      lmaxv[i] = std::ceil(acv[i] / q);
+    }
+    // per-CG Rice parameter from the ceiling levels
+    std::vector<int> riceCG(cgw * cgw, 0);
+    if (s > 4) {
+      for (int cy = 0; cy < cgw; cy++)
+        for (int cx = 0; cx < cgw; cx++) {
+          double mx = 0;
+          for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++)
+              mx = std::max(mx, lmaxv[(cy * 4 + y) * s + cx * 4 + x]);
+          double r = mx > 6.0 ? std::log2(std::max(mx, 1.0) / 3.0) : 0.0;
+          riceCG[cy * cgw + cx] =
+              int(std::clamp(r, 0.0, 4.0));
+        }
+    } else {
+      double mx = 0;
+      for (int i = 0; i < s * s; i++) mx = std::max(mx, lmaxv[i]);
+      double r = mx > 6.0 ? std::log2(std::max(mx, 1.0) / 3.0) : 0.0;
+      riceCG[0] = int(std::clamp(r, 0.0, 4.0));
+    }
+    auto lvlBits = [&](int i, int cg0, int rice, double level) {
+      double ricef = double(1 << rice);
+      double rem_ = std::max(level - 3.0, 0.0);
+      double three = 3.0 * ricef;
+      double rl = rem_ < three
+                      ? std::floor(rem_ / ricef) + 1.0 + rice
+                      : 4.0 + rice + 2.0 * std::floor(std::log2(
+                            std::max(rem_ - three, 0.0) / ricef + 1.0));
+      double gt1_0 = cg0 ? g10_0 : g1_0, gt1_1 = cg0 ? g10_1 : g1_1;
+      double gt2_0 = cg0 ? g20_0 : g2_0, gt2_1 = cg0 ? g20_1 : g2_1;
+      return s1[i] + 1.0 + gt1_0 +
+             (level > 1.0
+                  ? gt1_1 - gt1_0 + gt2_0 +
+                        (level > 2.0 ? gt2_1 - gt2_0 + rl : 0.0)
+                  : 0.0);
+    };
+    auto costOf = [&](int i, int cg0, int rice, double level) {
+      double d = (acv[i] - level * q) / errDen;
+      double bits = level > 0 ? lvlBits(i, cg0, rice, level) : s0[i];
+      return d * d + lam * bits;
+    };
+    for (int i = 0; i < s * s; i++) {
+      int y = i / s, x = i % s;
+      int cg0 = (s <= 4) || (y < 4 && x < 4);
+      int rice = riceCG[(y / 4) * cgw + (x / 4)];
+      if (s <= 4) rice = riceCG[0];
+      double l1 = std::max(lmaxv[i], 0.0), l2 = std::max(lmaxv[i] - 1.0, 0.0);
+      double b = costOf(i, cg0, rice, l1) <= costOf(i, cg0, rice, l2) ? l1 : l2;
+      if (!(costOf(i, cg0, rice, b) <= costOf(i, cg0, rice, 0.0))) b = 0.0;
+      best[i] = b;
+    }
+    if (s > 4) {
+      for (int cy = 0; cy < cgw; cy++)
+        for (int cx = 0; cx < cgw; cx++) {
+          int cg0 = (cy == 0 && cx == 0);
+          int rice = riceCG[cy * cgw + cx];
+          double ck = 0, cz = 0;
+          for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) {
+              int i = (cy * 4 + y) * s + cx * 4 + x;
+              double dz = (acv[i] - best[i] * q) / errDen;
+              double kb = best[i] > 0 ? lvlBits(i, cg0, rice, best[i]) : s0[i];
+              ck += dz * dz + lam * kb;
+              double acn = acv[i] / errDen;
+              cz += acn * acn;
+            }
+          if (!(ck + lam * csbf1 <= cz + lam * csbf0))
+            for (int y = 0; y < 4; y++)
+              for (int x = 0; x < 4; x++)
+                best[(cy * 4 + y) * s + cx * 4 + x] = 0.0;
+        }
+    }
+    for (int i = 0; i < s * s; i++) {
+      double l = coef[i] < 0 ? -best[i] : (coef[i] > 0 ? best[i] : 0.0);
+      lvl[i] = int32_t(std::clamp(l, -32767.0, 32767.0));
     }
     return;
   }
@@ -493,7 +595,8 @@ void codeTB(const Ctx &c, int32_t *plane, int32_t *coefPl,
       for (int x = 0; x < s; x++)
         resi[y * s + x] = origPl[(y0 + y) * pw + x0 + x] - pred[y * s + x];
     fwdTransform(c, resi.data(), s, coefb.data());
-    quantTB(c, coefb.data(), s, qp, c.rdoq != 0, lvl.data(), ideal.data());
+    quantTB(c, coefb.data(), s, qp, c.rdoq != 0, lvl.data(), ideal.data(),
+            isLuma);
     if (c.sdh) {
       int si = scanIdxOf(mode, log2, isLuma);
       const int32_t *scan = c.scans + c.scan_off[(log2 - 2) * 3 + si];
@@ -528,14 +631,15 @@ void codeTB(const Ctx &c, int32_t *plane, int32_t *coefPl,
 
 }  // namespace
 
-extern "C" int tpuhevc_intra_walk(
+extern "C" int tpuhevc_intra_walk_v2(
     int W, int H, int bd, int qp, int qpc, int sdh, int rdoq, int strong,
     int64_t lam_fp, const int32_t *cu, int n_cu, const int64_t *order8,
     const int64_t *smin8, int32_t *rec_y, int32_t *rec_u, int32_t *rec_v,
     const int32_t *org_y, const int32_t *org_u, const int32_t *org_v,
     int32_t *coef_y, int32_t *coef_cb, int32_t *coef_cr,
     const int32_t *scans, const int32_t *scan_off, const int32_t *mats,
-    const int32_t *mat_off) {
+    const int32_t *mat_off, const double *rdoq_tb, const int64_t *rdoq_off,
+    double lam_scale_c) {
   Ctx c;
   c.W = W; c.H = H; c.bd = bd; c.qp = qp; c.qpc = qpc; c.sdh = sdh;
   c.rdoq = rdoq; c.strong = strong; c.lam_fp = lam_fp;
@@ -544,6 +648,7 @@ extern "C" int tpuhevc_intra_walk(
   c.org_y = org_y; c.org_u = org_u; c.org_v = org_v;
   c.coef_y = coef_y; c.coef_cb = coef_cb; c.coef_cr = coef_cr;
   c.scans = scans; c.scan_off = scan_off; c.mats = mats; c.mat_off = mat_off;
+  c.rdoq_tb = rdoq_tb; c.rdoq_off = rdoq_off; c.lam_scale_c = lam_scale_c;
   int cw = W / 2, ch = H / 2;
   for (int i = 0; i < n_cu; i++) {
     int x8 = cu[i * 5], y8 = cu[i * 5 + 1], log2 = cu[i * 5 + 2];
@@ -558,4 +663,19 @@ extern "C" int tpuhevc_intra_walk(
            false, 4);
   }
   return 0;
+}
+
+extern "C" int tpuhevc_intra_walk(
+    int W, int H, int bd, int qp, int qpc, int sdh, int rdoq, int strong,
+    int64_t lam_fp, const int32_t *cu, int n_cu, const int64_t *order8,
+    const int64_t *smin8, int32_t *rec_y, int32_t *rec_u, int32_t *rec_v,
+    const int32_t *org_y, const int32_t *org_u, const int32_t *org_v,
+    int32_t *coef_y, int32_t *coef_cb, int32_t *coef_cr,
+    const int32_t *scans, const int32_t *scan_off, const int32_t *mats,
+    const int32_t *mat_off) {
+  return tpuhevc_intra_walk_v2(W, H, bd, qp, qpc, sdh, rdoq, strong, lam_fp,
+                               cu, n_cu, order8, smin8, rec_y, rec_u, rec_v,
+                               org_y, org_u, org_v, coef_y, coef_cb, coef_cr,
+                               scans, scan_off, mats, mat_off, nullptr,
+                               nullptr, 1.0);
 }

@@ -86,7 +86,8 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True,
     def txq(resi, q, log2, est, is_dst=False):
         c = tx.forward_transform(resi, bd, is_dst)
         if rdoq:
-            lvl = tx.rdoq_xp(jnp, c, q, log2, bd, lam_fp, True)
+            lvl = tx.rdoq_est_xp(jnp, c, q, log2, bd,
+                                 lam / (wch if q == qpc else 1.0), est)
         else:
             lvl = tx.quantize(c, q, log2, bd, True)
         d = tx.dequantize(lvl, q, log2, bd)
@@ -111,14 +112,17 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True,
         return jnp.where(m == m0, mpm0_b,
                          jnp.where((m == m1) | (m == m2), mpm12_b, esc_b))
 
-    def luma_rd(oy, S, nh, nw, nc):
+    def luma_rd(oy, ry, S, nh, nw, nc):
         """SATD prescreen + full RD over the top nc candidates.
-        Returns (topk, rd_d, rd_b, preds, org)."""
+        Returns (topk, rd_d, rd_b, preds, org). ry: the reference-sample
+        source plane (pass 1: the original; pass 2: pass-1 recon, so the
+        open-loop size compare sees quantized refs like the closed-loop
+        walk will)."""
         from ..ops.intra import predict_all_modes
 
         log2 = S.bit_length() - 1
         N = nh * nw
-        tops, lefts = refs(oy, S, nh, nw)
+        tops, lefts = refs(ry, S, nh, nw)
         preds = predict_all_modes(tops, lefts, S, True, bd, strong)
         org = oy[: nh * S, : nw * S].reshape(nh, S, nw, S).transpose(
             0, 2, 1, 3).reshape(N, S, S).astype(jnp.int32)
@@ -141,9 +145,9 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True,
         rd_b = jnp.stack(rd_b, 1)
         return topk, rd_d, rd_b, preds, org
 
-    def luma_class(oy, S, nh, nw):
+    def luma_class(oy, ry, S, nh, nw):
         nc = 8 if S <= 8 else 3  # g_aucIntraModeNumFast_UseMPM
-        topk, rd_d, rd_b, preds, org = luma_rd(oy, S, nh, nw, nc)
+        topk, rd_d, rd_b, preds, org = luma_rd(oy, ry, S, nh, nw, nc)
 
         # MPM-aware pick: 2-iteration relaxation over neighbor modes
         m2d = topk[:, 0].reshape(nh, nw)
@@ -194,7 +198,7 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True,
                 b_sum = b_sum + jnp.where(use, rbits + scbf1_b, scbf0_b)
         return d_sum, b_sum
 
-    def chroma_class(ou, ov, S, nh, nw, mode_sel):
+    def chroma_class(ou, ov, ru, rv, S, nh, nw, mode_sel):
         from ..ops.intra import predict_all_modes
 
         N = nh * nw
@@ -203,8 +207,8 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True,
         cest = ResidualBitEst(fb, log2c, False)
         cd_by = jnp.zeros((N, 5))
         cb_by = jnp.zeros((N, 5))
-        for plane in (ou, ov):
-            ctops, clefts = refs(plane, Sc, nh, nw)
+        for plane, rplane in ((ou, ru), (ov, rv)):
+            ctops, clefts = refs(rplane, Sc, nh, nw)
             cpreds = predict_all_modes(ctops, clefts, Sc, False, bd, False)
             corg = plane[: nh * Sc, : nw * Sc].reshape(
                 nh, Sc, nw, Sc).transpose(0, 2, 1, 3).reshape(
@@ -233,7 +237,7 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True,
         cbest = jnp.take_along_axis(ccost, csel[:, None], 1)[:, 0]
         return csel, cbest
 
-    def fn(oy, ou, ov):
+    def fn(oy, ou, ov, ry, ru, rv):
         h8, w8 = h // 8, w // 8
         cost_tree = {}
         mode_by = {}
@@ -244,7 +248,7 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True,
         # 4x4 PU class for the NxN trial (+ the 8-CU TU-split children)
         if nxn_on or tusplit_on:
             topk4, rdd4, rdb4, preds4, org4 = luma_rd(
-                oy, 4, h // 4, w // 4, 8)
+                oy, ry, 4, h // 4, w // 4, 8)
             preds_of[4], org_of[4] = preds4, org4
         nxn_modes = None
         use_nxn = None
@@ -254,7 +258,7 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True,
                 cost_tree[S] = None
                 continue
             mode_sel, dL, bL, mbL, predsS, orgS = luma_class(
-                oy, S, nh, nw)
+                oy, ry, S, nh, nw)
             preds_of[S], org_of[S] = predsS, orgS
             # one-level TU split under the winner mode (RQT trial)
             tsp = jnp.zeros((nh, nw), bool)
@@ -272,7 +276,8 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True,
                 dL = jnp.where(tspf, d2, dL)
                 bL = jnp.where(tspf, b2 + sdelta + mbL, bL)
             tsp_by[S] = tsp
-            csel, cbest = chroma_class(ou, ov, S, nh, nw, mode_sel)
+            csel, cbest = chroma_class(ou, ov, ru, rv, S, nh, nw,
+                                       mode_sel)
             cost = dL + cbest + lam * (bL + 2 * ccbf_b + 1.0)
             if S == 8:
                 cost = cost + lam * part_b
@@ -397,9 +402,10 @@ def _build(h, w, qp, bd, rdoq, strong, lam_q8, tusplit_on=True,
     return jax.jit(fn)
 
 
-def decide_intra_qt_jax(oy, ou, ov, cfg, qp: int):
+def decide_intra_qt_jax(oy, ou, ov, cfg, qp: int, ref_planes=None):
     """Device twin of decide_intra_qt: same maps, jitted + cached per
-    (size, qp, toolset)."""
+    (size, qp, toolset). ref_planes: optional (ry, ru, rv) open-loop
+    reference-sample source (two-pass refinement passes pass-1 recon)."""
     from .params import i_frame_lambda
 
     sps = cfg.sps
@@ -412,6 +418,7 @@ def decide_intra_qt_jax(oy, ou, ov, cfg, qp: int):
                 bool(sps.strong_intra_smoothing), int(round(lam * 256)),
                 tusplit_on=use_nxn and sps.max_tu_depth_intra >= 1,
                 nxn_on=use_nxn)
-    cu_log2, lm8, cm8, nxn, lm4, tsp8 = fn(oy, ou, ov)
+    ry, ru, rv = ref_planes if ref_planes is not None else (oy, ou, ov)
+    cu_log2, lm8, cm8, nxn, lm4, tsp8 = fn(oy, ou, ov, ry, ru, rv)
     return (np.asarray(cu_log2), np.asarray(lm8), np.asarray(cm8),
             np.asarray(nxn), np.asarray(lm4), np.asarray(tsp8))

@@ -78,12 +78,17 @@ def _mode_bits_tab(fb: FracBits):
     return (f1 + 1.0, f1 + 2.0, f0 + 5.0)
 
 
-def _txq_cost(resi, qp, log2, bd, lam_fp, rdoq, est, is_dst=False):
+def _txq_cost(resi, qp, log2, bd, lam_fp, rdoq, est, is_dst=False,
+              lam_scale=1.0):
     """(N, S, S) residual -> (levels, D_sse, bits) with the real
-    transform/quant + estimator bits. Intra-slice rounding."""
+    transform/quant + estimator bits. Intra-slice rounding. lam_scale:
+    chroma passes 1/wch so the RDOQ level choice trades chroma-domain
+    distortion against the slice lambda consistently with the RD
+    arbitration (HM weights chroma D by wch instead)."""
     c = tx.forward_transform_np(resi, bd, is_dst)
     if rdoq:
-        lvl = tx.rdoq_np(c, qp, log2, bd, lam_fp, is_intra_slice=True)
+        lvl = tx.rdoq_est_xp(np, c, qp, log2, bd,
+                             (lam_fp / 256.0) * lam_scale, est)
     else:
         lvl = tx.quantize_np(c, qp, log2, bd, True)
     d = tx.dequantize_np(lvl, qp, log2, bd)
@@ -106,7 +111,8 @@ def _had4_f32():
     return _HAD4_F32
 
 
-def decide_intra_qt(oy, ou, ov, cfg: EncoderConfig, qp: int):
+def decide_intra_qt(oy, ou, ov, cfg: EncoderConfig, qp: int,
+                    ref_planes=None):
     """Open-loop quadtree decision. Returns (cu_log2, luma_mode,
     chroma_mode, nxn, luma_mode4, tu_split) maps: NxN 4x4 PUs at the min
     CU (TEncCu.cpp:644-650), one-level TU split per CU
@@ -115,6 +121,7 @@ def decide_intra_qt(oy, ou, ov, cfg: EncoderConfig, qp: int):
     above)."""
     from .params import i_frame_lambda
 
+    ry, ru, rv = ref_planes if ref_planes is not None else (oy, ou, ov)
     sps = cfg.sps
     bd = sps.bit_depth
     h, w = oy.shape
@@ -188,7 +195,7 @@ def decide_intra_qt(oy, ou, ov, cfg: EncoderConfig, qp: int):
             cost_tree[S] = None
             continue
         N = nh * nw
-        tops, lefts = _openloop_refs(oy, S, nh, nw)
+        tops, lefts = _openloop_refs(ry, S, nh, nw)
         preds = _batched_modes(tops, lefts, S, True, bd,
                                sps.strong_intra_smoothing)
         org = np.ascontiguousarray(
@@ -287,8 +294,8 @@ def decide_intra_qt(oy, ou, ov, cfg: EncoderConfig, qp: int):
         ccost = np.zeros((N, 5))
         cd_by = np.zeros((N, 5))
         cb_by = np.zeros((N, 5))
-        for plane in (ou, ov):
-            ctops, clefts = _openloop_refs(plane, Sc, nh, nw)
+        for plane, rplane in ((ou, ru), (ov, rv)):
+            ctops, clefts = _openloop_refs(rplane, Sc, nh, nw)
             cpreds = _batched_modes(ctops, clefts, Sc, False, bd, False)
             corg = np.ascontiguousarray(
                 plane[: nh * Sc, : nw * Sc].reshape(nh, Sc, nw, Sc)
@@ -301,7 +308,8 @@ def decide_intra_qt(oy, ou, ov, cfg: EncoderConfig, qp: int):
                     am = np.where(mode_sel == base, 34, base)
                 cpsel = cpreds[np.arange(N), am]
                 _, cd, cb = _txq_cost(corg - cpsel, qpc, log2c, bd,
-                                      lam_fp, cfg.rdoq, cest)
+                                      lam_fp, cfg.rdoq, cest,
+                                      lam_scale=1.0 / wch)
                 cd0 = ((corg - cpsel).astype(np.float64)
                        ** 2).sum(axis=(1, 2))
                 cuse = wch * cd + lam * cb < wch * cd0
@@ -452,7 +460,7 @@ def _cu_roots(cu_log2: np.ndarray, order: BlockOrder):
 
 def _code_tb(plane, coeff_pl, orig_pl, x0, y0, size, mode, order, qp,
              is_luma, bd, strong, sdh, rdoq, lam_fp, cell_px, encode,
-             sl=False):
+             sl=False, est=None, lam_scale=1.0):
     """Shared per-TB walk step: predict from recon refs; encoder mode
     (encode=True) quantizes orig-pred into coeff_pl, decoder mode reads
     coeff_pl; both reconstruct identically. sl: default scaling lists
@@ -467,8 +475,13 @@ def _code_tb(plane, coeff_pl, orig_pl, x0, y0, size, mode, order, qp,
         oblk = orig_pl[y0 : y0 + size, x0 : x0 + size].astype(np.int32)
         c = tx.forward_transform_np((oblk - pred)[None], bd, is_dst)[0]
         if rdoq and m is None:
-            lvl = tx.rdoq_np(c[None], qp, log2, bd, lam_fp,
-                             is_intra_slice=True)[0]
+            if est is not None:
+                lvl = tx.rdoq_est_xp(np, c[None], qp, log2, bd,
+                                     (lam_fp / 256.0) * lam_scale,
+                                     est)[0]
+            else:
+                lvl = tx.rdoq_np(c[None], qp, log2, bd, lam_fp,
+                                 is_intra_slice=True)[0]
         else:
             lvl = tx.quantize_np(c[None], qp, log2, bd, True, m=m)[0]
         if sdh:
@@ -518,16 +531,22 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
                   or BlockOrder(fs.width, fs.height, sps.log2_ctu,
                                 cell_log2=2))
     est_by = {}
-    if encode and general:
+    wch = 2.0 ** ((qp - qpc) / 3.0)
+    if encode:
         fb_arb = FracBits(I_ROW, qp)
         lam_arb = lam_fp / 256.0
-        wch = 2.0 ** ((qp - qpc) / 3.0)
 
         def _est(l2, luma):
             key = (l2, luma)
             if key not in est_by:
                 est_by[key] = ResidualBitEst(fb_arb, l2, luma)
             return est_by[key]
+    else:
+        def _est(l2, luma):
+            return None
+
+    def _e(sz, luma):
+        return _est(sz.bit_length() - 1, luma) if encode else None
 
     def code_cu(x8, y8, log2, split, measure=False):
         """Code one CU (in place). With measure=True returns the real
@@ -542,7 +561,7 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
         if not split:
             _code_tb(y, fs.coeff_y, oy, x0, y0, s, mode, order, qp,
                      True, bd, sps.strong_intra_smoothing, sdh, rdoq,
-                     lam_fp, 8, encode, sl)
+                     lam_fp, 8, encode, sl, est=_e(s, True))
             if measure:
                 lv = fs.coeff_y[y0 : y0 + s, x0 : x0 + s]
                 bits += float(_est(log2, True).tu_bits(np, lv[None])[0]) \
@@ -551,7 +570,8 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
             for pl, opl, cf in ((u, ou, fs.coeff_cb), (v, ov, fs.coeff_cr)):
                 _code_tb(pl, cf, opl, x8 * 4, y8 * 4, cs, cmode, order,
                          qpc, False, bd, False, sdh, rdoq, lam_fp, 4,
-                         encode, sl)
+                         encode, sl, est=_e(cs, False),
+                         lam_scale=1.0 / wch)
                 if measure:
                     lv = cf[y8 * 4 : y8 * 4 + cs, x8 * 4 : x8 * 4 + cs]
                     if lv.any():
@@ -568,7 +588,8 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
             lorder, lcell = (order4, 4) if half == 4 else (order, 8)
             _code_tb(y, fs.coeff_y, oy, x0 + dx, y0 + dy, half, m,
                      lorder, qp, True, bd, sps.strong_intra_smoothing,
-                     sdh, rdoq, lam_fp, lcell, encode, sl)
+                     sdh, rdoq, lam_fp, lcell, encode, sl,
+                     est=_e(half, True))
             if measure:
                 lv = fs.coeff_y[y0 + dy : y0 + dy + half,
                                 x0 + dx : x0 + dx + half]
@@ -582,7 +603,8 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
             for pl, opl, cf in ((u, ou, fs.coeff_cb), (v, ov, fs.coeff_cr)):
                 _code_tb(pl, cf, opl, x8 * 4, y8 * 4, 4, amode, order,
                          qpc, False, bd, False, sdh, rdoq, lam_fp, 4,
-                         encode, sl)
+                         encode, sl, est=_e(4, False),
+                         lam_scale=1.0 / wch)
                 if measure:
                     lv = cf[y8 * 4 : y8 * 4 + 4, x8 * 4 : x8 * 4 + 4]
                     if lv.any():
@@ -596,7 +618,8 @@ def _walk(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp, encode):
                     _code_tb(pl, cf, opl, x0 // 2 + dx // 2,
                              y0 // 2 + dy // 2, chalf, amode, order, qpc,
                              False, bd, False, sdh, rdoq, lam_fp, 4,
-                             encode, sl)
+                             encode, sl, est=_e(chalf, False),
+                             lam_scale=1.0 / wch)
                     if measure:
                         cy0, cx0 = y0 // 2 + dy // 2, x0 // 2 + dx // 2
                         lv = cf[cy0 : cy0 + chalf, cx0 : cx0 + chalf]
@@ -723,6 +746,27 @@ def _has_real_tusplit(fs) -> bool:
     return bool(((t >= 0) & (t < fs.cu_log2)).any())
 
 
+def _apply_maps(fs, cu_log2, lm8, cm8, nxn, lm4, tsp8):
+    """Bind decided partition/mode maps onto a FrameSyntax."""
+    cu_log2 = np.asarray(cu_log2)
+    fs.cu_log2 = cu_log2.astype(np.int8)
+    fs.luma_mode = np.asarray(lm8).astype(np.int8)
+    fs.chroma_mode = np.asarray(cm8).astype(np.int8)
+    if nxn is not None:
+        nxn = np.asarray(nxn)
+        tsp8 = np.asarray(tsp8)
+        fs.nxn = nxn.astype(np.int8)
+        fs.luma_mode4 = np.asarray(lm4).astype(np.int8)
+        # leaf TB log2 per 4-cell: -1 = TU = CU; split CUs one level
+        # down; NxN = 4x4 TBs (IntraSplit)
+        rep = np.repeat(np.repeat(cu_log2, 2, 0), 2, 1).astype(np.int8)
+        t4 = np.where(np.repeat(np.repeat(tsp8, 2, 0), 2, 1),
+                      rep - 1, np.int8(-1))
+        t4 = np.where(np.repeat(np.repeat(nxn > 0, 2, 0), 2, 1),
+                      np.int8(2), t4)
+        fs.tu_log2 = t4.astype(np.int8)
+
+
 def encode_frame_intra_qt(orig_y, orig_u, orig_v, cfg: EncoderConfig):
     """Quadtree all-intra encode of one frame. Same contract as
     recon.encode_frame_intra: returns (FrameSyntax, (y, u, v))."""
@@ -734,21 +778,27 @@ def encode_frame_intra_qt(orig_y, orig_u, orig_v, cfg: EncoderConfig):
     oy = _pad_to(orig_y, h, w)
     ou = _pad_to(orig_u, h // 2, w // 2)
     ov = _pad_to(orig_v, h // 2, w // 2)
-    if cfg.inter_backend == "jax":
-        from .intra_decide_jax import decide_intra_qt_jax
 
-        cu_log2, lm8, cm8, nxn, lm4, tsp8 = decide_intra_qt_jax(
-            oy, ou, ov, cfg, qp)
-    else:
-        cu_log2, lm8, cm8, nxn, lm4, tsp8 = decide_intra_qt(
-            oy, ou, ov, cfg, qp)
-    use_nxn = cfg.intra_nxn
-    if use_nxn is None:
-        use_nxn = cfg.intra_period == 1  # auto (see params.intra_nxn)
-    if not use_nxn:
-        nxn = np.zeros_like(np.asarray(nxn))
-        tsp8 = np.zeros_like(np.asarray(tsp8))
-        lm4 = np.repeat(np.repeat(np.asarray(lm8), 2, 0), 2, 1)
+    def _decide(ref_planes=None):
+        if cfg.inter_backend == "jax":
+            from .intra_decide_jax import decide_intra_qt_jax
+
+            maps = decide_intra_qt_jax(oy, ou, ov, cfg, qp,
+                                       ref_planes=ref_planes)
+        else:
+            maps = decide_intra_qt(oy, ou, ov, cfg, qp,
+                                   ref_planes=ref_planes)
+        cu_log2, lm8, cm8, nxn, lm4, tsp8 = maps
+        use_nxn = cfg.intra_nxn
+        if use_nxn is None:
+            use_nxn = cfg.intra_period == 1  # auto (see params.intra_nxn)
+        if not use_nxn:
+            nxn = np.zeros_like(np.asarray(nxn))
+            tsp8 = np.zeros_like(np.asarray(tsp8))
+            lm4 = np.repeat(np.repeat(np.asarray(lm8), 2, 0), 2, 1)
+        return cu_log2, lm8, cm8, nxn, lm4, tsp8
+
+    cu_log2, lm8, cm8, nxn, lm4, tsp8 = _decide()
 
     fs = FrameSyntax(w, h)
     if cfg.pps.tiles_enabled or cfg.slice_ctus > 0:
@@ -758,20 +808,7 @@ def encode_frame_intra_qt(orig_y, orig_u, orig_v, cfg: EncoderConfig):
                                          slice_ctus=cfg.slice_ctus)
         fs.tile_order4 = block_order_for(sps, cfg.pps, cell_log2=2,
                                          slice_ctus=cfg.slice_ctus)
-    fs.cu_log2 = cu_log2.astype(np.int8)
-    fs.luma_mode = lm8.astype(np.int8)
-    fs.chroma_mode = cm8.astype(np.int8)
-    if nxn is not None:
-        fs.nxn = nxn.astype(np.int8)
-        fs.luma_mode4 = lm4.astype(np.int8)
-        # leaf TB log2 per 4-cell: -1 = TU = CU; split CUs one level
-        # down; NxN = 4x4 TBs (IntraSplit)
-        rep = np.repeat(np.repeat(cu_log2, 2, 0), 2, 1).astype(np.int8)
-        t4 = np.where(np.repeat(np.repeat(tsp8, 2, 0), 2, 1),
-                      rep - 1, np.int8(-1))
-        t4 = np.where(np.repeat(np.repeat(nxn > 0, 2, 0), 2, 1),
-                      np.int8(2), t4)
-        fs.tu_log2 = t4.astype(np.int8)
+    _apply_maps(fs, cu_log2, lm8, cm8, nxn, lm4, tsp8)
     y = np.zeros((h, w), np.int32)
     u = np.zeros((h // 2, w // 2), np.int32)
     v = np.zeros((h // 2, w // 2), np.int32)
@@ -780,6 +817,22 @@ def encode_frame_intra_qt(orig_y, orig_u, orig_v, cfg: EncoderConfig):
     lam_fp = int(round(i_frame_lambda(cfg, qp) * 256))
     _walk(fs, sps, qp, (y, u, v), (oy, ou, ov),
           cfg.pps.sign_data_hiding, cfg.rdoq, lam_fp, True)
+
+    if cfg.intra_two_pass:
+        # pass 2: re-decide with pass-1 recon as the open-loop reference
+        # source. Clean original refs flatter LARGE blocks' neighbors
+        # less than they flatter small blocks' near refs, biasing the
+        # size compare toward 8-CUs; quantized refs restore the balance
+        # the closed-loop walk will actually see. One extra decide +
+        # walk on the (rare in LD-P) intra frame.
+        cu_log2, lm8, cm8, nxn, lm4, tsp8 = _decide(ref_planes=(y, u, v))
+        _apply_maps(fs, cu_log2, lm8, cm8, nxn, lm4, tsp8)
+        y[:], u[:], v[:] = 0, 0, 0
+        fs.coeff_y[:] = 0
+        fs.coeff_cb[:] = 0
+        fs.coeff_cr[:] = 0
+        _walk(fs, sps, qp, (y, u, v), (oy, ou, ov),
+              cfg.pps.sign_data_hiding, cfg.rdoq, lam_fp, True)
     return fs, (y, u, v)
 
 

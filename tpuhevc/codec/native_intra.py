@@ -47,15 +47,48 @@ def _fn():
     from ..entropy.native import get_lib
 
     lib = get_lib()
-    if lib is None or not hasattr(lib, "tpuhevc_intra_walk"):
+    if lib is None or not hasattr(lib, "tpuhevc_intra_walk_v2"):
         return None
-    f = lib.tpuhevc_intra_walk
+    f = lib.tpuhevc_intra_walk_v2
     f.restype = ctypes.c_int
     I32P = ctypes.POINTER(ctypes.c_int32)
     I64P = ctypes.POINTER(ctypes.c_int64)
+    F64P = ctypes.POINTER(ctypes.c_double)
     f.argtypes = ([ctypes.c_int] * 8 + [ctypes.c_int64, I32P, ctypes.c_int,
-                   I64P, I64P] + [I32P] * 9 + [I32P] * 4)
+                   I64P, I64P] + [I32P] * 9 + [I32P] * 4
+                  + [F64P, I64P, ctypes.c_double])
     return f
+
+
+@functools.lru_cache(maxsize=8)
+def _rdoq_tables(qp: int):
+    """Pack the estBitsSbac-style RDOQ tables for quantTB's table path
+    (native/intra_walk.cpp): per (log2 2..5, chroma/luma) entry
+    [sig0 S*S][sig1 S*S][gt1 x4][gt2 x4][csbf x2], float64."""
+    from ..entropy.bitest import FracBits, ResidualBitEst
+    from .intra_qt import I_ROW
+
+    fb = FracBits(I_ROW, qp)
+    blobs = []
+    offs = []
+    pos = 0
+    for log2 in (2, 3, 4, 5):
+        for luma in (False, True):
+            est = ResidualBitEst(fb, log2, luma)
+            sig = np.asarray(est.sig_bits[0], np.float64)  # (S, S, 2)
+            ent = np.concatenate([
+                sig[:, :, 0].ravel(), sig[:, :, 1].ravel(),
+                np.asarray([est.gt1_bits[0], est.gt1_bits[1],
+                            est.gt1_bits0[0], est.gt1_bits0[1],
+                            est.gt2_bits[0], est.gt2_bits[1],
+                            est.gt2_bits0[0], est.gt2_bits0[1],
+                            est.csbf_bits[0, 0], est.csbf_bits[0, 1]],
+                           np.float64)])
+            offs.append(pos)
+            blobs.append(ent)
+            pos += ent.size
+    return (np.ascontiguousarray(np.concatenate(blobs), np.float64),
+            np.asarray(offs, np.int64))
 
 
 def _p32(a):
@@ -99,7 +132,16 @@ def intra_walk_native(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp,
     cr = np.ascontiguousarray(fs.coeff_cr, np.int32)
     scans, soffs, mats, moffs = _tables()
     null32 = ctypes.POINTER(ctypes.c_int32)()
-    f(fs.width, fs.height, sps.bit_depth, qp, chroma_qp(qp),
+    qpc = chroma_qp(qp)
+    if rdoq:
+        tb, toffs = _rdoq_tables(qp)
+        tbp = tb.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        toffp = toffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    else:
+        tbp = ctypes.POINTER(ctypes.c_double)()
+        toffp = ctypes.POINTER(ctypes.c_int64)()
+    lam_scale_c = 2.0 ** (-(qp - qpc) / 3.0)
+    f(fs.width, fs.height, sps.bit_depth, qp, qpc,
       int(bool(sdh)), int(bool(rdoq)), int(bool(sps.strong_intra_smoothing)),
       int(lam_fp), _p32(np.ascontiguousarray(cu)), len(roots),
       order_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), sminp,
@@ -108,7 +150,8 @@ def intra_walk_native(fs, sps, qp, planes, origs, sdh, rdoq, lam_fp,
       _p32(ou) if ou is not None else null32,
       _p32(ov) if ov is not None else null32,
       _p32(cy), _p32(cb), _p32(cr),
-      _p32(scans), _p32(soffs), _p32(mats), _p32(moffs))
+      _p32(scans), _p32(soffs), _p32(mats), _p32(moffs),
+      tbp, toffp, lam_scale_c)
     fs.coeff_y[:] = cy
     fs.coeff_cb[:] = cb
     fs.coeff_cr[:] = cr

@@ -156,6 +156,10 @@ class EncoderConfig:
     # IDR (the general coding walk with closed-loop arbitration is
     # host-side; the 2Nx2N TU=CU subset rides the native fast path)
     intra_nxn: bool | None = None
+    # two-pass intra decision: re-run the open-loop decide with pass-1
+    # recon as the reference-sample source (removes the clean-ref bias
+    # that over-splits toward 8-CUs), then recode. ~2x the I-frame cost.
+    intra_two_pass: bool = True
     slice_ctus: int = 0          # >0: fixed-CTU-count slices (HM SliceMode
                                  # 1 / SliceArgument); 0 = one slice/pic
     decoding_refresh_type: int = 0   # 0 off, 1 CRA, 2 IDR (HM DRT)

@@ -312,3 +312,111 @@ def rdoq_np(coeff: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8,
                     .reshape(-1, s, s).reshape(shp), best, 0)
     lvl = np.sign(c) * best
     return np.clip(lvl, -32768, 32767).astype(np.int32)
+
+
+def rdoq_est_xp(xp, coeff, qp: int, log2_size: int, bit_depth: int,
+                lam: float, est):
+    """Table-cost RDOQ on (N, S, S) coefficient tiles, generic over the
+    array module (np or jnp, jit-safe).
+
+    The per-coefficient level choice among {ceil, ceil-1, 0} uses the
+    quantizer's true error scale plus estBitsSbac-style FRACTIONAL-BIT
+    TABLE costs (TComTrQuant::xGetCodedLevel + getSigCtxInc semantics,
+    reference TComTrQuant.cpp:2129-2510): position-dependent significance
+    contexts, gt1/gt2 with the CG0 vs later context sets, Golomb-Rice
+    remainder with the per-CG Rice stand-in, and the sign bit. Then the
+    per-4x4-CG all-zero trial against the coded-sub-block flag. The
+    running c1/c2 walk is approximated by the c1=1 states and the
+    last-position walk-back is left to the caller's whole-TU compare --
+    the same approximation the device inter path (codec/inter_grid.py
+    rdoq_plane) uses, lifted here so the intra paths share it instead of
+    the Golomb-proxy + 1.5x fudge of rdoq_np.
+
+    est: entropy.bitest.ResidualBitEst for (slice init row, qp', log2).
+    lam: FULL lambda (float). Returns int32 levels shaped like coeff.
+    """
+    qpe = qp + 6 * (bit_depth - 8)
+    per, rem = qpe // 6, qpe % 6
+    tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = 14 + per + tshift
+    scale = float(QUANT_SCALES[rem])
+    # float64 on host so the native C++ twin (native/intra_walk.cpp
+    # quantTB table path) is an exact mirror; float32 on device
+    fdt = xp.float32 if xp is not np else np.float64
+    ac = xp.abs(coeff).astype(fdt) * scale
+    lmax = xp.ceil(ac / (1 << qbits)).astype(fdt)
+    err_den = scale * (1 << tshift)
+    S = 1 << log2_size
+    cgw = max(1, S >> 2)
+
+    s_tab = est.sig_bits[0]                      # (S, S, 2), prev csbf 0
+    s0 = s_tab[:, :, 0][None]
+    s1 = s_tab[:, :, 1][None]
+    is_cg0 = np.zeros((1, cgw, cgw), np.float64 if xp is np
+                      else np.float32)
+    is_cg0[0, 0, 0] = 1.0
+    if S <= 4:
+        is_cg0 = np.ones((1, 1, 1), is_cg0.dtype)
+
+    def cg_up(m):                                # (N,cgw,cgw)->(N,S,S)
+        return xp.repeat(xp.repeat(m, 4, axis=1), 4, axis=2) \
+            if S > 4 else m
+
+    g1, g10 = est.gt1_bits, est.gt1_bits0
+    g2, g20 = est.gt2_bits, est.gt2_bits0
+    cg0p = cg_up(xp.asarray(is_cg0) if xp is not np else is_cg0)
+    gt1_0 = xp.where(cg0p > 0, float(g10[0]), float(g1[0]))
+    gt1_1 = xp.where(cg0p > 0, float(g10[1]), float(g1[1]))
+    gt2_0 = xp.where(cg0p > 0, float(g20[0]), float(g2[0]))
+    gt2_1 = xp.where(cg0p > 0, float(g20[1]), float(g2[1]))
+    # per-CG Rice parameter from the ceiling levels (stand-in for the
+    # running adaptation, identical to the device inter path)
+    if S > 4:
+        cg_max = cg_up(xp.max(lmax.reshape(-1, cgw, 4, cgw, 4),
+                              axis=(2, 4)))
+    else:
+        cg_max = xp.max(lmax, axis=(1, 2), keepdims=True)
+    rice = xp.clip(xp.where(cg_max > 6.0,
+                            xp.log2(xp.maximum(cg_max, 1.0) / 3.0), 0.0),
+                   0, 4).astype(xp.int32)
+    ricef = xp.exp2(rice.astype(fdt))
+
+    def lvl_bits(level):
+        rem_ = xp.maximum(level - 3.0, 0.0)
+        three = (3 * ricef)
+        rl = xp.where(rem_ < three, xp.floor(rem_ / ricef) + 1.0
+                      + rice.astype(fdt),
+                      4.0 + rice.astype(fdt) + 2.0 * xp.floor(
+                          xp.log2(xp.maximum(rem_ - three, 0.0)
+                                  / ricef + 1.0)))
+        return (s1 + 1.0 + gt1_0
+                + xp.where(level > 1.0,
+                           gt1_1 - gt1_0 + gt2_0
+                           + xp.where(level > 2.0,
+                                      gt2_1 - gt2_0 + rl, 0.0), 0.0))
+
+    def cost(level):
+        d = (ac - level * float(1 << qbits)) / err_den
+        bits = xp.where(level > 0, lvl_bits(level), s0 + 0.0 * level)
+        return d * d + lam * bits
+
+    l1 = xp.maximum(lmax, 0.0)
+    l2 = xp.maximum(lmax - 1.0, 0.0)
+    best = xp.where(cost(l1) <= cost(l2), l1, l2)
+    best = xp.where(cost(best) <= cost(xp.zeros_like(best)), best, 0.0)
+
+    # per-CG all-zero trial vs the coded-sub-block flag
+    csbf = est.csbf_bits
+    dz = (ac - best * float(1 << qbits)) / err_den
+    keep_bits = xp.where(best > 0, lvl_bits(best), s0 + 0.0 * best)
+    if S > 4:
+        ck = (dz * dz + lam * keep_bits).reshape(
+            -1, cgw, 4, cgw, 4).sum((2, 4))
+        acn = ac / err_den
+        cz = (acn * acn).reshape(-1, cgw, 4, cgw, 4).sum((2, 4))
+        keep = (ck + lam * float(csbf[0, 1])
+                <= cz + lam * float(csbf[0, 0]))
+        best = xp.where(cg_up(keep), best, 0.0)
+    lim = 32767
+    return xp.clip(xp.sign(coeff).astype(fdt) * best,
+                   -lim, lim).astype(xp.int32)
