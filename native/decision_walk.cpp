@@ -22,11 +22,44 @@
 
 namespace {
 
+static void scale_mv(int mvx, int mvy, int tb, int td, int out[2]);
+
 struct Walk {
   int W, H, w8, h8, log2_ctu, cps, wctu, max_merge, num_ref;
   std::vector<int64_t> order;
   std::vector<int32_t> fmvx, fmvy, fref;
   std::vector<uint8_t> fvalid;
+  // TMVP collocated-picture motion (16x16 compressed): col_mv (w16*h16*2
+  // quarter-pel), col_td (w16*h16; POC distance col->its ref, 0 = that
+  // 16-block is intra/invalid). tmvp mirrors slice_temporal_mvp_enabled.
+  const int32_t* col_mv = nullptr;
+  const int32_t* col_td = nullptr;
+  int w16 = 0, h16 = 0;
+  bool tmvp = false;
+
+  // §8.5.3.2.7/.2.8: temporal candidate for PU (px,py,pw,ph) scaled to
+  // target POC distance tb (codec/mv.py temporal_candidate mirror:
+  // bottom-right col 16-block when in the same CTU row and inside the
+  // picture, else the center one).
+  bool col_cand(int px, int py, int pw, int ph, int tb, int out2[2]) const {
+    if (!tmvp) return false;
+    int cx = -1, cy = -1;
+    int xbr = px + pw, ybr = py + ph;
+    if ((ybr >> log2_ctu) == (py >> log2_ctu) && ybr < H && xbr < W) {
+      cx = xbr >> 4; cy = ybr >> 4;
+      if (cx >= w16 || cy >= h16 || col_td[cy * w16 + cx] <= 0) cx = -1;
+    }
+    if (cx < 0) {
+      int x = px + pw / 2, y = py + ph / 2;
+      cx = x >> 4; cy = y >> 4;
+      if (cx >= w16 || cy >= h16 || col_td[cy * w16 + cx] <= 0)
+        return false;
+    }
+    int td = col_td[cy * w16 + cx];
+    scale_mv(col_mv[(cy * w16 + cx) * 2], col_mv[(cy * w16 + cx) * 2 + 1],
+             tb, td, out2);
+    return true;
+  }
 
   int64_t ord(int x8, int y8) const { return order[y8 * w8 + x8]; }
 
@@ -128,6 +161,15 @@ static PuSyn derive_pu(Walk& wk, int px, int py, int pw, int ph,
   if (ha0 && !(ha1 && eq(a0, a1))) push(a0);
   if (ncand < 4 && hb2 && !(ha1 && eq(b2, a1)) && !(hb1 && eq(b2, b1)))
     push(b2);
+  if (ncand < wk.max_merge) {
+    // TMVP merge candidate (ref fixed at 0, tb = 1 for contiguous
+    // LD-P); NOT pruned against the spatials (§8.5.3.2.3)
+    int t2[3];
+    if (wk.col_cand(px, py, pw, ph, 1, t2)) {
+      t2[2] = 0;
+      push(t2);
+    }
+  }
   int zero_i = 0;
   for (; ncand < wk.max_merge; ncand++, zero_i++) {
     cand[ncand][0] = 0; cand[ncand][1] = 0;
@@ -185,6 +227,11 @@ static PuSyn derive_pu(Walk& wk, int px, int py, int pw, int ph,
   }
   if (na == 2 && ac[0][0] == ac[1][0] && ac[0][1] == ac[1][1]) {
     na = 1; ac[1][0] = 0; ac[1][1] = 0;
+  }
+  if (na < 2) {  // TMVP AMVP candidate at the PU's target ref (tb=crf+1)
+    if (wk.col_cand(px, py, pw, ph, crf + 1, tmp)) {
+      ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
+    }
   }
   int d0 = abs(cmx - ac[0][0]) + abs(cmy - ac[0][1]);
   int d1 = abs(cmx - ac[1][0]) + abs(cmy - ac[1][1]);
@@ -288,6 +335,13 @@ static void walk_cus(Walk& wk, std::vector<Cu>& cus,
     if (ha0 && !(ha1 && eq(a0, a1))) push(a0);
     if (ncand < 4 && hb2 && !(ha1 && eq(b2, a1)) && !(hb1 && eq(b2, b1)))
       push(b2);
+    if (ncand < wk.max_merge) {  // TMVP merge candidate (ref 0, tb 1)
+      int t2[3];
+      if (wk.col_cand(cu.x0, cu.y0, n, n, 1, t2)) {
+        t2[2] = 0;
+        push(t2);
+      }
+    }
     int zero_i = 0;
     for (; ncand < wk.max_merge; ncand++, zero_i++) {
       cand[ncand][0] = 0; cand[ncand][1] = 0;

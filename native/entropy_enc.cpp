@@ -1059,7 +1059,13 @@ int tpuhevc_encode_slice_data_v3(
       sign_hiding, num_ref, out, out_cap);
 }
 
-int tpuhevc_encode_slice_data_v4(
+// v5: v4 plus an optional end-of-slice context-state export (ctx_out,
+// kNumCtx int32 slots, packed (state6<<1)|mps exactly like the Python
+// ContextState) — the feedback source for the adaptive bit-estimator
+// re-freeze (HM's estBitsSbac loads live contexts per CU,
+// TEncSbac::load; the whole-frame batch design feeds states back per
+// device chunk instead).
+int tpuhevc_encode_slice_data_v5(
     const int32_t* cu_log2, const int32_t* luma_mode,
     const int32_t* chroma_mode, const int32_t* coeff_y,
     const int32_t* coeff_cb, const int32_t* coeff_cr,
@@ -1072,7 +1078,7 @@ int tpuhevc_encode_slice_data_v4(
     int log2_ctu, int log2_min_cu, int log2_min_tu, int log2_max_tu,
     int max_tu_depth_intra, int max_tu_depth_inter, int slice_type,
     int max_merge, int slice_type_row, int qp, int sign_hiding, int num_ref,
-    uint8_t* out, int out_cap) {
+    uint8_t* out, int out_cap, int32_t* ctx_out) {
   SliceEnc e;
   e.f.tu_want8 = tu_want8;
   e.f.cu_log2 = cu_log2;
@@ -1111,8 +1117,33 @@ int tpuhevc_encode_slice_data_v4(
   e.f.depth8.assign(e.f.w8 * e.f.h8, -1);
   e.c.init_ctx(slice_type_row, qp);
   e.run();
+  if (ctx_out)
+    for (int i = 0; i < kNumCtx; i++) ctx_out[i] = e.c.ctx[i];
   if ((int)e.c.out.size() > out_cap) return -1;
   std::memcpy(out, e.c.out.data(), e.c.out.size());
   return (int)e.c.out.size();
+}
+
+int tpuhevc_encode_slice_data_v4(
+    const int32_t* cu_log2, const int32_t* luma_mode,
+    const int32_t* chroma_mode, const int32_t* coeff_y,
+    const int32_t* coeff_cb, const int32_t* coeff_cr,
+    const int32_t* skip, const int32_t* merge_flag, const int32_t* merge_idx,
+    const int32_t* mvp_flag, const int32_t* mvd, const int32_t* ref_idx,
+    const int32_t* sao, int sao_luma, int sao_chroma,
+    const int32_t* part_mode, const int32_t* inter_dir, int amp_enabled,
+    const int32_t* tu_want8,
+    int width, int height,
+    int log2_ctu, int log2_min_cu, int log2_min_tu, int log2_max_tu,
+    int max_tu_depth_intra, int max_tu_depth_inter, int slice_type,
+    int max_merge, int slice_type_row, int qp, int sign_hiding, int num_ref,
+    uint8_t* out, int out_cap) {
+  return tpuhevc_encode_slice_data_v5(
+      cu_log2, luma_mode, chroma_mode, coeff_y, coeff_cb, coeff_cr, skip,
+      merge_flag, merge_idx, mvp_flag, mvd, ref_idx, sao, sao_luma,
+      sao_chroma, part_mode, inter_dir, amp_enabled, tu_want8, width, height,
+      log2_ctu, log2_min_cu, log2_min_tu, log2_max_tu, max_tu_depth_intra,
+      max_tu_depth_inter, slice_type, max_merge, slice_type_row, qp,
+      sign_hiding, num_ref, out, out_cap, nullptr);
 }
 }

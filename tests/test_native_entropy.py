@@ -135,3 +135,24 @@ def test_native_v3_parts_intra_matches_python(seed, w, h, qp, sbh):
     py = _python_p_bytes(fs, sps, pps, qp, 3)
     assert nat is not None
     assert nat == py
+
+
+def test_native_v5_ctx_export_matches_python():
+    """v5's end-of-slice context snapshot equals the Python coder's
+    final ContextSet states (the adaptive bit-estimator feedback)."""
+    lib = get_lib()
+    if not hasattr(lib, "tpuhevc_encode_slice_data_v5"):
+        pytest.skip("native v5 unavailable")
+    from tpuhevc.entropy.cabac import NUM_CTX
+
+    rng = np.random.default_rng(7)
+    sps = SeqParams(width=128, height=128)
+    pps = PicParams()
+    fs = _random_frame(rng, 128, 128)
+    ctx = np.zeros(256, np.int32)
+    nat = encode_slice_data_native(fs, sps, pps, 2, 30, ctx_out=ctx)
+    cab = CabacEncoder(ContextSet(2, 30))
+    encode_slice_data(cab, fs, sps, pps)
+    cab.finish()
+    assert nat == _python_bytes(fs, sps, pps, 30)
+    assert ctx[:NUM_CTX].tolist() == cab.ctx.states

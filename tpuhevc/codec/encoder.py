@@ -52,6 +52,9 @@ class Encoder:
         self.first_of_au: list[bool] = []
         self.results: list[FrameResult] = []
         self._wrote_ps = False
+        # {slice QP: end-of-slice CABAC states} from written P slices —
+        # feeds the grid scan's adaptive bit-estimator re-freeze
+        self.ctx_feedback: dict = {}
         if frame_encoder is None and cfg.intra_qt:
             from .intra_qt import encode_frame_intra_qt
 
@@ -325,12 +328,18 @@ class Encoder:
             # intra-in-P and rectangular PUs ride the native v3 coder;
             # encode_slice_data_native itself returns None for frames
             # whose features exceed it (NxN, RQT, transform-skip)
+            ctx_snap = np.zeros(256, np.int32)
             payload = (None if stype == B_SLICE else
                        encode_slice_data_native(fs, sps, pps, init_row, fqp,
                                                 stype, max_merge,
-                                                n_ref_slice))
+                                                n_ref_slice,
+                                                ctx_out=ctx_snap))
             if payload is not None:  # native fast path (byte-identical)
                 w.write_bytes(payload)
+                if stype == P_SLICE and ctx_snap.any():
+                    # end-of-slice context snapshot: the adaptive
+                    # bit-estimator feedback (grid_live_tables)
+                    self.ctx_feedback[fqp] = ctx_snap
             else:
                 ctx = ContextSet(init_row, fqp)
                 cab = CabacEncoder(ctx)
@@ -343,6 +352,9 @@ class Encoder:
                 val, nbits = cab.pending_bits
                 w.write(val, nbits)
                 w.rbsp_trailing_bits()
+                if stype == P_SLICE:
+                    self.ctx_feedback[fqp] = np.asarray(ctx.states,
+                                                        np.int32)
         if w is not None:
             self._emit(bitio.make_nal(hdr.nal_type, w.getvalue()),
                        first_of_au=True)
@@ -774,16 +786,27 @@ class LdpScanDriver:
         nvalid = len(blk)
         blk = blk + [blk[-1]] * (self.K - nvalid)
         if self.grid:
+            from . import inter_grid
+
             nav = np.array([max(1, min(s + 1 + j, self.R))
                             for j in range(self.K)],
                            np.int32).reshape(self.n_gops, self.G)
+            extra = ()
+            if inter_grid._TUNE.get("adaptive_est", True):
+                # adaptive bit-estimator re-freeze: decision tables
+                # rebuilt from the last written P slice's end-of-slice
+                # context states (2-chunk lag under the pipeline; the
+                # first chunks ride the warmed frozen tables)
+                extra = (inter_grid.grid_live_tables(
+                    self.cfg, self.enc.ctx_feedback),)
             if self.use_wp:
                 wp_args = self._wp_arrays(s)
                 out = self.fn(jnp.asarray(self._chunk_u8(blk)),
-                              jnp.asarray(nav), *wp_args, *self.refs)
+                              jnp.asarray(nav), *wp_args, *self.refs,
+                              *extra)
             else:
                 out = self.fn(jnp.asarray(self._chunk_u8(blk)),
-                              jnp.asarray(nav), *self.refs)
+                              jnp.asarray(nav), *self.refs, *extra)
         else:
             out = self.fn(jnp.asarray(self._chunk_u8(blk)), *self.refs)
         buf, self.refs = out[0], out[1:]

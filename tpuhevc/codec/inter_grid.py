@@ -42,6 +42,13 @@ _TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True, zme=True,
              parts=True, fuse_sweep=False,  # fuse_sweep: flip on once the
              # equality A/B (tools/tune_grid) confirms it on this machine
              tusplit=True,  # one-level inter RQT (TU = CU/2 candidates)
+             rdoq_lastpos=True,  # RDOQ last-position walk-back
+             # (TComTrQuant.cpp:2404 batched as cumsums over scan space)
+             adaptive_est=True,  # per-chunk context-feedback re-freeze
+             # of the decision bit tables (frozen-estimator drift fix)
+             merge_rd=True,  # measured-RD merge trial per class
+             # (TEncCu.cpp:455-516 counterpart; codes the best spatial
+             # neighbor candidate and arbitrates by full RD)
              anchor_seed=False,  # ME rate anchored at the temporal seed
              # (measured RD-negative on the natural clip: +5% bits for
              # +0.16 dB at QP37 — kept as a knob, off by default)
@@ -88,11 +95,14 @@ def _lvl8(cfg) -> bool:
     return min(min(max(cfg.qp + o, 0), 51) for o in offs) >= 27
 
 
-def _mode_tables(qp: int, num_ref: int, max_merge: int, amp: bool = True):
-    """Host-side per-QP decision tables (P-slice init row)."""
+def _mode_tables(qp: int, num_ref: int, max_merge: int, amp: bool = True,
+                 fb=None):
+    """Host-side per-QP decision tables (P-slice init row). fb: optional
+    FracBits override (FracBits.from_states feedback) — the adaptive
+    re-freeze path builds the same structure from live context states."""
     from ..entropy.bitest import FracBits, ResidualBitEst
 
-    fb = FracBits(1, qp)
+    fb = fb or FracBits(1, qp)
     b = fb.b
     # rectangular part_mode prefix bits (+ the AMP "not asymmetric" bin
     # when AMP is on — TEncSbac::codePartSize inter branch)
@@ -123,6 +133,67 @@ def _mode_tables(qp: int, num_ref: int, max_merge: int, amp: bool = True):
         est_c={lg: ResidualBitEst(fb, lg, False) for lg in (2, 3, 4, 5)},
     )
     return t
+
+
+# tabs entries whose values depend on context states (everything except
+# fb and the est objects, which are handled structurally)
+_LIVE_SCALARS = ("skip0", "skip1", "pred_inter", "pred_intra", "part2n",
+                 "mf1", "mf0", "mvp", "root1", "root0", "chroma_dm")
+_LIVE_VECTORS = ("prev_mode", "part_hv", "midx", "split", "cbf_y", "cbf_c")
+
+
+def _tabs_live(t: dict) -> dict:
+    """The adaptive subset of a _mode_tables dict as a flat pytree of
+    float32 arrays — the runtime input a traced frame step consumes in
+    place of the baked-in constants (the per-chunk context-feedback
+    re-freeze; VERDICT r04 weak #5)."""
+    lv = {k: np.float32(t[k]) for k in _LIVE_SCALARS}
+    lv.update({k: np.asarray(t[k], np.float32) for k in _LIVE_VECTORS})
+    lv["mvd_lut"] = np.asarray(t["mvd_lut"], np.float32)
+    lv["ref_bits"] = np.asarray(t["ref_bits"], np.float32)
+    lv["tsplit"] = {lg: np.asarray(v, np.float32)
+                    for lg, v in t["tsplit"].items()}
+    lv["est_y"] = {lg: e.cost_arrays() for lg, e in t["est_y"].items()}
+    lv["est_c"] = {lg: e.cost_arrays() for lg, e in t["est_c"].items()}
+    return lv
+
+
+def grid_live_tables(cfg: "EncoderConfig", states_by_qp: dict) -> list:
+    """Per-GOP-position live decision tables for the scan runner's
+    `live` argument. states_by_qp: {qp: int32[NUM_CTX] end-of-slice
+    context snapshot} from the written stream (native v5 ctx_out);
+    positions whose QP has no feedback yet fall back to the warmed
+    frozen tables (identical pytree structure)."""
+    from ..entropy.bitest import FracBits
+
+    sps = cfg.sps
+    offs = tuple(cfg.gop_qp_offsets) or (0,)
+    R = max(1, cfg.num_ref_frames)
+    MM = cfg.max_num_merge_cand
+    out = []
+    cache: dict = {}
+    for o in offs:
+        qp = min(max(cfg.qp + o, 0), 51)
+        key = qp
+        if key not in cache:
+            st = states_by_qp.get(qp)
+            fb = (FracBits.from_states(1, qp, st) if st is not None
+                  else None)
+            cache[key] = _tabs_live(_mode_tables(qp, R, MM,
+                                                 sps.amp_enabled, fb=fb))
+        out.append(cache[key])
+    return out
+
+
+def _tabs_with_live(tabs: dict, lv: dict) -> dict:
+    """Overlay live (possibly traced) arrays onto a frozen tabs dict."""
+    t2 = dict(tabs)
+    for k, v in lv.items():
+        if k in ("est_y", "est_c"):
+            t2[k] = {lg: tabs[k][lg].with_costs(v[lg]) for lg in v}
+        else:
+            t2[k] = v
+    return t2
 
 
 def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
@@ -290,20 +361,40 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     _RDOQ_TILE_CACHE: dict = {}
 
     def _rdoq_tiles(est, hp, wp):
-        """Plane-tiled constant cost maps for one ResidualBitEst."""
-        key = (id(est), hp, wp)
-        hit = _RDOQ_TILE_CACHE.get(key)
-        if hit is None:
-            S = est.S
-            ty, tw = hp // S, wp // S
-            sig = est.sig_bits[0]  # prev_csbf = 0 pattern
-            s0 = np.tile(sig[:, :, 0], (ty, tw)).astype(np.float32)
-            s1 = np.tile(sig[:, :, 1], (ty, tw)).astype(np.float32)
+        """Plane-tiled cost maps for one ResidualBitEst (s0/s1 via
+        jnp.tile so live traced tables flow through; the CG0 geometry
+        mask is a cached host constant)."""
+        S = est.S
+        ty, tw = hp // S, wp // S
+        sig = jnp.asarray(est.sig_bits)[0]  # prev_csbf = 0 pattern
+        s0 = jnp.tile(sig[:, :, 0], (ty, tw)).astype(jnp.float32)
+        s1 = jnp.tile(sig[:, :, 1], (ty, tw)).astype(jnp.float32)
+        key = (S, hp, wp)
+        cg0 = _RDOQ_TILE_CACHE.get(key)
+        if cg0 is None:
             # CG0 (DC) flag per 4x4 CG of each TU
             cg0 = np.zeros((hp // 4, wp // 4), np.float32)
             cg0[:: S // 4, :: S // 4] = 1.0
-            hit = (s0, s1, cg0)
-            _RDOQ_TILE_CACHE[key] = hit
+            _RDOQ_TILE_CACHE[key] = cg0
+        return s0, s1, cg0
+
+    _LASTPOS_CACHE: dict = {}
+
+    def _lastpos_geom(log2t, est):
+        """Static scan geometry for the last-position walk-back:
+        M (S^2, S^2) raster->scan permutation (scanned = flat @ M), and
+        the (gx, gy) last-coordinate group indices per scan position."""
+        hit = _LASTPOS_CACHE.get(log2t)
+        if hit is None:
+            n2 = 1 << (2 * log2t)
+            scan = est.scan  # scan pos -> raster (geometry, shared)
+            M = np.zeros((n2, n2), np.float32)
+            M[scan, np.arange(n2)] = 1.0
+            gi = np.asarray(est.group_idx, np.int64)
+            lb = (gi[np.asarray(est.scan_x, np.int64)],
+                  gi[np.asarray(est.scan_y, np.int64)])
+            hit = (M, lb)
+            _LASTPOS_CACHE[log2t] = hit
         return hit
 
     def rdoq_plane(coef, qp, log2t, lam_f, est):
@@ -325,18 +416,16 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         lmax = jnp.ceil(ac / (1 << qbits)).astype(jnp.float32)
         err_den = scale * (1 << tshift)
         hp, wp = coef.shape
-        s0m, s1m, cg0m = _rdoq_tiles(est, hp, wp)
-        s0 = jnp.asarray(s0m)
-        s1 = jnp.asarray(s1m)
+        s0, s1, cg0m = _rdoq_tiles(est, hp, wp)
         is_cg0 = up(jnp.asarray(cg0m), 4)
-        g1 = est.gt1_bits
-        g10 = est.gt1_bits0
-        g2 = est.gt2_bits
-        g20 = est.gt2_bits0
-        gt1_0 = jnp.where(is_cg0 > 0, float(g10[0]), float(g1[0]))
-        gt1_1 = jnp.where(is_cg0 > 0, float(g10[1]), float(g1[1]))
-        gt2_0 = jnp.where(is_cg0 > 0, float(g20[0]), float(g2[0]))
-        gt2_1 = jnp.where(is_cg0 > 0, float(g20[1]), float(g2[1]))
+        g1 = jnp.asarray(est.gt1_bits)
+        g10 = jnp.asarray(est.gt1_bits0)
+        g2 = jnp.asarray(est.gt2_bits)
+        g20 = jnp.asarray(est.gt2_bits0)
+        gt1_0 = jnp.where(is_cg0 > 0, g10[0], g1[0])
+        gt1_1 = jnp.where(is_cg0 > 0, g10[1], g1[1])
+        gt2_0 = jnp.where(is_cg0 > 0, g20[0], g2[0])
+        gt2_1 = jnp.where(is_cg0 > 0, g20[1], g2[1])
         # per-CG Rice parameter from the ceiling levels (the decision-
         # time stand-in for the running adaptation)
         cg_max = up(jnp.max(lmax.reshape(hp // 4, 4, wp // 4, 4),
@@ -375,15 +464,61 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                          0.0)
         # per-CG all-zero trial: coded cost (incl. sig-0 bits of the
         # kept zeros) + csbf(1) vs zero distortion + csbf(0)
-        csbf = est.csbf_bits  # (nb ctx, bin) — neighbor ctx 0 approx
+        csbf = jnp.asarray(est.csbf_bits)  # (nb ctx, bin) — nb ctx 0
         dz = (ac - best * float(1 << qbits)) / err_den
         keep_bits = jnp.where(best > 0, lvl_bits(best), s0)
         ck = tile_sum(dz * dz + lam_f * keep_bits, 4)
         acn = ac / err_den
         cz = tile_sum(acn * acn, 4)
-        keep = ck + lam_f * float(csbf[0, 1]) \
-            <= cz + lam_f * float(csbf[0, 0])
+        keep = ck + lam_f * csbf[0, 1] <= cz + lam_f * csbf[0, 0]
         best = jnp.where(up(keep, 4), best, 0.0)
+        if _TUNE.get("rdoq_lastpos", True):
+            # last-position walk-back (the d64 block of
+            # TComTrQuant::xRateDistOptQuant, TComTrQuant.cpp:2404-2457):
+            # choosing scan position p as the TU's last significant
+            # coefficient costs the coded prefix (< p, sig flags
+            # included), the level at p WITHOUT its sig flag (implied),
+            # the last_sig_x/y prefix+suffix bits of p's coordinates,
+            # and pure zero distortion for everything after p. The
+            # reverse-scan scalar walk becomes two cumsums + an argmin
+            # over scan space — the batched-DP shape of the same
+            # optimum.
+            S = 1 << log2t
+            n2 = S * S
+            M, lb = _lastpos_geom(log2t, est)
+            dzl = (ac - best * float(1 << qbits)) / err_den
+            czp = acn * acn
+            # prefix cost per pixel: kept CGs code sig flags + levels
+            # (+ csbf 1 spread over the CG); zeroed CGs cost zero
+            # distortion + csbf 0 spread — not per-pixel sig-0 bits
+            cc = jnp.where(
+                up(keep, 4),
+                dzl * dzl
+                + lam_f * (jnp.where(best > 0, lvl_bits(best), s0)
+                           + csbf[0, 1] / 16.0),
+                czp + lam_f * csbf[0, 0] / 16.0)
+            s1p = s1
+            flat = lambda p: plane_tiles(p, S, hp, wp).reshape(-1, n2)  # noqa: E731
+            Mj = jnp.asarray(M)
+            ccs = flat(cc) @ Mj
+            czs = flat(czp) @ Mj
+            bs = flat(best) @ Mj
+            s1s = flat(s1p) @ Mj
+            pref = jnp.cumsum(ccs, axis=1) - ccs
+            tot_cz = jnp.sum(czs, axis=1, keepdims=True)
+            suf = tot_cz - jnp.cumsum(czs, axis=1)
+            lbv = lam_f * jnp.asarray(est.lastx_bits)[lb[0]][None] \
+                + lam_f * jnp.asarray(est.lasty_bits)[lb[1]][None]
+            costp = pref + ccs - lam_f * s1s + lbv + suf
+            costp = jnp.where(bs > 0, costp, jnp.inf)
+            pbest = jnp.argmin(costp, axis=1)
+            ms = jnp.arange(n2)[None, :] <= pbest[:, None]
+            bs = jnp.where(ms, bs, 0.0)
+            nT = bs.shape[0]
+            tiles = (bs @ Mj.T).reshape(nT, S, S)
+            ty_, tw_ = hp // S, wp // S
+            best = tiles.reshape(ty_, tw_, S, S).transpose(0, 2, 1, 3) \
+                .reshape(hp, wp)
         lim = 127 if lvl8 else 32767
         return jnp.clip(jnp.sign(coef) * best.astype(jnp.int32), -lim, lim)
 
@@ -1254,8 +1389,9 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         st_y = _sao_stats(oy, rec_y, CTU)
         st_cb = _sao_stats(ouv[:, :Wc], rec_uv[:, :Wc], CTU // 2)
         st_cr = _sao_stats(ouv[:, Wc:], rec_uv[:, Wc:], CTU // 2)
-        ty, ay, offy, _, _, _, _, _, _ = _sao_decide_plane(
+        ty, ay, offy, cost_y, _, _, _, _, _ = _sao_decide_plane(
             st_y, lam_f, 2.0 * lam_f)
+        lam_y = lam_f
         lam_f = lam_f / jnp.float32(
             2.0 ** ((sao_qp - chroma_qp(sao_qp)) / 3.0))  # chroma weight
         # chroma: shared type minimizing joint cost
@@ -1281,6 +1417,31 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                             eo_off_cr[..., k, :], ocr)
         ocb = jnp.where((bi == 5)[..., None], bo_off_cb, ocb)
         ocr = jnp.where((bi == 5)[..., None], bo_off_cr, ocr)
+        # picture-level component on/off by aggregate RD
+        # (TEncSampleAdaptiveOffset::decidePicParams' slice-disable
+        # counterpart, done by direct measurement instead of the
+        # saoEncodingRate heuristic): with a component on, every CTU
+        # pays its chosen cost (>= one type-off bin) plus the shared
+        # merge-flag floor; slice-off costs nothing. The floor is paid
+        # once while EITHER component is on — charge it to each
+        # component alone and to the pair jointly, pick the argmin of
+        # the four on/off configurations.
+        ny_c, nx_c = cost_y.shape
+        n_flags = jnp.float32(ny_c * (nx_c - 1) + (ny_c - 1) * nx_c)
+        cost_c = jnp.take_along_axis(joint, bi[..., None], -1)[..., 0]
+        sum_y = jnp.sum(cost_y)
+        sum_c = jnp.sum(cost_c)
+        floor = lam_y * n_flags  # ~1 bit per coded merge flag
+        c_off = jnp.float32(0.0)
+        c_lu = sum_y + floor
+        c_ch = sum_c + floor
+        c_both = sum_y + sum_c + floor
+        cfgs = jnp.stack([c_off, c_lu, c_ch, c_both])
+        ci = jnp.argmin(cfgs)
+        luma_on = (ci == 1) | (ci == 3)
+        chroma_on = (ci == 2) | (ci == 3)
+        ty = jnp.where(luma_on, ty, -1)
+        tc = jnp.where(chroma_on, tc, -1)
         new_y = _sao_apply_plane(rec_y, ty, ay, offy, CTU)
         new_cb = _sao_apply_plane(rec_uv[:, :Wc], tc, acb, ocb, CTU // 2)
         new_cr = _sao_apply_plane(rec_uv[:, Wc:], tc, acr, ocr, CTU // 2)
@@ -1317,8 +1478,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             # seed carries converged MVs across frames, so full single-
             # frame reach is not worth 2x the sweep passes
             dists = [d for d in (1, 4, 16) if d < max(nbh, nbw)] + [1]
-            mb0 = jnp.float32(tabs["midx"][0])
-            mb1 = jnp.float32(tabs["midx"][1])
+            mb0 = jnp.asarray(tabs["midx"][0], jnp.float32)
+            mb1 = jnp.asarray(tabs["midx"][1], jnp.float32)
 
             def sweep_pair(carry, dist):
                 mv_g, ref_g, s0, mrg, mib = carry
@@ -1451,8 +1612,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         if _TUNE["sweep"]:
             dmax = max(max(s[1], s[2]) for s in specs)
             dists = [d for d in (1, 4, 16) if d < dmax] + [1]
-            mb0 = jnp.float32(tabs["midx"][0])
-            mb1 = jnp.float32(tabs["midx"][1])
+            mb0 = jnp.asarray(tabs["midx"][0], jnp.float32)
+            mb1 = jnp.asarray(tabs["midx"][1], jnp.float32)
 
             def sweep_pair(carry, dist):
                 sts = list(carry)
@@ -2047,10 +2208,12 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             bits = bits + tabs["split"][0]
         return c["d"] + lam * bits, bits
 
-    def frame_step(ref, fu8, navail, gpos, wp=None):
+    def frame_step(ref, fu8, navail, gpos, wp=None, live=None):
         ry_stack, ruv_stack, mv16p = ref  # + prev-frame full-pel 16-MVs
         qp = qps[gpos]
         tabs = tabs_by_qp[qp]
+        if live is not None:  # adaptive re-freeze: overlay traced tables
+            tabs = _tabs_with_live(tabs, live[gpos])
         # full HM picture lambda incl. the QPfactor column and the
         # depth>0 hierarchy multiplier (TEncSlice.cpp:283-325)
         lam_py = p_frame_lambda(cfg, gpos, qp)
@@ -2274,6 +2437,38 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         # covers CU <= 32; the 64 CU's forced split to 32 already
         # consumes one level, so its split needs depth >= 2
 
+        def code_candidate(mvg, refg, mode_b, mergeable, midx_b, S,
+                           nbh, nbw):
+            """Code one per-CU (mv, ref) candidate grid with the given
+            mode syntax, apply the explicit SKIP trial
+            (xCheckRDCostMerge2Nx2N's no-residual candidate,
+            TEncCu.cpp:455 — the per-TU drops can't see the CU-level
+            syntax saving), and return the planes dict + full RD cost."""
+            c = class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u, pl_v,
+                           mvg, refg, S, nbh, nbw,
+                           tusplit=use_tusplit and 16 <= S and
+                           (S < 64 or sps.max_tu_depth_inter >= 2))
+            cost, _ = cu_cost(tabs, lam, c, mode_b, mergeable, midx_b, S)
+            skip_syn = tabs["skip1"] + midx_b
+            if S > 8:
+                skip_syn = skip_syn + tabs["split"][0]
+            cost_skip = c["d0"] + lam * skip_syn
+            force = mergeable & (cost_skip < cost)
+            cost = jnp.where(force, cost_skip, cost)
+            fp = up(force, S)
+            c["lvl"] = jnp.where(fp, 0, c["lvl"])
+            c["rec"] = jnp.where(fp, c["pred"], c["rec"])
+            fc = jnp.concatenate([up(force, S // 2)] * 2, axis=1)
+            c["lvl_c"] = jnp.where(fc, 0, c["lvl_c"])
+            c["rec_c"] = jnp.where(fc, c["pred_c"], c["rec_c"])
+            c["cbf"] = c["cbf"] & ~force
+            if "tsplit" in c:
+                ft = force.repeat(S // min(S, 32), 0).repeat(
+                    S // min(S, 32), 1)
+                c["tsplit"] = c["tsplit"] & ~ft
+            c.update(mv=mvg, ref=refg, cost=cost)
+            return c
+
         def run_class(mvq, refv, S, nbh, nbw, settled=None):
             if settled is None:
                 settled = cand_sweep(
@@ -2295,38 +2490,56 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                  & (refg[1:] == refg[:-1])], axis=0)
             mergeable = merged | eqL | eqT
             midx_b = jnp.where(merged, midx_b,
-                               jnp.float32(tabs["midx"][0]))
+                               jnp.asarray(tabs["midx"][0], jnp.float32))
             merge_mode_b = (tabs["pred_inter"] + tabs["part2n"]
                             + tabs["mf1"] + midx_b)
             mode_b = jnp.where(mergeable,
                                jnp.minimum(mode_b, merge_mode_b), mode_b)
-            c = class_code(qp, tabs, lam, oy, ouv, planes_y, pl_u, pl_v,
-                           mvg, refg, S, nbh, nbw,
-                           tusplit=use_tusplit and 16 <= S and
-                           (S < 64 or sps.max_tu_depth_inter >= 2))
-            cost, _ = cu_cost(tabs, lam, c, mode_b, mergeable, midx_b, S)
-            # explicit SKIP trial (xCheckRDCostMerge2Nx2N's no-residual
-            # candidate, TEncCu.cpp:455): for mergeable CUs compare the
-            # coded result against merge + zero residual outright — the
-            # per-TU drops above can't see the CU-level syntax saving
-            skip_syn = tabs["skip1"] + midx_b
-            if S > 8:
-                skip_syn = skip_syn + tabs["split"][0]
-            cost_skip = c["d0"] + lam * skip_syn
-            force = mergeable & (cost_skip < cost)
-            cost = jnp.where(force, cost_skip, cost)
-            fp = up(force, S)
-            c["lvl"] = jnp.where(fp, 0, c["lvl"])
-            c["rec"] = jnp.where(fp, c["pred"], c["rec"])
-            fc = jnp.concatenate([up(force, S // 2)] * 2, axis=1)
-            c["lvl_c"] = jnp.where(fc, 0, c["lvl_c"])
-            c["rec_c"] = jnp.where(fc, c["pred_c"], c["rec_c"])
-            c["cbf"] = c["cbf"] & ~force
+            c = code_candidate(mvg, refg, mode_b, mergeable, midx_b, S,
+                               nbh, nbw)
+            if not _TUNE.get("merge_rd", True):
+                return c
+            # measured-RD merge arbitration (TEncCu.cpp:455-516): the
+            # sweep's SATD + lambda_me bit proxy under-adopts exactly
+            # where HM's full-RD merge trials win — at high QP the
+            # mvd/ref syntax dwarfs the extra residual of the
+            # neighbor's MV. Code the best spatial-neighbor candidate
+            # as a merge outright and keep the measured-RD winner.
+            mvL = jnp.concatenate([mvg[:, :1], mvg[:, :-1]], 1)
+            refL = jnp.concatenate([refg[:, :1], refg[:, :-1]], 1)
+            mvT = jnp.concatenate([mvg[:1], mvg[:-1]], 0)
+            refT = jnp.concatenate([refg[:1], refg[:-1]], 0)
+            Hp, Wp = nbh * S, nbw * S
+            satL = pred_satd_z(planes_y, oy[:Hp, :Wp], mvL, refL, S,
+                               Hp, Wp, qp, lam_me_f)
+            satT = pred_satd_z(planes_y, oy[:Hp, :Wp], mvT, refT, S,
+                               Hp, Wp, qp, lam_me_f)
+            useT = satT < satL
+            mvN = jnp.where(useT[..., None], mvT, mvL)
+            refN = jnp.where(useT, refT, refL)
+            midxN = jnp.where(
+                useT,
+                jnp.asarray(tabs["midx"][min(1, MM - 1)], jnp.float32),
+                jnp.asarray(tabs["midx"][0], jnp.float32))
+            mode_bN = (tabs["pred_inter"] + tabs["part2n"]
+                       + tabs["mf1"] + midxN)
+            ones = jnp.ones((nbh, nbw), bool)
+            cm = code_candidate(mvN, refN, mode_bN, ones, midxN, S,
+                                nbh, nbw)
+            take = cm["cost"] < c["cost"]
+            tp = up(take, S)
+            tc = jnp.concatenate([up(take, S // 2)] * 2, axis=1)
+            for k, m in (("lvl", tp), ("rec", tp), ("pred", tp),
+                         ("lvl_c", tc), ("rec_c", tc), ("pred_c", tc)):
+                c[k] = jnp.where(m, cm[k], c[k])
+            for k in ("d", "bits", "cbf", "d0", "cost"):
+                c[k] = jnp.where(take, cm[k], c[k])
+            c["mv"] = jnp.where(take[..., None], cm["mv"], c["mv"])
+            c["ref"] = jnp.where(take, cm["ref"], c["ref"])
             if "tsplit" in c:
-                ft = force.repeat(S // min(S, 32), 0).repeat(
-                    S // min(S, 32), 1)
-                c["tsplit"] = c["tsplit"] & ~ft
-            c.update(mv=mvg, ref=refg, cost=cost)
+                f = c["tsplit"].shape[0] // nbh
+                c["tsplit"] = jnp.where(take.repeat(f, 0).repeat(f, 1),
+                                        cm["tsplit"], c["tsplit"])
             return c
 
         sw16 = sw8 = sw32 = None
@@ -2452,8 +2665,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             # each PU covers two child cells with identical bits -> 0.5x
             pu_bits = 0.5 * pu_bc.reshape(nbh_, 2, nbw_, 2).sum((1, 3))
             mode_bp = (tabs["pred_inter"] + pu_bits
-                       + jnp.where(pick_v, jnp.float32(tabs["part_hv"][1]),
-                                   jnp.float32(tabs["part_hv"][0])))
+                       + jnp.where(pick_v, jnp.asarray(tabs["part_hv"][1], jnp.float32),
+                                   jnp.asarray(tabs["part_hv"][0], jnp.float32)))
             cbf_p = cpart["cbf"]
             syn_p = (tabs["skip0"] + mode_bp
                      + jnp.where(cbf_p, tabs["root1"], tabs["root0"]))
@@ -2835,7 +3048,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                   WmC=WmC, Hc=Hc, Wc=Wc, G=G),
     ))
 
-    def gop_step(carry, xs):
+    def gop_step(carry, xs, live=None):
         if use_wp:
             frames_g, navail_g, wpw_g, wpo_g, wpd_g = xs
         else:
@@ -2844,24 +3057,27 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         for g in range(G):
             wp_g = ((wpw_g[g], wpo_g[g], wpd_g[g]) if use_wp else None)
             carry, pk = frame_step(carry, frames_g[g], navail_g[g], g,
-                                   wp=wp_g)
+                                   wp=wp_g, live=live)
             outs.append(pk)
         return carry, jnp.stack(outs)
 
     if use_wp:
-        def run(frames_u8, navail, wpw, wpo, wpd, ry_stack, ruv_stack):
+        def run(frames_u8, navail, wpw, wpo, wpd, ry_stack, ruv_stack,
+                live=None):
             mv0 = jnp.zeros((n16, 2), jnp.int32)
             (ry_stack, ruv_stack, _), packed = jax.lax.scan(
-                gop_step, (ry_stack, ruv_stack, mv0),
+                lambda c, x: gop_step(c, x, live),
+                (ry_stack, ruv_stack, mv0),
                 (frames_u8, navail, wpw, wpo, wpd))
             return packed.reshape(n_gops * G, -1), ry_stack, ruv_stack
 
         fn = jax.jit(run, donate_argnums=(5, 6))
     else:
-        def run(frames_u8, navail, ry_stack, ruv_stack):
+        def run(frames_u8, navail, ry_stack, ruv_stack, live=None):
             mv0 = jnp.zeros((n16, 2), jnp.int32)
             (ry_stack, ruv_stack, _), packed = jax.lax.scan(
-                gop_step, (ry_stack, ruv_stack, mv0), (frames_u8, navail))
+                lambda c, x: gop_step(c, x, live),
+                (ry_stack, ruv_stack, mv0), (frames_u8, navail))
             return packed.reshape(n_gops * G, -1), ry_stack, ruv_stack
 
         fn = jax.jit(run, donate_argnums=(2, 3))

@@ -27,6 +27,8 @@ from .ctx_tables import ENTROPY_BITS
 
 _B = ENTROPY_BITS.astype(np.float64) / 32768.0  # bits per (state ^ bin)
 
+_SIG_IDX_CACHE: dict = {}  # (log2, is_luma) -> sig ctx index map
+
 
 def _eg_bits(u: np.ndarray, k: int) -> np.ndarray:
     """Exp-Golomb order-k code length of u >= 0 (vectorized, float)."""
@@ -111,11 +113,27 @@ class FracBits:
         cls._cache[key] = self
         return self
 
+    @classmethod
+    def from_states(cls, init_row: int, qp: int, states) -> "FracBits":
+        """Tables evaluated at an EXPLICIT context-state vector (the
+        end-of-slice snapshot fed back from the real coder, native v5
+        ctx_out) instead of the warmed init states — HM's live
+        estBitsSbac load (TEncSbac::load) adapted to the whole-frame
+        batch design: chunk N decides with chunk N-1's adapted
+        statistics. Not cached (each feedback vector is fresh)."""
+        self = super().__new__(cls)
+        self.init_row, self.qp = init_row, qp
+        self.adaptive = True
+        self._bind(np.asarray(states, dtype=np.int64))
+        return self
+
     def _build(self, init_row: int, qp: int) -> None:
         self.init_row, self.qp = init_row, qp
         ctx = ContextSet(init_row, qp)
         _warm_states(ctx, init_row, qp)
-        states = np.asarray(ctx.states, dtype=np.int64)
+        self._bind(np.asarray(ctx.states, dtype=np.int64))
+
+    def _bind(self, states: np.ndarray) -> None:
         self.bin_bits = np.stack([_B[states ^ 0], _B[states ^ 1]], axis=1)
         # mvd component bits: abs_mvd_greater0/1 flags (ctx 0/1) + EG1 + sign
         g0, g1 = (self.bin_bits[CTX_OFFSET["abs_mvd_greater_flag"] + i]
@@ -175,6 +193,10 @@ class ResidualBitEst:
 
     def __new__(cls, fb: FracBits, log2: int, is_luma: bool):
         key = (fb.init_row, fb.qp, log2, is_luma)
+        if getattr(fb, "adaptive", False):
+            self = super().__new__(cls)
+            self._build(fb, log2, is_luma)
+            return self
         hit = cls._cache.get(key)
         if hit is not None:
             return hit
@@ -182,6 +204,20 @@ class ResidualBitEst:
         self._build(fb, log2, is_luma)
         cls._cache[key] = self
         return self
+
+    COST_FIELDS = ("sig_bits", "csbf_bits", "gt1_bits", "gt1_bits0",
+                   "gt2_bits", "gt2_bits0", "lastx_bits", "lasty_bits")
+
+    def cost_arrays(self) -> dict:
+        """The adaptive (state-dependent) cost tables as a flat dict —
+        the pytree leaves a traced frame step takes as runtime inputs
+        (geometry stays baked into the graph)."""
+        return {k: getattr(self, k) for k in self.COST_FIELDS}
+
+    def with_costs(self, arrs: dict) -> "EstView":
+        """This estimator's geometry with live (possibly traced) cost
+        tables."""
+        return EstView(self, arrs)
 
     def _build(self, fb: FracBits, log2: int, is_luma: bool) -> None:
         S = 1 << log2
@@ -215,13 +251,16 @@ class ResidualBitEst:
         self.group_idx = np.asarray(GROUP_IDX, np.int32)
 
         # sig ctx bit maps per prev_csbf pattern (0..3): (4, S, S, 2)
-        sig_base = CTX_OFFSET["sig_coeff_flag"] + (0 if is_luma else 28)
-        m = np.zeros((4, S, S), np.int32)
-        for p in range(4):
-            for y in range(S):
-                for x in range(S):
-                    m[p, y, x] = sig_base + _sig_ctx_np(
-                        x, y, p, log2, is_luma)
+        m = _SIG_IDX_CACHE.get((log2, is_luma))
+        if m is None:
+            sig_base = CTX_OFFSET["sig_coeff_flag"] + (0 if is_luma else 28)
+            m = np.zeros((4, S, S), np.int32)
+            for p in range(4):
+                for y in range(S):
+                    for x in range(S):
+                        m[p, y, x] = sig_base + _sig_ctx_np(
+                            x, y, p, log2, is_luma)
+            _SIG_IDX_CACHE[(log2, is_luma)] = m
         self.sig_bits = fb.bin_bits[m].astype(np.float32)  # (4, S, S, 2)
 
         cs = CTX_OFFSET["sig_cg_flag"] + (0 if is_luma else 2)
@@ -337,6 +376,23 @@ class ResidualBitEst:
                                    axis=(1, 2)).astype(xp.float32)
         bits = bits + nsign
         return xp.where(has, bits, 0.0).astype(xp.float32)
+
+
+class EstView:
+    """A ResidualBitEst's geometry bound to LIVE cost tables (possibly
+    jax tracers): what the jitted frame step sees when the estimator
+    tables are runtime inputs instead of baked constants."""
+
+    def __init__(self, base: ResidualBitEst, arrs: dict):
+        self._base = base
+        for k in ResidualBitEst.COST_FIELDS:
+            setattr(self, k, arrs[k])
+
+    def __getattr__(self, k):  # geometry + methods fall through
+        return getattr(self._base, k)
+
+    def tu_bits(self, xp, tiles, sbh: bool = False):
+        return ResidualBitEst.tu_bits(self, xp, tiles, sbh=sbh)
 
 
 def _rice_bits_xp(xp, rem, rice):

@@ -54,6 +54,14 @@ def get_lib():
             [ctypes.POINTER(ctypes.c_int32)] * 13 + [ctypes.c_int] * 2
             + [ctypes.POINTER(ctypes.c_int32)] * 2 + [ctypes.c_int] * 15
             + [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int])
+    if hasattr(lib, "tpuhevc_encode_slice_data_v5"):
+        lib.tpuhevc_encode_slice_data_v5.restype = ctypes.c_int
+        lib.tpuhevc_encode_slice_data_v5.argtypes = (
+            [ctypes.POINTER(ctypes.c_int32)] * 13 + [ctypes.c_int] * 2
+            + [ctypes.POINTER(ctypes.c_int32)] * 2 + [ctypes.c_int]
+            + [ctypes.POINTER(ctypes.c_int32)] + [ctypes.c_int] * 14
+            + [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+               ctypes.POINTER(ctypes.c_int32)])
     if hasattr(lib, "tpuhevc_decision_walk"):
         lib.tpuhevc_decision_walk.restype = ctypes.c_int
         lib.tpuhevc_decision_walk.argtypes = (
@@ -170,11 +178,15 @@ def decision_walk_native(mvq16, cbf16, mvq32, cbf32, use32, W, H,
 
 def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
                              slice_type: int = 2, max_merge: int = 5,
-                             num_ref: int = 1) -> bytes | None:
+                             num_ref: int = 1,
+                             ctx_out: np.ndarray | None = None
+                             ) -> bytes | None:
     """Full slice-data payload (CABAC bytes + rbsp trailing), or None if
     the native library is unavailable (or it predates a feature the
     frame uses: SAO, rectangular PUs, intra-in-P). slice_type: 2 = I,
-    1 = P."""
+    1 = P. ctx_out: optional caller-allocated int32[NUM_CTX] buffer the
+    coder fills with the end-of-slice CABAC context states (the adaptive
+    bit-estimator's feedback source; needs the v5 library)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -231,6 +243,55 @@ def encode_slice_data_native(fs, sps, pps, slice_type_row: int, qp: int,
         ptrs.append(p)
     cap = fs.width * fs.height * 4 + 1024
     out = np.empty(cap, dtype=np.uint8)
+    if hasattr(lib, "tpuhevc_encode_slice_data_v5"):
+        # v5 is a superset of every earlier entry: one call site, with
+        # the optional end-of-slice context snapshot
+        nullp = ctypes.POINTER(ctypes.c_int32)()
+        sao_p, sao_l, sao_c = nullp, 0, 0
+        if fs.sao is not None:
+            pp = fs.sao
+            nctu = pp.ny * pp.nx
+            pack = np.zeros((nctu, 18), np.int32)
+            pack[:, 0] = pp.type_y.reshape(-1)
+            pack[:, 1] = pp.aux_y.reshape(-1)
+            pack[:, 2:6] = pp.off_y.reshape(nctu, 4)
+            pack[:, 6] = pp.type_c.reshape(-1)
+            pack[:, 7] = pp.aux_cb.reshape(-1)
+            pack[:, 8:12] = pp.off_cb.reshape(nctu, 4)
+            pack[:, 12] = pp.aux_cr.reshape(-1)
+            pack[:, 13:17] = pp.off_cr.reshape(nctu, 4)
+            pack[:, 17] = pp.merge.reshape(-1)
+            a, sao_p = ptr(pack)
+            keep.append(a)
+            sao_l, sao_c = int(pp.luma_on), int(pp.chroma_on)
+        part_p = dir_p = want_p = nullp
+        if has_parts:
+            a, part_p = ptr(part_mode)
+            keep.append(a)
+        if has_intra_p:
+            a, dir_p = ptr(fs.inter_dir)
+            keep.append(a)
+        if has_tsplit:
+            a, want_p = ptr(tu8)
+            keep.append(a)
+        if ctx_out is not None:
+            assert ctx_out.dtype == np.int32 and ctx_out.size >= 202
+            ctx_p = ctx_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        else:
+            ctx_p = nullp
+        n = lib.tpuhevc_encode_slice_data_v5(
+            *ptrs, sao_p, sao_l, sao_c, part_p, dir_p,
+            1 if sps.amp_enabled else 0, want_p,
+            fs.width, fs.height, sps.log2_ctu, sps.log2_min_cu,
+            sps.log2_min_tu, sps.log2_max_tu, sps.max_tu_depth_intra,
+            sps.max_tu_depth_inter, slice_type, max_merge,
+            slice_type_row, qp, 1 if pps.sign_data_hiding else 0,
+            num_ref,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            ctx_p)
+        if n < 0:
+            return None
+        return out[:n].tobytes()
     if has_intra_p or has_parts or has_tsplit:
         nullp = ctypes.POINTER(ctypes.c_int32)()
         sao_p, sao_l, sao_c = nullp, 0, 0
