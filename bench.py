@@ -50,7 +50,6 @@ def main():
             cfg, _ = build_config(opts)
             import dataclasses
 
-            cfg.sps.max_tu_depth_intra = 0
             cfg = dataclasses.replace(
                 cfg, qp=32, intra_period=-1, fme_mode="nn",
                 inter_backend=backend, hash_type="checksum",

@@ -417,6 +417,11 @@ static void walk_cus(Walk& wk, std::vector<Cu>& cus,
       if (na == 2 && ac[0][0] == ac[1][0] && ac[0][1] == ac[1][1]) {
         na = 1; ac[1][0] = 0; ac[1][1] = 0;
       }
+      if (na < 2) {  // TMVP AMVP candidate at the target ref (tb=crf+1)
+        if (wk.col_cand(cu.x0, cu.y0, n, n, crf + 1, tmp)) {
+          ac[na][0] = tmp[0]; ac[na][1] = tmp[1]; na++;
+        }
+      }
       int d0 = abs(cmx - ac[0][0]) + abs(cmy - ac[0][1]);
       int d1 = abs(cmx - ac[1][0]) + abs(cmy - ac[1][1]);
       int mvp = d1 < d0 ? 1 : 0;
@@ -522,6 +527,53 @@ extern "C" int tpuhevc_decision_walk_map_part(
       if (lg < 3 || lg > 6) return -2;
       int part = part8[y8 * w8 + x8];
       if (part && lg == 3) return -3;  // 8x8 PUs stay square (4-cell maps)
+      int s8 = 1 << (lg - 3);
+      for (int dy = 0; dy < s8; dy++)
+        for (int dx = 0; dx < s8; dx++)
+          seen[(y8 + dy) * w8 + (x8 + dx)] = 1;
+      cus.push_back({x8 * 8, y8 * 8, 1 << lg, wk.ord(x8, y8), part});
+    }
+  walk_cus(wk, cus, mv8, cref.data(), cbf8, cu_log2, mv_out, ref_out,
+           skip, merge_flag, merge_idx, mvp_flag, mvd);
+  return 0;
+}
+
+// v4 walk: v3 plus TMVP — the collocated (previous coded) picture's
+// 16x16-compressed motion (col_mv16: w16*h16*2 quarter-pel, col_td16:
+// w16*h16 POC distance col->its ref, 0 = intra/invalid) enables the
+// temporal merge + AMVP candidates exactly as the decoder derives them
+// (codec/mv.py temporal_candidate; §8.5.3.2.7/.2.8).
+extern "C" int tpuhevc_decision_walk_map_col(
+    const uint8_t* log2_map, const int32_t* mv8, const uint8_t* ref8,
+    const uint8_t* cbf8, const uint8_t* part8,
+    const int32_t* col_mv16, const int32_t* col_td16,
+    int W, int H, int log2_ctu, int max_merge, int num_ref,
+    int32_t* cu_log2, int32_t* mv_out, int32_t* ref_out, int32_t* skip,
+    int32_t* merge_flag, int32_t* merge_idx, int32_t* mvp_flag,
+    int32_t* mvd) {
+  if (W % 8 || H % 8) return -1;
+  Walk wk;
+  init_walk(wk, W, H, log2_ctu, max_merge, num_ref);
+  if (col_mv16 && col_td16) {
+    wk.col_mv = col_mv16;
+    wk.col_td = col_td16;
+    wk.w16 = (wk.w8 + 1) >> 1;
+    wk.h16 = (wk.h8 + 1) >> 1;
+    wk.tmvp = true;
+  }
+  const int w8 = wk.w8, h8 = wk.h8;
+  std::vector<int32_t> cref(w8 * h8);
+  for (int i = 0; i < w8 * h8; i++) cref[i] = ref8[i];
+  std::vector<Cu> cus;
+  cus.reserve(w8 * h8 / 4);
+  std::vector<uint8_t> seen(w8 * h8, 0);
+  for (int y8 = 0; y8 < h8; y8++)
+    for (int x8 = 0; x8 < w8; x8++) {
+      if (seen[y8 * w8 + x8]) continue;
+      int lg = log2_map[y8 * w8 + x8];
+      if (lg < 3 || lg > 6) return -2;
+      int part = part8 ? part8[y8 * w8 + x8] : 0;
+      if (part && lg == 3) return -3;
       int s8 = 1 << (lg - 3);
       for (int dy = 0; dy < s8; dy++)
         for (int dx = 0; dx < s8; dx++)

@@ -64,7 +64,9 @@ def test_rate_control_anchor_gop():
     frames = decode_stream(bs)
     assert len(frames) == 21 and all(f.md5_ok for f in frames)
     achieved = sum(r.bits for r in enc.results) * 30 / 21
-    assert 0.85 * target < achieved < 1.15 * target, achieved
+    # +-5%: the shared-inter-model RC lands within ~2.5% on
+    # non-saturated targets (VERDICT r04 ask; HM itself: -0.9%)
+    assert 0.95 * target < achieved < 1.05 * target, achieved
     # the structure must really be multi-ref (anchor GOP), not IPPP
     from tpuhevc.entropy import bitio, headers
     sps = pps = None

@@ -234,9 +234,12 @@ def main():
     mv16p = jnp.zeros((nh16 * nw16, 2), jnp.int32)
     print(f"{'ROLLUP':26s} {rollup:8.3f} ms/frame (sum of stages)",
           flush=True)
+    hc16, wc16 = (H // 8 + 1) // 2, (W // 8 + 1) // 2
+    col0 = (jnp.zeros((hc16, wc16, 2), jnp.int32),
+            jnp.zeros((hc16, wc16), jnp.int32))
     probe("frame_step",
-          lambda f: P["frame_step"]((ry_stack, ruv_stack, mv16p), f,
-                                    jnp.int32(4), 0)[1],
+          lambda f: P["frame_step"]((ry_stack, ruv_stack, mv16p, *col0),
+                                    f, jnp.int32(4), 0)[1],
           [(fu8,)], 0, 1)
 
     out = args.out or os.path.join(

@@ -249,6 +249,7 @@ class Encoder:
                 five_minus_max_num_merge_cand=5 - max_merge,
             )
             init_row = 1
+            hdr.temporal_mvp = sps.temporal_mvp_enabled
         if fs.sao is not None:
             hdr.sao_luma = fs.sao.luma_on
             hdr.sao_chroma = fs.sao.chroma_on
@@ -514,6 +515,16 @@ def encode_sequence(reader, cfg: EncoderConfig, max_frames: int | None = None,
                 and not cfg.deblocking and not cfg.sps.sao_enabled
                 and cfg.fme_mode != "dctif")
                or _grid_supports(cfg))):
+        if cfg.tmvp and _grid_supports(cfg):
+            # TMVP rides the native col decision walk only; anything
+            # short of that must not claim it in the SPS (the python
+            # fallback walk derives spatial-only lists)
+            from ..entropy.native import get_lib
+
+            lib = get_lib()
+            if lib is not None and hasattr(
+                    lib, "tpuhevc_decision_walk_map_col"):
+                cfg.sps.temporal_mvp_enabled = True
         _ldp_scan_pipelined(enc, cfg, frames, _finish)
     else:
         for i, fr in enumerate(frames):
@@ -745,6 +756,7 @@ class LdpScanDriver:
         self.wp_by_poc: dict = {}
         self.refs = None
         self.pending: list = []
+        self._col = None  # TMVP collocated motion of the last coded pic
         self.starts = list(range(0, len(frames) - 1, self.K))
 
     def num_chunks(self) -> int:
@@ -857,12 +869,31 @@ class LdpScanDriver:
             return
         ps, pnv, pbuf = self.pending.pop(0)
         rows = np.asarray(pbuf)
+        tmvp = self.grid and self.cfg.sps.temporal_mvp_enabled
         for j in range(pnv):
             poc = ps + 1 + j
             n_ref = max(1, min(poc, self.R))
             cfg_f = dataclasses.replace(self.cfg, qp=self.enc.frame_qp(poc))
-            pre = (inter_grid.assemble_grid_frame(cfg_f, rows[j], n_ref)
+            col = None
+            if tmvp:
+                # collocated motion = previous coded picture's final
+                # 16x16-compressed MV field (ColMotion twin; the IDR
+                # contributes an all-invalid field)
+                if self._col is None:
+                    h16 = (self.h // 8 + 1) // 2
+                    w16 = (self.w // 8 + 1) // 2
+                    self._col = (np.zeros((h16, w16, 2), np.int32),
+                                 np.zeros((h16, w16), np.int32))
+                col = self._col
+            pre = (inter_grid.assemble_grid_frame(cfg_f, rows[j], n_ref,
+                                                  col=col)
                    if self.grid else None)
+            if tmvp and pre is not None:
+                fs = pre[0]
+                self._col = (
+                    np.ascontiguousarray(fs.mv[::2, ::2]).astype(np.int32),
+                    np.where(fs.inter_dir[::2, ::2] != 0,
+                             fs.ref_idx[::2, ::2] + 1, 0).astype(np.int32))
             if pre is None:
                 per_cu = self.collect_fn(cfg_f, rows[j])
                 pre = assemble_frame_p(cfg_f, per_cu, n_ref,

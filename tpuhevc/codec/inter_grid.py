@@ -237,7 +237,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
            R, MM, cfg.nn_weights_dir, not nn_by_qp.get(qps[0]),
            use_rdoq, use_sbh, use_deblock, use_sao, use_wp,
            tuple(cfg.gop_qp_factors), cfg.qp, _parts_ok(),
-           sps.max_tu_depth_inter,
+           sps.max_tu_depth_inter, sps.temporal_mvp_enabled,
            tuple(sorted(_TUNE.items())))
     hit = _BUILD_CACHE.get(key)
     if hit is not None:
@@ -264,6 +264,33 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
     # lazily on the first call, when _TUNE may already have changed.
     use_tusplit = (bool(_TUNE.get("tusplit", True))
                    and cfg.sps.max_tu_depth_inter >= 1)
+    # device-side TMVP candidate generation (the host walk handles the
+    # normative list; this only feeds the merge_rd arbitration)
+    use_tmvp_dev = (bool(_TUNE.get("tmvp_dev", True))
+                    and sps.temporal_mvp_enabled
+                    and bool(_TUNE.get("merge_rd", True)))
+
+    _COL_GEOM_CACHE: dict = {}
+
+    def _col_geom(S, nbh, nbw):
+        """Static TMVP gather geometry per CU class: C0 (bottom-right)
+        validity mask + flat 16-grid indices, and the C1 (center)
+        indices (temporal_candidate's two probe positions)."""
+        hit = _COL_GEOM_CACHE.get(S)
+        if hit is None:
+            hc16, wc16 = (h8 + 1) // 2, (w8 + 1) // 2
+            x0 = (np.arange(nbw) * S)[None, :].repeat(nbh, 0)
+            y0 = (np.arange(nbh) * S)[:, None].repeat(nbw, 1)
+            xbr, ybr = x0 + S, y0 + S
+            lc = sps.log2_ctu
+            ok0 = (((ybr >> lc) == (y0 >> lc)) & (ybr < H) & (xbr < W))
+            i0 = (np.clip(ybr >> 4, 0, hc16 - 1) * wc16
+                  + np.clip(xbr >> 4, 0, wc16 - 1)).ravel()
+            xc, yc = x0 + S // 2, y0 + S // 2
+            i1 = ((yc >> 4) * wc16 + (xc >> 4)).ravel()
+            hit = (ok0, i0.astype(np.int32), i1.astype(np.int32))
+            _COL_GEOM_CACHE[S] = hit
+        return hit
 
     # ME constants ------------------------------------------------------
     R2 = sr // 2
@@ -2209,7 +2236,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         return c["d"] + lam * bits, bits
 
     def frame_step(ref, fu8, navail, gpos, wp=None, live=None):
-        ry_stack, ruv_stack, mv16p = ref  # + prev-frame full-pel 16-MVs
+        # carry: reference stacks + prev-frame full-pel 16-MV seed +
+        # prev-frame TMVP collocated motion (16x16-compressed final MVs
+        # and POC distance col->ref per block, 0 = intra/invalid)
+        ry_stack, ruv_stack, mv16p, colmv_g, coltd_g = ref
         qp = qps[gpos]
         tabs = tabs_by_qp[qp]
         if live is not None:  # adaptive re-freeze: overlay traced tables
@@ -2521,6 +2551,42 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 useT,
                 jnp.asarray(tabs["midx"][min(1, MM - 1)], jnp.float32),
                 jnp.asarray(tabs["midx"][0], jnp.float32))
+            if use_tmvp_dev:
+                # TMVP arm: the scaled collocated MV (ref 0) — the
+                # candidate HM's merge list always carries and the
+                # spatial sweeps can never reach (xMergeEstimation's
+                # temporal entry). Exact mv.py temporal_candidate /
+                # scale_mv mirror so the adopted MV maps onto the
+                # walk's merge index.
+                ok0m, i0m, i1m = _col_geom(S, nbh, nbw)
+                tdf = coltd_g.reshape(-1)
+                mvf = colmv_g.reshape(-1, 2)
+                td0 = jnp.where(jnp.asarray(ok0m).reshape(-1),
+                                tdf[jnp.asarray(i0m)], 0)
+                td1 = tdf[jnp.asarray(i1m)]
+                use0 = td0 > 0
+                td = jnp.where(use0, td0, td1)
+                idx = jnp.where(use0, jnp.asarray(i0m), jnp.asarray(i1m))
+                mvc = mvf[idx]
+                tx_ = (16384 + (td >> 1)) // jnp.maximum(td, 1)
+                dsf = jnp.clip((tx_ + 32) >> 6, -4096, 4095)
+                p = dsf[:, None] * mvc
+                sc = (jnp.sign(p) * ((jnp.abs(p) + 127) >> 8))
+                sc = jnp.clip(sc, -32768, 32767)
+                mvC = jnp.where((td == 1)[:, None], mvc, sc) \
+                    .reshape(nbh, nbw, 2).astype(jnp.int32)
+                refC = jnp.zeros((nbh, nbw), jnp.int32)
+                okc = (td > 0).reshape(nbh, nbw)
+                satC = pred_satd_z(planes_y, oy[:Hp, :Wp], mvC, refC, S,
+                                   Hp, Wp, qp, lam_me_f)
+                satC = jnp.where(okc, satC, jnp.float32(3e38))
+                useC = satC < jnp.minimum(satL, satT)
+                mvN = jnp.where(useC[..., None], mvC, mvN)
+                refN = jnp.where(useC, refC, refN)
+                midxN = jnp.where(
+                    useC,
+                    jnp.asarray(tabs["midx"][min(2, MM - 1)],
+                                jnp.float32), midxN)
             mode_bN = (tabs["pred_inter"] + tabs["part2n"]
                        + tabs["mf1"] + midxN)
             ones = jnp.ones((nbh, nbw), bool)
@@ -3029,7 +3095,13 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         # temporal seed for the next frame: the settled per-16 MVs
         # (post-sweep map, full-pel)
         seed16 = (mv_map[::2, ::2].reshape(n16, 2) // 4).astype(jnp.int32)
-        return (new_ry, new_ruv, seed16), jnp.concatenate(parts)
+        # TMVP collocated motion for the next frame (== the host walk's
+        # col maps built from the final FrameSyntax: decoder ColMotion)
+        colmv_n = mv_map[::2, ::2].astype(jnp.int32)
+        coltd_n = jnp.where(intra_cells[::2, ::2], 0,
+                            ref_map[::2, ::2].astype(jnp.int32) + 1)
+        return (new_ry, new_ruv, seed16, colmv_n, coltd_n), \
+            jnp.concatenate(parts)
 
     # stage probes: tools/profile_grid.py times these closures standalone
     # (registering costs nothing — jit is lazy, nothing traces here)
@@ -3061,23 +3133,32 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             outs.append(pk)
         return carry, jnp.stack(outs)
 
+    hc16, wc16 = (h8 + 1) // 2, (w8 + 1) // 2
+
+    def _carry0(ry_stack, ruv_stack):
+        # chunk-initial carry: zero MV seed + all-invalid collocated
+        # motion (exact for the first chunk, whose col pic is the IDR;
+        # later chunks lose one frame of device-side TMVP candidates —
+        # the host walk always uses the true col maps)
+        return (ry_stack, ruv_stack, jnp.zeros((n16, 2), jnp.int32),
+                jnp.zeros((hc16, wc16, 2), jnp.int32),
+                jnp.zeros((hc16, wc16), jnp.int32))
+
     if use_wp:
         def run(frames_u8, navail, wpw, wpo, wpd, ry_stack, ruv_stack,
                 live=None):
-            mv0 = jnp.zeros((n16, 2), jnp.int32)
-            (ry_stack, ruv_stack, _), packed = jax.lax.scan(
+            (ry_stack, ruv_stack, *_), packed = jax.lax.scan(
                 lambda c, x: gop_step(c, x, live),
-                (ry_stack, ruv_stack, mv0),
+                _carry0(ry_stack, ruv_stack),
                 (frames_u8, navail, wpw, wpo, wpd))
             return packed.reshape(n_gops * G, -1), ry_stack, ruv_stack
 
         fn = jax.jit(run, donate_argnums=(5, 6))
     else:
         def run(frames_u8, navail, ry_stack, ruv_stack, live=None):
-            mv0 = jnp.zeros((n16, 2), jnp.int32)
-            (ry_stack, ruv_stack, _), packed = jax.lax.scan(
+            (ry_stack, ruv_stack, *_), packed = jax.lax.scan(
                 lambda c, x: gop_step(c, x, live),
-                (ry_stack, ruv_stack, mv0), (frames_u8, navail))
+                _carry0(ry_stack, ruv_stack), (frames_u8, navail))
             return packed.reshape(n_gops * G, -1), ry_stack, ruv_stack
 
         fn = jax.jit(run, donate_argnums=(2, 3))
@@ -3148,10 +3229,15 @@ def _parse_frame_buf(cfg, buf: np.ndarray) -> dict:
     return d
 
 
-def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
+def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1,
+                        col=None):
     """Fetched frame row -> (FrameSyntax, recon[, stats]) via the native
     decision walk; returns None when the native library is unavailable
-    (callers fall back to collect_grid_frame + assemble_frame_p)."""
+    (callers fall back to collect_grid_frame + assemble_frame_p).
+    col: TMVP collocated motion (col_mv16, col_td16) of the previous
+    coded picture — required when sps.temporal_mvp_enabled (the python
+    fallback walk has no TMVP, so a missing native col walk is a hard
+    error rather than a silently wrong stream)."""
     from ..entropy.native import decision_walk_map_native
     from ..entropy.syntax import FrameSyntax
 
@@ -3167,11 +3253,18 @@ def assemble_grid_frame(cfg, buf: np.ndarray, num_ref: int = 1):
         ref_in = np.where(d["intra_map"] > 0, 255, ref_in)
     part_map = d.get("part_map")
     has_parts = part_map is not None and bool(part_map.any())
+    if sps.temporal_mvp_enabled and col is None:
+        raise RuntimeError("temporal_mvp_enabled needs the collocated "
+                           "motion maps at assembly")
     maps = decision_walk_map_native(
         d["log2_map"], d["mv_map"], ref_in, d["cbf_map"],
         W, H, sps.log2_ctu, cfg.max_num_merge_cand, num_ref,
-        part_map=part_map if has_parts else None)
+        part_map=part_map if has_parts else None,
+        col=col if sps.temporal_mvp_enabled else None)
     if maps is None:
+        if sps.temporal_mvp_enabled:
+            raise RuntimeError("temporal_mvp_enabled needs the native "
+                               "col decision walk")
         return None
     fs = FrameSyntax(
         W, H, cu_log2=maps["cu_log2"], mv=maps["mv"], skip=maps["skip"],

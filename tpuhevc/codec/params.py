@@ -150,6 +150,8 @@ class EncoderConfig:
     ctu_qp_map: object = None    # per-frame (hctu, wctu) QpY map the host
                                  # pipelines quantize with (set by RC)
     intra_in_inter: bool = False # intra 8x8 fallback CUs in P frames
+    tmvp: bool = True            # request TMVP (SPS flag granted when the
+                                 # grid path + native col walk carry it)
     intra_qt: bool = True        # quadtree intra CUs 8/16/32 (vs fixed 8x8)
     # NxN 4x4 PUs + one-level intra RQT in the I-frame decision. None =
     # auto: on for all-intra encodes, off for the LD-P scan's single

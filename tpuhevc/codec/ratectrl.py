@@ -76,9 +76,15 @@ class RateControl:
                 self.beta.get(level, -1.7860 if level == 0 else -1.367))
 
     def _level(self, poc: int, is_intra: bool) -> int:
-        if is_intra:
-            return 0
-        return 1 + (poc - 1) % self.gop_size
+        # one SHARED inter model (all GOP positions) instead of HM's
+        # per-frame-level banks: 4x the updates per model, which is what
+        # converges within a short sequence — measured on the 21-frame
+        # RC clip: per-position models land 90% of a 400 kbps target
+        # (each level's 2x-per-visit lambda clip corrects too slowly),
+        # the shared model 101%. Position differentiation still comes
+        # from the GOP-weighted TARGETS (LD_WEIGHTS), matching the
+        # anchor's QP-offset pattern through the allocation instead.
+        return 0 if is_intra else 1
 
     def frame_target(self, poc: int, is_intra: bool) -> float:
         """Target bits for this picture: its weighted share of what
@@ -100,16 +106,27 @@ class RateControl:
         bpp = target / self.pixels
         alpha, beta = self._model(level)
         lam = alpha * (bpp ** beta)
-        # clip lambda vs same-level previous (2x down / 2x up, HM's bounds)
+        # clip lambda vs same-level previous (2x down / 2x up) AND vs
+        # the last coded picture of ANY level (2^(+-10/3)) — both HM
+        # bounds (TEncRCPic::estimatePicLambda); without the cross-
+        # picture clamp a starved GOP tail collapses to QP 45+ right
+        # after a QP 20 picture and the budget oscillates
         prev = self.last_lambda.get(level)
         if prev is not None:
             lam = min(max(lam, prev * 2 ** (-3.0 / 3.0)),
                       prev * 2 ** (3.0 / 3.0))
+        lp = getattr(self, "last_pic_lambda", None)
+        if lp is not None:
+            lam = min(max(lam, lp * 2 ** (-10.0 / 3.0)),
+                      lp * 2 ** (10.0 / 3.0))
         lam = min(max(lam, 0.1), 10000.0)
         qp = int(round(4.2005 * math.log(lam) + 13.7122))
         pq = self.last_qp.get(level)
         if pq is not None:
             qp = min(max(qp, pq - 3), pq + 3)
+        lpq = getattr(self, "last_pic_qp", None)
+        if lpq is not None:
+            qp = min(max(qp, lpq - 10), lpq + 10)
         qp = min(max(qp, 0), 51)
         self._pending = (level, lam, bpp)
         return qp, lam, target
@@ -129,6 +146,8 @@ class RateControl:
         self.last_lambda[level] = lam_used
         self.last_qp[level] = int(round(4.2005 * math.log(lam_used)
                                         + 13.7122))
+        self.last_pic_lambda = lam_used
+        self.last_pic_qp = self.last_qp[level]
         self.spent += actual_bits
         self.coded += 1
         # consume this picture's slot of the GOP budget (TEncRCGOP

@@ -261,7 +261,8 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
         elif k == "MaxNumMergeCand":
             cfg.max_num_merge_cand = int(v)
         elif k == "TemporalMVP" or k == "TMVPMode":
-            sps.temporal_mvp_enabled = False  # not emitted yet
+            cfg.tmvp = int(v) != 0  # granted at encode_sequence when
+            # the grid path + native col walk carry it
         elif k == "InterBackend":
             cfg.inter_backend = v.strip()
         elif k == "FmeMode":

@@ -85,22 +85,34 @@ def get_lib():
             + [ctypes.POINTER(ctypes.c_uint8)] * 3
             + [ctypes.c_int] * 5
             + [ctypes.POINTER(ctypes.c_int32)] * 8)
+    if hasattr(lib, "tpuhevc_decision_walk_map_col"):
+        lib.tpuhevc_decision_walk_map_col.restype = ctypes.c_int
+        lib.tpuhevc_decision_walk_map_col.argtypes = (
+            [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+            + [ctypes.POINTER(ctypes.c_uint8)] * 3
+            + [ctypes.POINTER(ctypes.c_int32)] * 2
+            + [ctypes.c_int] * 5
+            + [ctypes.POINTER(ctypes.c_int32)] * 8)
     _LIB = lib
     return _LIB
 
 
 def decision_walk_map_native(log2_map, mv_map, ref_map, cbf_map, W, H,
                              log2_ctu, max_merge, num_ref: int = 1,
-                             part_map=None):
-    """v2/v3 native walk: final per-8x8-cell (cu_log2, mv, ref, cbf[,
+                             part_map=None, col=None):
+    """v2/v3/v4 native walk: final per-8x8-cell (cu_log2, mv, ref, cbf[,
     part]) maps from the device stage -> FrameSyntax merge/skip/AMVP
     maps (per-PU at PU-origin cells for rectangular partitions), or
-    None if the library is unavailable."""
+    None if the library is unavailable. col: optional TMVP collocated
+    motion (col_mv16 (h16, w16, 2) int32, col_td16 (h16, w16) int32 —
+    POC distance col picture -> its ref per 16-block, 0 = invalid)."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "tpuhevc_decision_walk_map"):
         return None
     use_part = part_map is not None and np.any(part_map)
     if use_part and not hasattr(lib, "tpuhevc_decision_walk_map_part"):
+        return None
+    if col is not None and not hasattr(lib, "tpuhevc_decision_walk_map_col"):
         return None
     h8, w8 = H // 8, W // 8
     lm = np.ascontiguousarray(log2_map, dtype=np.uint8)
@@ -112,6 +124,27 @@ def decision_walk_map_native(log2_map, mv_map, ref_map, cbf_map, W, H,
     mvd = np.zeros((h8, w8, 2), np.int32)
     arrs = [outs[0], mv, outs[1], outs[2], outs[3], outs[4], outs[5], mvd]
     outp = [a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs]
+    if col is not None:
+        cmv = np.ascontiguousarray(col[0], dtype=np.int32)
+        ctd = np.ascontiguousarray(col[1], dtype=np.int32)
+        pm = np.ascontiguousarray(
+            part_map if part_map is not None else np.zeros((h8, w8)),
+            dtype=np.uint8)
+        rc = lib.tpuhevc_decision_walk_map_col(
+            lm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mv_in.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            pm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cmv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctd.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            W, H, log2_ctu, max_merge, num_ref, *outp)
+        if rc != 0:
+            return None
+        cu_log2, ref, skipf, merge_flag, merge_idx, mvp_flag = outs
+        return dict(cu_log2=cu_log2, mv=mv, ref=ref, skip=skipf,
+                    merge_flag=merge_flag, merge_idx=merge_idx,
+                    mvp_flag=mvp_flag, mvd=mvd)
     if use_part:
         pm = np.ascontiguousarray(part_map, dtype=np.uint8)
         rc = lib.tpuhevc_decision_walk_map_part(

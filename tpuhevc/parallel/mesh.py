@@ -135,8 +135,15 @@ def sharded_frame_step(cfg, nn_by_qp, mesh):
     repl = NamedSharding(mesh, P())
 
     def one(ry_stack, ruv_stack, seed16, fu8, navail):
-        (ry2, ruv2, seed2), packed = step(
-            (ry_stack, ruv_stack, seed16), fu8, navail, 0)
+        import jax.numpy as jnp
+
+        H = meta["H"]
+        W = meta["W"]
+        hc16, wc16 = (H // 8 + 1) // 2, (W // 8 + 1) // 2
+        col0 = (jnp.zeros((hc16, wc16, 2), jnp.int32),
+                jnp.zeros((hc16, wc16), jnp.int32))
+        (ry2, ruv2, seed2, *_), packed = step(
+            (ry_stack, ruv_stack, seed16, *col0), fu8, navail, 0)
         return ry2, ruv2, seed2, packed
 
     sharded = jax.jit(one,
