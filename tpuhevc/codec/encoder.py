@@ -55,6 +55,10 @@ class Encoder:
         # {slice QP: end-of-slice CABAC states} from written P slices —
         # feeds the grid scan's adaptive bit-estimator re-freeze
         self.ctx_feedback: dict = {}
+        self._hrd_dec_idx = 0  # AU decode index (HRD timing SEIs)
+        self._hrd_bp_idx = 0   # decode index of the last buffering period
+        if cfg.sps.hrd_enabled and cfg.target_bitrate:
+            cfg.sps.hrd_bitrate = cfg.target_bitrate
         if frame_encoder is None and cfg.intra_qt:
             from .intra_qt import encode_frame_intra_qt
 
@@ -134,7 +138,26 @@ class Encoder:
             from ..entropy import sei
 
             aus.append(sei.RecoveryPoint(recovery_poc_cnt=0))
-        if sps.vui_timing:
+        if sps.hrd_enabled:
+            # HRD timing SEIs (SEIEncoder counterparts): buffering
+            # period on IRAP AUs, CPB/DPB delays on every AU
+            from ..entropy import sei
+
+            is_irap = poc == 0 or (slice_info is None
+                                   and self._slice_type(poc) == I_SLICE)
+            if is_irap:
+                aus.append(sei.BufferingPeriod(
+                    initial_cpb_removal_delay=90000,
+                    initial_cpb_removal_offset=0))
+                self._hrd_bp_idx = self._hrd_dec_idx
+            aus.append(sei.PicTiming(
+                with_hrd=True,
+                au_cpb_removal_delay_minus1=max(
+                    0, self._hrd_dec_idx - self._hrd_bp_idx - 1),
+                pic_dpb_output_delay=max(
+                    0, poc + sps.num_reorder_pics - self._hrd_dec_idx)))
+            self._hrd_dec_idx += 1
+        elif sps.vui_timing:
             from ..entropy import sei
 
             aus.append(sei.PicTiming())

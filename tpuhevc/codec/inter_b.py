@@ -77,6 +77,170 @@ def _code_blocks(cur, pred, qp, log2, bd, lam_full):
     return lvl, rec, d, bits
 
 
+_B_STEP_CACHE: dict = {}
+
+
+def _b_step(cfg: EncoderConfig, qp: int, have_nn):
+    """Jitted device B-frame compute: dense two-list integer ME, NN-FME
+    subpel, 14-bit bi-prediction averaging, uni/uni/bi arbitration, and
+    table-cost-RDOQ residual coding for every 16x16 block of the frame
+    at once (the device counterpart of the numpy v1 path below; the
+    reference's predInterSearch bi-pred machinery, TComPrediction.cpp
+    :577,683, restructured as whole-frame candidate selection)."""
+    sps = cfg.sps
+    w, h, bd = sps.coded_width, sps.coded_height, sps.bit_depth
+    sr = max(4, min(cfg.search_range, 16))
+    nn_params = have_nn if not isinstance(have_nn, bool) else None
+    key = (w, h, bd, qp, sr, id(nn_params) if nn_params else None)
+    hit = _B_STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import jax
+    import jax.numpy as jnp
+
+    from ..entropy.bitest import FracBits, ResidualBitEst
+    from ..models import nnfme
+    from ..ops.interp import bi_average, mc, mc14
+
+    nh, nw = h // 16, w // 16
+    n = nh * nw
+    xs_np, ys_np = _grid16(w, h)
+    lam_full = _full_lambda_fp(cfg) / 256.0
+    lam_me = float(np.sqrt(lam_full))
+    qpc = chroma_qp(qp)
+    fb = FracBits(0, qp)  # B-slice init row
+    est_y = ResidualBitEst(fb, 4, True)
+    est_c = ResidualBitEst(fb, 3, False)
+    side = 2 * sr + 1
+    # per-offset EG-ish MV bits (static)
+    dxs = np.tile(np.arange(side) - sr, side)
+    dys = np.repeat(np.arange(side) - sr, side)
+    mvb = (2 * np.ceil(np.log2(2.0 * np.abs(dxs * 4) + 1))
+           + 2 * np.ceil(np.log2(2.0 * np.abs(dys * 4) + 1))
+           + 2).astype(np.float32)
+    # 3x3 surface neighbor offsets in the (side*side) flat index space
+    nbr9 = np.asarray([(dy * side + dx) for dy in (-1, 0, 1)
+                       for dx in (-1, 0, 1)], np.int32)
+    maxv = (1 << bd) - 1
+
+    def tile16(p):
+        return (p.reshape(nh, 16, nw, 16).transpose(0, 2, 1, 3)
+                .reshape(n, 16, 16))
+
+    def untile16(b):
+        return (b.reshape(nh, nw, 16, 16).transpose(0, 2, 1, 3)
+                .reshape(h, w))
+
+    def tile8(p):
+        return (p.reshape(nh, 8, nw, 8).transpose(0, 2, 1, 3)
+                .reshape(n, 8, 8))
+
+    def untile8(b):
+        return (b.reshape(nh, nw, 8, 8).transpose(0, 2, 1, 3)
+                .reshape(h // 2, w // 2))
+
+    def dense_me(oy, ry):
+        """(mv_int (n,2), sad9 (n,9)) by a row-scanned dense +-sr
+        search (the prestage ps_row pattern: one traced row body)."""
+        ryp = jnp.pad(ry, sr, mode="edge")
+
+        def row(carry, dy):
+            sads = []
+            for dx in range(side):
+                d = jax.lax.dynamic_slice(ryp, (dy, dx), (h, w)) - oy
+                sads.append(jnp.abs(d).reshape(
+                    nh, 16, nw, 16).sum((1, 3)).reshape(n))
+            return carry, jnp.stack(sads, 1)  # (n, side)
+
+        _, rows = jax.lax.scan(row, 0, jnp.arange(side))
+        sad = rows.transpose(1, 0, 2).reshape(n, side * side)
+        cost = sad.astype(jnp.float32) + lam_me * jnp.asarray(mvb)[None]
+        bi = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        mv = jnp.stack([bi % side - sr, bi // side - sr], -1)
+        i9 = jnp.clip(bi[:, None] + jnp.asarray(nbr9)[None], 0,
+                      side * side - 1)
+        sad9 = jnp.take_along_axis(sad, i9, 1)
+        return mv, sad9
+
+    nn_dev = jax.device_put(nn_params) if nn_params else None
+    cls2q = jnp.asarray(nnfme.CLASS_TO_QMV)
+    xs = jnp.asarray(xs_np)
+    ys = jnp.asarray(ys_np)
+    cxs = jnp.asarray(xs_np // 2)
+    cys = jnp.asarray(ys_np // 2)
+
+    def subpel(mv_int, sad9):
+        mvq = mv_int * 4
+        if nn_dev is None:
+            return mvq
+        logits = nnfme.forward(nn_dev, sad9.astype(jnp.float32),
+                               jnp.full(n, int(nnfme.height_category(16))),
+                               jnp.full(n, int(nnfme.width_category(16))))
+        return mvq + cls2q[jnp.argmax(logits, -1)].astype(jnp.int32)
+
+    def code_blocks(cur, pred, q, log2, est):
+        coef = tx.forward_transform(cur - pred, bd)
+        lvl = tx.rdoq_est_xp(jnp, coef, q, log2, bd, lam_full, est)
+        rsd = tx.inverse_transform(tx.dequantize(lvl, q, log2, bd), bd)
+        rec = jnp.clip(pred + rsd, 0, maxv)
+        nz = (lvl != 0).reshape(n, -1).any(1)
+        rec = jnp.where(nz[:, None, None], rec, pred)
+        bits = est.tu_bits(jnp, lvl)
+        d_skip = ((cur - pred) ** 2).reshape(n, -1).sum(1)
+        d_coded = ((cur - rec) ** 2).reshape(n, -1).sum(1)
+        drop = (d_skip - d_coded).astype(jnp.float32) <= lam_full * bits
+        lvl = jnp.where(drop[:, None, None], 0, lvl)
+        rec = jnp.where(drop[:, None, None], pred, rec)
+        return lvl, rec
+
+    def step(oy, ou, ov, r0y, r0u, r0v, r1y, r1u, r1v):
+        cur = tile16(oy)
+        mv0i, sad9_0 = dense_me(oy, r0y)
+        mv1i, sad9_1 = dense_me(oy, r1y)
+        mvq0 = subpel(mv0i, sad9_0)
+        mvq1 = subpel(mv1i, sad9_1)
+        p0_14 = mc14(r0y, xs, ys, mvq0, 16, True, bd)
+        p1_14 = mc14(r1y, xs, ys, mvq1, 16, True, bd)
+        pred0 = mc(r0y, xs, ys, mvq0, 16, True, bd)
+        pred1 = mc(r1y, xs, ys, mvq1, 16, True, bd)
+        pred_bi = bi_average(p0_14, p1_14, bd)
+
+        def sse(p):
+            return ((cur - p) ** 2).reshape(n, -1).sum(1) \
+                .astype(jnp.float32)
+
+        b0 = (jnp.abs(mvq0).sum(1) // 4 + 4).astype(jnp.float32)
+        b1 = (jnp.abs(mvq1).sum(1) // 4 + 4).astype(jnp.float32)
+        cost0 = sse(pred0) + lam_full * (b0 + 2)
+        cost1 = sse(pred1) + lam_full * (b1 + 2)
+        cost_bi = sse(pred_bi) + lam_full * (b0 + b1 + 2)
+        inter_dir = jnp.where(
+            cost_bi <= jnp.minimum(cost0, cost1), 3,
+            jnp.where(cost0 <= cost1, 1, 2)).astype(jnp.int32)
+        pd = inter_dir[:, None, None]
+        pred_y = jnp.where(pd == 1, pred0,
+                           jnp.where(pd == 2, pred1, pred_bi))
+        lvl_y, rec_y = code_blocks(cur, pred_y, qp, 4, est_y)
+        outs = [mvq0, mvq1, inter_dir, lvl_y, rec_y]
+        for plane, rp0, rp1 in ((ou, r0u, r1u), (ov, r0v, r1v)):
+            cur_c = tile8(plane)
+            c0_14 = mc14(rp0, cxs, cys, mvq0, 8, False, bd)
+            c1_14 = mc14(rp1, cxs, cys, mvq1, 8, False, bd)
+            c0 = mc(rp0, cxs, cys, mvq0, 8, False, bd)
+            c1 = mc(rp1, cxs, cys, mvq1, 8, False, bd)
+            cbi = bi_average(c0_14, c1_14, bd)
+            pred_c = jnp.where(pd == 1, c0, jnp.where(pd == 2, c1, cbi))
+            lvl_c, rec_c = code_blocks(cur_c, pred_c, qpc, 3, est_c)
+            outs += [lvl_c, rec_c]
+        return tuple(outs)
+
+    import jax
+
+    fn = jax.jit(step)
+    _B_STEP_CACHE[key] = fn
+    return fn
+
+
 def encode_frame_b(orig, ref_l0, ref_l1, cfg: EncoderConfig, qp: int,
                    l0_pocs, l1_pocs, cur_poc: int, nn_params=None):
     """orig: (y, u, v); ref_l0/ref_l1: one (y, u, v) recon each.
@@ -89,6 +253,25 @@ def encode_frame_b(orig, ref_l0, ref_l1, cfg: EncoderConfig, qp: int,
     ov = _pad_to(np.asarray(orig[2]), h // 2, w // 2).astype(np.int32)
     r0 = [p.astype(np.int32) for p in ref_l0]
     r1 = [p.astype(np.int32) for p in ref_l1]
+    if cfg.inter_backend == "jax":
+        try:
+            import jax  # noqa: F401
+
+            have = True
+        except Exception:
+            have = False
+        if have:
+            fn = _b_step(cfg, qp, nn_params)
+            out = fn(*(np.asarray(a) for a in
+                       (oy, ou, ov, r0[0], r0[1], r0[2],
+                        r1[0], r1[1], r1[2])))
+            (mvq0, mvq1, inter_dir, lvl_y, rec_y, lvl_u, rec_u,
+             lvl_v, rec_v) = (np.asarray(a) for a in out)
+            xs, ys = _grid16(w, h)
+            return assemble_frame_b(cfg, dict(
+                xs=xs, ys=ys, inter_dir=inter_dir, mvq0=mvq0, mvq1=mvq1,
+                lvl_y=lvl_y, rec_y=rec_y, lvl_u=lvl_u, rec_u=rec_u,
+                lvl_v=lvl_v, rec_v=rec_v), l0_pocs, l1_pocs, cur_poc)
     lam_full = _full_lambda_fp(cfg)
     lam_me = int(round(np.sqrt(lam_full / 256.0) * 256))
     qpc = chroma_qp(qp)

@@ -49,6 +49,11 @@ _TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True, zme=True,
              merge_rd=True,  # measured-RD merge trial per class
              # (TEncCu.cpp:455-516 counterpart; codes the best spatial
              # neighbor candidate and arbitrates by full RD)
+             anchor_left=False,  # ME rate anchored at the left
+             # neighbor's coarse winner (AMVP-predictor proxy,
+             # getCostOfVectorWithPredictor counterpart) — measured
+             # RD-negative on the natural clip like anchor_seed:
+             # +5.0% bits for +0.16 dB at QP37; kept as a knob
              anchor_seed=False,  # ME rate anchored at the temporal seed
              # (measured RD-negative on the natural clip: +5% bits for
              # +0.16 dB at QP37 — kept as a knob, off by default)
@@ -56,7 +61,8 @@ _TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True, zme=True,
              # + lambda_me * syntax bits, but HM's final arbiter is full
              # RD where at high QP the syntax savings dominate; > 1
              # makes the sweep adopt like the full-RD comparison does
-             merge_bias=1.0)
+             merge_bias=2.0)  # measured at QP37 natural: 2.0 gives
+# -2.0% bits for -0.07 dB vs 1.0 (net positive on the ladder slope)
 
 
 def supports(cfg) -> bool:
@@ -768,7 +774,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
 
     def refine(ry, oy, cx4, cy4, S, nbh, nbw, qp, lam_me, with_zero=True,
                global_c=None, extra_c=None, extra_c2=None,
-               want_quads=False, ry_y0=0):
+               want_quads=False, ry_y0=0, anchor_c=None):
         """Full-pel refinement: 7x7 grids around the coarse winner AND
         (optionally) the zero MV and the frame-global coarse winner (the
         TZ predictor set's start candidates: median/zero + the dominant
@@ -789,7 +795,14 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         cur = cur.astype(jnp.int16)
         q = want_quads
         anchor = None
-        if extra_c is not None and _TUNE.get("anchor_seed", True):
+        if anchor_c is not None and _TUNE.get("anchor_left", True):
+            # MV rate anchored at the LEFT NEIGHBOR's coarse winner —
+            # the batched proxy of HM's AMVP predictor inside the search
+            # (getCostOfVectorWithPredictor): candidates coherent with
+            # the neighbor cost near-zero mvd bits, which is where the
+            # stream's 11x mvd-bits gap vs the anchor lived
+            anchor = (anchor_c[0].reshape(-1), anchor_c[1].reshape(-1))
+        elif extra_c is not None and _TUNE.get("anchor_seed", True):
             anchor = (extra_c[0].reshape(-1), extra_c[1].reshape(-1))
         grids = [_refine_grid(ry, cur, bx, by, ccx, ccy, S, qp, lam_me,
                               quads=q, ry_y0=ry_y0, anchor=anchor)]
@@ -2333,11 +2346,19 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 pre32 = (px_[: nh32 * 2 : 2, : nw32 * 2 : 2],
                          py_[: nh32 * 2 : 2, : nw32 * 2 : 2])
 
+        def left2(g, nbh_, nbw_):
+            """Coarse-unit grid (any layout) -> full-pel left-neighbor
+            grid: the batched AMVP-predictor proxy for the ME rate."""
+            g2 = g.reshape(nbh_, nbw_)
+            return jnp.concatenate([g2[:, :1], g2[:, :-1]], 1) * 2
+
         def ref0_class(S, nbh_, nbw_, cxr, cyr, ts, quads=False,
                        pre=None):
             return refine(ry0, oy, cxr, cyr, S, nbh_, nbw_, qp, lam_me,
                           with_zero=True, global_c=gcand, extra_c=ts,
-                          extra_c2=pre, want_quads=quads)
+                          extra_c2=pre, want_quads=quads,
+                          anchor_c=(left2(cxr, nbh_, nbw_),
+                                    left2(cyr, nbh_, nbw_)))
 
         # the 8-class rides the 16 windows (identical candidate sets to
         # an independent refine at the repeated-parent centers)
@@ -2384,24 +2405,30 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 ryr, sc_, rb, ridx = xs
                 cxr = jnp.clip(cx16 * sc_, -R2, R2)
                 cyr = jnp.clip(cy16 * sc_, -R2, R2)
+                anc = (left2(cxr, nh16, nw16), left2(cyr, nh16, nw16))
                 if _TUNE["enable8"]:
                     *m16r, q8r = refine(ryr, oy, cxr, cyr, 16, nh16,
                                         nw16, qp, lam_me,
-                                        with_zero=False, want_quads=True)
+                                        with_zero=False, want_quads=True,
+                                        anchor_c=anc)
                     a16 = merge_acc(a16, m16r, rb, ridx)
                     a8 = merge_acc(a8, q8r, rb, ridx)
                 else:
                     a16 = merge_acc(a16, refine(ryr, oy, cxr, cyr, 16,
                                                 nh16, nw16, qp, lam_me,
-                                                with_zero=False), rb,
+                                                with_zero=False,
+                                                anchor_c=anc), rb,
                                     ridx)
                 if has32:
                     cxr32 = jnp.clip(cx32 * sc_, -R2, R2)
                     cyr32 = jnp.clip(cy32 * sc_, -R2, R2)
-                    a32 = merge_acc(a32, refine(ryr, oy, cxr32, cyr32, 32,
-                                                nh32, nw32, qp, lam_me,
-                                                with_zero=False), rb,
-                                    ridx)
+                    a32 = merge_acc(
+                        a32, refine(ryr, oy, cxr32, cyr32, 32,
+                                    nh32, nw32, qp, lam_me,
+                                    with_zero=False,
+                                    anchor_c=(left2(cxr32, nh32, nw32),
+                                              left2(cyr32, nh32, nw32))),
+                        rb, ridx)
                 return (a16, a8, a32), None
 
             (acc16, acc8, acc32), _ = jax.lax.scan(

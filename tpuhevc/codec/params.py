@@ -50,6 +50,9 @@ class SeqParams:
 
     vui_timing: bool = False    # minimal VUI: timing + frame_field_info
     time_scale: int = 50        # vui_time_scale (fps, num_units 1)
+    hrd_enabled: bool = False   # VUI hrd_parameters (E.2.2, one NAL CPB)
+    hrd_bitrate: int = 0        # bps (0 -> nominal when HRD on)
+    hrd_cpb_size: int = 0       # bits (0 -> 1 second at hrd_bitrate)
 
     profile_idc: int = 1  # Main
     level_idc: int = 123  # 4.1

@@ -170,6 +170,15 @@ def build_config(opts: dict) -> tuple[EncoderConfig, dict]:
                 sps.profile_idc = 2  # Main10
         elif k == "FrameRate":
             cfg.frame_rate = int(float(v))
+        elif k == "SEIBufferingPeriod":
+            # HRD timing: VUI hrd_parameters + buffering-period /
+            # pic-timing SEIs (TEncCfg m_bufferingPeriodSEIEnabled)
+            if _b(v):
+                sps.hrd_enabled = True
+                sps.vui_timing = True
+        elif k == "SEIPictureTiming":
+            if _b(v):
+                sps.vui_timing = True
         elif k == "ScalingList":
             sl = int(v)
             if sl > 1:

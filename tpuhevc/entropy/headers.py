@@ -278,13 +278,52 @@ def write_sps(sps: SeqParams, rps_list: list[ShortTermRPS] | None = None) -> byt
         w.write(1, 32)    # vui_num_units_in_tick
         w.write(max(1, sps.time_scale), 32)  # vui_time_scale
         w.write_flag(0)   # vui_poc_proportional_to_timing_flag
-        w.write_flag(0)   # vui_hrd_parameters_present_flag
+        if sps.hrd_enabled:
+            # hrd_parameters (E.2.2): one NAL CPB, fixed frame rate,
+            # 24-bit delay fields (SEIEncoder/TEncTop HRD setup
+            # counterpart, TLibEncoder/SEIwrite.cpp)
+            w.write_flag(1)   # vui_hrd_parameters_present_flag
+            w.write_flag(1)   # nal_hrd_parameters_present_flag
+            w.write_flag(0)   # vcl_hrd_parameters_present_flag
+            w.write_flag(0)   # sub_pic_hrd_params_present_flag
+            w.write(hrd_scale(sps)[0], 4)   # bit_rate_scale
+            w.write(hrd_scale(sps)[1], 4)   # cpb_size_scale
+            w.write(23, 5)    # initial_cpb_removal_delay_length_minus1
+            w.write(23, 5)    # au_cpb_removal_delay_length_minus1
+            w.write(23, 5)    # dpb_output_delay_length_minus1
+            # one sub-layer
+            w.write_flag(1)   # fixed_pic_rate_general_flag
+            w.write_ue(0)     # elemental_duration_in_tc_minus1
+            # fixed rate -> no low_delay flag; cpb_cnt inferred from ue
+            w.write_ue(0)     # cpb_cnt_minus1
+            br, cpb = hrd_values(sps)
+            w.write_ue(br)    # bit_rate_value_minus1
+            w.write_ue(cpb)   # cpb_size_value_minus1
+            w.write_flag(0)   # cbr_flag
+        else:
+            w.write_flag(0)   # vui_hrd_parameters_present_flag
         w.write_flag(0)   # bitstream_restriction_flag
     else:
         w.write_flag(0)  # vui_parameters_present_flag
     w.write_flag(0)  # sps_extension_present_flag
     w.rbsp_trailing_bits()
     return w.getvalue()
+
+
+def hrd_scale(sps) -> tuple[int, int]:
+    """(bit_rate_scale, cpb_size_scale): fixed units of 2^(6+4) and
+    2^(4+4) bits — ample headroom for any Level 4.1 rate."""
+    return 4, 4
+
+
+def hrd_values(sps) -> tuple[int, int]:
+    """(bit_rate_value_minus1, cpb_size_value_minus1) from the sps HRD
+    config (nominal 2 Mbps / 1 s CPB when unset)."""
+    brs, cps = hrd_scale(sps)
+    br = sps.hrd_bitrate or 2_000_000
+    cpb = sps.hrd_cpb_size or br
+    return (max(1, br >> (6 + brs)) - 1,
+            max(1, cpb >> (4 + cps)) - 1)
 
 
 def parse_sps(data: bytes) -> tuple[SeqParams, list[ShortTermRPS]]:
@@ -358,7 +397,29 @@ def parse_sps(data: bytes) -> tuple[SeqParams, list[ShortTermRPS]]:
             r.read(32)
             sps.time_scale = r.read(32)
             r.read_flag()          # poc_proportional
-            assert r.read_flag() == 0  # hrd
+            if r.read_flag():      # hrd_parameters (the subset we emit)
+                sps.hrd_enabled = True
+                nal = r.read_flag()
+                vcl = r.read_flag()
+                assert nal and not vcl
+                assert r.read_flag() == 0  # sub_pic_hrd
+                brs = r.read(4)
+                cps = r.read(4)
+                r.read(5)          # initial_cpb_removal_delay_len-1
+                r.read(5)          # au_cpb_removal_delay_len-1
+                r.read(5)          # dpb_output_delay_len-1
+                fixed = r.read_flag()
+                if fixed:
+                    r.read_ue()    # elemental_duration_in_tc_minus1
+                else:
+                    if r.read_flag():  # fixed_within_cvs
+                        r.read_ue()
+                    else:
+                        r.read_flag()  # low_delay_hrd
+                r.read_ue()        # cpb_cnt_minus1 (0)
+                sps.hrd_bitrate = (r.read_ue() + 1) << (6 + brs)
+                sps.hrd_cpb_size = (r.read_ue() + 1) << (4 + cps)
+                r.read_flag()      # cbr_flag
         assert r.read_flag() == 0  # bitstream_restriction
     r.read_flag()
     sps.width = lumaw - 2 * (crop_l + crop_r)

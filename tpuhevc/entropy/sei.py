@@ -79,25 +79,69 @@ class RecoveryPoint:
 
 
 @dataclass
+class BufferingPeriod:
+    """D.2.2 buffering_period, the subset matching our SPS HRD config:
+    one NAL CPB, no sub-pic params, 24-bit delay fields (SEIwrite.cpp
+    xWriteSEIBufferingPeriod counterpart). Sent on every IRAP AU."""
+
+    sps_id: int = 0
+    irap_cpb_params: bool = False
+    concatenation: bool = False
+    au_cpb_removal_delay_delta_minus1: int = 0
+    initial_cpb_removal_delay: int = 90000  # 90 kHz units
+    initial_cpb_removal_offset: int = 0
+
+    def write(self, w: BitWriter) -> None:
+        w.write_ue(self.sps_id)
+        w.write_flag(self.irap_cpb_params)  # (sub_pic off -> coded)
+        w.write_flag(self.concatenation)
+        w.write(self.au_cpb_removal_delay_delta_minus1, 24)
+        w.write(self.initial_cpb_removal_delay, 24)
+        w.write(self.initial_cpb_removal_offset, 24)
+
+    @classmethod
+    def parse(cls, r: BitReader) -> "BufferingPeriod":
+        m = cls()
+        m.sps_id = r.read_ue()
+        m.irap_cpb_params = bool(r.read_flag())
+        m.concatenation = bool(r.read_flag())
+        m.au_cpb_removal_delay_delta_minus1 = r.read(24)
+        m.initial_cpb_removal_delay = r.read(24)
+        m.initial_cpb_removal_offset = r.read(24)
+        return m
+
+
+@dataclass
 class PicTiming:
-    """pic_struct branch only (frame_field_info_present_flag in the VUI;
-    no HRD -> no cpb/dpb delays)."""
+    """pic_struct branch (frame_field_info_present_flag in the VUI);
+    with_hrd adds the D.2.3 CPB/DPB delay fields our 24-bit-length SPS
+    HRD announces."""
 
     pic_struct: int = 0       # 0 = progressive frame
     source_scan_type: int = 1  # 1 = progressive
     duplicate_flag: bool = False
+    with_hrd: bool = False
+    au_cpb_removal_delay_minus1: int = 0
+    pic_dpb_output_delay: int = 0
 
     def write(self, w: BitWriter) -> None:
         w.write(self.pic_struct, 4)
         w.write(self.source_scan_type, 2)
         w.write_flag(self.duplicate_flag)
+        if self.with_hrd:
+            w.write(self.au_cpb_removal_delay_minus1, 24)
+            w.write(self.pic_dpb_output_delay, 24)
 
     @classmethod
-    def parse(cls, r: BitReader) -> "PicTiming":
+    def parse(cls, r: BitReader, with_hrd: bool = False) -> "PicTiming":
         m = cls()
         m.pic_struct = r.read(4)
         m.source_scan_type = r.read(2)
         m.duplicate_flag = bool(r.read_flag())
+        if with_hrd:
+            m.with_hrd = True
+            m.au_cpb_removal_delay_minus1 = r.read(24)
+            m.pic_dpb_output_delay = r.read(24)
         return m
 
 
@@ -122,6 +166,7 @@ class UserDataUnregistered:
 
 _WRITERS = {
     SEI_ACTIVE_PARAMETER_SETS: ActiveParameterSets,
+    SEI_BUFFERING_PERIOD: BufferingPeriod,
     SEI_RECOVERY_POINT: RecoveryPoint,
     SEI_PIC_TIMING: PicTiming,
     SEI_USER_DATA_UNREGISTERED: UserDataUnregistered,
@@ -177,10 +222,14 @@ def parse_sei_nal(data: bytes) -> list[tuple[int, object]]:
         r = BitReader(payload)
         if ptype == SEI_ACTIVE_PARAMETER_SETS:
             out.append((ptype, ActiveParameterSets.parse(r)))
+        elif ptype == SEI_BUFFERING_PERIOD and size >= 10:
+            out.append((ptype, BufferingPeriod.parse(r)))
         elif ptype == SEI_RECOVERY_POINT:
             out.append((ptype, RecoveryPoint.parse(r)))
         elif ptype == SEI_PIC_TIMING:
-            out.append((ptype, PicTiming.parse(r)))
+            # our no-HRD pic timing is 1 byte; with the 24-bit delay
+            # pair it is 7 — size-infer which branch was written
+            out.append((ptype, PicTiming.parse(r, with_hrd=size >= 7)))
         elif ptype == SEI_USER_DATA_UNREGISTERED:
             out.append((ptype, UserDataUnregistered.parse(r, size)))
         else:

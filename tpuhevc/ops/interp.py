@@ -166,3 +166,46 @@ def mc(plane, xs, ys, mvs_q, size: int, is_luma: bool, bit_depth: int = 8):
     maxv = (1 << bit_depth) - 1
     return jnp.clip((acc + (1 << (sh2 - 1))) >> sh2, 0, maxv
                     ).astype(jnp.int32)
+
+
+def mc14(plane, xs, ys, mvs_q, size: int, is_luma: bool,
+         bit_depth: int = 8):
+    """JAX batched MC at the 14-bit intermediate scale (mc_np14 twin) —
+    the bi-prediction input (§8.5.3.3.3.2)."""
+    import jax.numpy as jnp
+
+    taps_tab = jnp.asarray(LUMA_TAPS if is_luma else CHROMA_TAPS)
+    ntaps = taps_tab.shape[1]
+    off = 3 if is_luma else 1
+    fmask = 3 if is_luma else 7
+    fshift = 2 if is_luma else 3
+    h, w = plane.shape
+    ix = xs + (mvs_q[:, 0] >> fshift)
+    iy = ys + (mvs_q[:, 1] >> fshift)
+    fx = mvs_q[:, 0] & fmask
+    fy = mvs_q[:, 1] & fmask
+    win = size + ntaps - 1
+    ycoord = jnp.clip(iy[:, None] - off + jnp.arange(win)[None, :], 0,
+                      h - 1)
+    xcoord = jnp.clip(ix[:, None] - off + jnp.arange(win)[None, :], 0,
+                      w - 1)
+    wnd = plane[ycoord[:, :, None], xcoord[:, None, :]].astype(jnp.int32)
+    th = taps_tab[fx]
+    tv = taps_tab[fy]
+    hs = jnp.stack([wnd[:, :, i : i + size] for i in range(ntaps)],
+                   axis=-1)
+    acc_h = jnp.einsum("nrci,ni->nrc", hs, th) >> (bit_depth - 8)
+    vs = jnp.stack([acc_h[:, i : i + size, :] for i in range(ntaps)],
+                   axis=-1)
+    return jnp.einsum("nrci,ni->nrc", vs, tv) >> 6
+
+
+def bi_average(p0_14, p1_14, bit_depth: int = 8):
+    """JAX bi_average_np twin: (a + b + off) >> shift, clipped."""
+    import jax.numpy as jnp
+
+    shift = 15 - bit_depth
+    offs = 1 << (shift - 1)
+    maxv = (1 << bit_depth) - 1
+    return jnp.clip((p0_14 + p1_14 + offs) >> shift, 0,
+                    maxv).astype(jnp.int32)
