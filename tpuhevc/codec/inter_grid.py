@@ -42,6 +42,8 @@ _TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True, zme=True,
              parts=True, fuse_sweep=False,  # fuse_sweep: flip on once the
              # equality A/B (tools/tune_grid) confirms it on this machine
              tusplit=True,  # one-level inter RQT (TU = CU/2 candidates)
+             tusplit2=True,  # second RQT level at 32 CUs (leaves 8,
+             # honoring the anchor's QuadtreeTUMaxDepthInter 3)
              rdoq_lastpos=True,  # RDOQ last-position walk-back
              # (TComTrQuant.cpp:2404 batched as cumsums over scan space)
              adaptive_est=True,  # per-chunk context-feedback re-freeze
@@ -1850,6 +1852,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         lvl_c, rec_c, duv, buv, nzk, dc0 = _txq_chroma(Tc)
 
         split_tu = None
+        td8 = None
         if do_split:
             # one-level RQT: per T-tile compare TU=T (vs 4x TU=T/2 with
             # chroma at Tc/2) by total weighted cost + the split-flag bit
@@ -1859,6 +1862,72 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             assert Tc == T // 2
             Tc2 = Tc // 2  # >= 4 (S >= 16 here)
             lvl_c2, rec_c2, duv2, buv2, nzk2, _ = _txq_chroma(Tc2)
+            # depth-2 RQT (QuadtreeTUMaxDepthInter 3 in the anchor cfg,
+            # encoder depth 2: leaves stay >= luma 8 / chroma 4, which
+            # both writers carry; TEncSearch::xEstimateInterResidualQT's
+            # recursive compare, bottom-up): settle each T/2 subtile
+            # between leaf-T/2 and 4x T/4 FIRST, then let the existing
+            # T-level compare see the composite.
+            # S == 32 only: a 64 CU's forced split to 32 already holds
+            # tree depth 1, so its explicit splits stop at 16 leaves
+            # (trafoDepth < MaxTrafoDepth gates the flag, §7.3.8.8) —
+            # exactly what the one-level path above codes
+            deep = (S == 32 and sps.max_tu_depth_inter >= 2
+                    and _TUNE.get("tusplit2", True))
+            split16 = None
+            if deep:
+                T4 = T // 4
+                lvl4, rec4, d_tu4, b_tu4, cbf_tu4, _ = _txq_luma(
+                    oy_c, pred_y, T4, qp, lam, tabs, Hp, Wp)
+                Tc4 = Tc2 // 2  # 4
+                lvl_c4, rec_c4, duv4, buv4, nzk4, _ = _txq_chroma(Tc4)
+
+                def t2sum(x):  # T4 grid -> T2 grid
+                    return x.reshape(x.shape[0] // 2, 2,
+                                     x.shape[1] // 2, 2).sum((1, 3))
+
+                def csum4(x):  # Tc4 chroma (packed) -> T2-tile grid
+                    ntw = x.shape[1] // 2
+                    u_ = x[:, :ntw].reshape(Hpc // Tc2, 2,
+                                            Wpc // Tc2, 2).sum((1, 3))
+                    v_ = x[:, ntw:].reshape(Hpc // Tc2, 2,
+                                            Wpc // Tc2, 2).sum((1, 3))
+                    return u_ + v_
+
+                def c0sum2(x):  # Tc2 chroma (packed) -> T2-tile grid
+                    ntw = x.shape[1] // 2
+                    return x[:, :ntw] + x[:, ntw:]
+
+                sd16 = (tabs["tsplit"][log2t - 1][1]
+                        - tabs["tsplit"][log2t - 1][0])
+                c16a = (d_tu2 + wch * c0sum2(duv2)
+                        + lam * (b_tu2 + c0sum2(buv2)))
+                c16b = (t2sum(d_tu4) + wch * csum4(duv4)
+                        + lam * (t2sum(b_tu4) + csum4(buv4) + sd16))
+                split16 = c16b < c16a  # per T/2 subtile
+                sp2 = up(split16, T // 2)
+                lvl2 = jnp.where(sp2, lvl4, lvl2)
+                rec2 = jnp.where(sp2, rec4, rec2)
+                d_tu2 = jnp.where(split16, t2sum(d_tu4), d_tu2)
+                b_tu2 = jnp.where(split16, t2sum(b_tu4) + sd16, b_tu2)
+                cbf_tu2 = jnp.where(split16, t2sum(cbf_tu4), cbf_tu2)
+                spc2 = jnp.concatenate([up(split16, Tc2)] * 2, axis=1)
+                lvl_c2 = jnp.where(spc2, lvl_c4, lvl_c2)
+                rec_c2 = jnp.where(spc2, rec_c4, rec_c2)
+
+                def csel2(base, fine):  # pick per Tc2 tile
+                    ntw4 = fine.shape[1] // 2
+                    fu = fine[:, :ntw4].reshape(
+                        Hpc // Tc2, 2, Wpc // Tc2, 2).sum((1, 3))
+                    fv = fine[:, ntw4:].reshape(
+                        Hpc // Tc2, 2, Wpc // Tc2, 2).sum((1, 3))
+                    fpk = jnp.concatenate([fu, fv], axis=1)
+                    sel = jnp.concatenate([split16] * 2, axis=1)
+                    return jnp.where(sel, fpk, base)
+
+                duv2 = csel2(duv2, duv4)
+                buv2 = csel2(buv2, buv4)
+                nzk2 = csel2(nzk2, nzk4)
 
             def csum(x):  # Tc2 chroma grid (packed) -> T-tile grid
                 ntw = x.shape[1] // 2
@@ -1899,6 +1968,11 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
             duv = csel(duv, duv2)
             buv = csel(buv, buv2)
             nzk = csel(nzk, nzk2)
+            # per-8-cell RQT depth map (0/1/2) for the writers
+            td8 = up(split_tu.astype(jnp.int8), T // 8)
+            if split16 is not None:
+                td8 = td8 + (up(split_tu, T // 8)
+                             & up(split16, T // 16)).astype(jnp.int8)
 
         def cu_sum_c(x):  # per-chroma-TU grid (packed) -> per-CU grid
             ntw = x.shape[1] // 2
@@ -1917,6 +1991,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                    pred=pred_y, pred_c=pred_uv)
         if split_tu is not None:
             out["tsplit"] = split_tu  # per T-tile bool
+            out["td8"] = td8          # per-8-cell RQT depth (0/1/2)
         return out
 
     # --- intra-in-P: dense 16x16 intra candidate class -------------------
@@ -2523,6 +2598,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 ft = force.repeat(S // min(S, 32), 0).repeat(
                     S // min(S, 32), 1)
                 c["tsplit"] = c["tsplit"] & ~ft
+                f8 = up(force, S // 8)
+                c["td8"] = jnp.where(f8, 0, c["td8"])
             c.update(mv=mvg, ref=refg, cost=cost)
             return c
 
@@ -2633,6 +2710,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                 f = c["tsplit"].shape[0] // nbh
                 c["tsplit"] = jnp.where(take.repeat(f, 0).repeat(f, 1),
                                         cm["tsplit"], c["tsplit"])
+                t8 = up(take, S // 8)
+                c["td8"] = jnp.where(t8, cm["td8"], c["td8"])
             return c
 
         sw16 = sw8 = sw32 = None
@@ -2834,10 +2913,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
         log2_map = jnp.where(cells(use8, 16), 3, 4).astype(jnp.int8)
         # per-8-cell "this CU's TUs split one level" (bool); composed in
         # lockstep with log2_map
-        tsp_cells = jnp.zeros((h8, w8), bool)
+        tsp_cells = jnp.zeros((h8, w8), jnp.int8)  # RQT depth per cell
         if use_tusplit:
             tsp_cells = tsp_cells.at[: nh16 * 2, : nw16 * 2].set(
-                cells(c16["tsplit"], 16) & ~cells(use8, 16))
+                jnp.where(cells(use8, 16), 0, c16["td8"]))
         if _TUNE["enable8"]:
             mv_map = jnp.where(cells(use8, 16)[..., None], c8["mv"],
                                up_mv(c16["mv"], 16))
@@ -2909,7 +2988,7 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                           log2_map[: nh32 * 4, : nw32 * 4]))
             if use_tusplit:
                 tsp_cells = tsp_cells.at[: nh32 * 4, : nw32 * 4].set(
-                    jnp.where(m32cell, cells(c32["tsplit"], 32),
+                    jnp.where(m32cell, c32["td8"],
                               tsp_cells[: nh32 * 4, : nw32 * 4]))
             mv_map = mv_map.at[: nh32 * 4, : nw32 * 4].set(
                 jnp.where(m32cell[..., None], up_mv(c32["mv"], 32),
@@ -2933,7 +3012,8 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                               log2_map[: nh32 * 4, : nw32 * 4]))
                 if use_tusplit:
                     tsp_cells = tsp_cells.at[: nh32 * 4, : nw32 * 4].set(
-                        tsp_cells[: nh32 * 4, : nw32 * 4] & ~m32cp)
+                        jnp.where(m32cp, 0,
+                                  tsp_cells[: nh32 * 4, : nw32 * 4]))
                 mv_map = mv_map.at[: nh32 * 4, : nw32 * 4].set(
                     jnp.where(m32cp[..., None], mvp8_32,
                               mv_map[: nh32 * 4, : nw32 * 4]))
@@ -2962,10 +3042,10 @@ def build_ldp_grid_scan(cfg: EncoderConfig, nn_by_qp: dict, n_gops: int):
                     jnp.where(m64cell, jnp.int8(6),
                               log2_map[: nh64 * 8, : nw64 * 8]))
                 if use_tusplit:
-                    # c64["tsplit"] is per forced-32 TU tile (2x2 per
-                    # CU); absent when max_tu_depth_inter < 2
-                    t64 = (up(c64["tsplit"], 4) if "tsplit" in c64
-                           else jnp.zeros((nh64 * 8, nw64 * 8), bool))
+                    # c64["td8"]: per-8-cell RQT depth below the forced
+                    # 32 TUs; absent when max_tu_depth_inter < 2
+                    t64 = (c64["td8"] if "td8" in c64
+                           else jnp.zeros((nh64 * 8, nw64 * 8), jnp.int8))
                     tsp_cells = tsp_cells.at[: nh64 * 8, : nw64 * 8].set(
                         jnp.where(m64cell, t64,
                                   tsp_cells[: nh64 * 8, : nw64 * 8]))
