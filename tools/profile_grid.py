@@ -222,9 +222,9 @@ def main():
     ref_map = jnp.asarray(rng.integers(0, R, (h8, w8)), jnp.int32)
     cbf_cells = rnd((h8, w8), np.int32, 0, 2) > 0
     probe("deblock_device",
-          lambda y: P["deblock_device"](y, log2_map, mv_map, ref_map,
-                                        cbf_cells, qp),
-          [(oy,)], 0, 1)
+          lambda y, uv: P["deblock_device"](y, uv, log2_map, mv_map,
+                                            ref_map, cbf_cells, qp),
+          [(oy, ruv_stack[0])], 0, 1)
     probe("sao_device",
           lambda o, c, r, rc: P["sao_device"](o, c, r, rc, lam, qp),
           [(oy, ouv, ry, ruv_stack[0])], 0, 1)

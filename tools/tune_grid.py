@@ -30,14 +30,17 @@ def run_once(cfg, clip, frames):
     from tpuhevc.codec.encoder import Encoder
 
     enc = Encoder(cfg)
-    fn, meta, qps = inter_grid.build_ldp_grid_scan(
-        cfg, {cfg.qp: enc.nn_params}, (frames - 1) // len(qps) or 1)
-    enc.encode_frame(*clip[0], poc=0)
-    ry = jnp.asarray(np.asarray(enc.dpb_recon[0], np.int32))[None]
-    ruv = jnp.concatenate([jnp.asarray(np.asarray(p, np.int32))
-                           for p in enc.dpb_recon[1:]], axis=1)[None]
-    G = len(qps)
+    G = len(cfg.gop_qp_offsets or (0,))
     n_gops = (frames - 1) // G or 1
+    fn, meta, qps = inter_grid.build_ldp_grid_scan(
+        cfg, {cfg.qp: enc.nn_params}, n_gops)
+    enc.encode_frame(*clip[0], poc=0)
+    R = max(1, cfg.num_ref_frames)
+    ry = jnp.repeat(jnp.asarray(
+        np.asarray(enc.dpb_recon[0], np.int32))[None], R, 0)
+    ruv = jnp.repeat(jnp.concatenate(
+        [jnp.asarray(np.asarray(p, np.int32))
+         for p in enc.dpb_recon[1:]], axis=1)[None], R, 0)
     n = n_gops * G
     rows = [np.concatenate([f[0].ravel(), f[1].ravel(), f[2].ravel()])
             for f in clip[1 : n + 1]]

@@ -39,8 +39,9 @@ _PROBES: dict = {}  # stage closures of the last build (profiling hooks)
 
 # experiment knobs (ablation / debugging; part of the build cache key)
 _TUNE = dict(enable8=True, enable64=True, sweep=True, drop=True, zme=True,
-             parts=True, fuse_sweep=False,  # fuse_sweep: flip on once the
-             # equality A/B (tools/tune_grid) confirms it on this machine
+             parts=True, fuse_sweep=True,  # bit-identical to per-class
+             # sweeps (tools/tune_grid A/B EQUAL on this machine); one
+             # lax.scan body instead of three
              tusplit=True,  # one-level inter RQT (TU = CU/2 candidates)
              tusplit2=True,  # second RQT level at 32 CUs (leaves 8,
              # honoring the anchor's QuadtreeTUMaxDepthInter 3)
